@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for the DuckDB-oracle differential harness.
+  *
+  * The harness hash-compares cell values, so floating-point results must
+  * be BIT-EXACT across engines. Sums of doubles are order-dependent
+  * (Spark's partial aggregation reorders additions), so we never hash a
+  * raw double sum. Instead:
+  *
+  *   - money columns are scaled to integer cents PER ROW
+  *     (`round(x*100)` → an integral double); sums of integral doubles
+  *     ≤ 2^53 are exact and order-independent, then cast to BIGINT.
+  *   - composite measures (price·(1−disc)·(1+tax)) are scaled by a
+  *     power of ten large enough to keep all precision, rounded per
+  *     row the same way. Both engines evaluate the identical
+  *     left-associated IEEE-double expression, so the pre-round value
+  *     is bit-identical and the rounded integer is too.
+  *   - averages/ratios are emitted as exact-integer numerator and
+  *     denominator, or as a division of two already-exact values
+  *     (identical operands ⇒ identical IEEE result in both engines).
+  *
+  * This is not a test-only trick: at 100 TB, fixed-point integer
+  * aggregation is also the *fast* path (long sums, no decimal overhead).
+  */
+object Det {
+  /** Per-row money→integer-cents; sum(cents(x)) is exact + order-free. */
+  def cents(c: Column): Column = round(c * lit(100))
+
+  /** Per-row scale by 10^e then round to integral double. */
+  def fixed(c: Column, e: Int): Column = round(c * lit(math.pow(10, e)))
+
+  /** Exact BIGINT sum of a per-row integral-double measure. */
+  def lsum(c: Column): Column = sum(c).cast("long")
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql vs Verify parquet dumps.
+
+Mimics the driver's compare: for each query, load the Spark result
+parquet and run the oracle SQL in DuckDB over the same sf tables, sort
+columns by name, and compare row count, schema (column names), and
+cell values exactly. Local dev tool only — NOT part of the shipped
+library (the engine itself is pure Scala/Spark).
+"""
+import json, sys, glob, math
+import duckdb
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    return [colnames[i] for i in order], out
+
+def norm(v):
+    # match plausibly-driver-side normalization: exact values
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not pq:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet({pq!r})").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, g = canon(got, got_cols)
+        wc, w = canon(want, want_cols)
+        if gc != wc:
+            print(f"FAIL {name}: schema {gc} != {wc}"); n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
+        # driver may or may not sort rows; require both orders to work:
+        # exact in-order match, else sorted-match (report which).
+        if g == w:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        elif sorted(map(repr, g)) == sorted(map(repr, w)):
+            print(f"PASS(sorted-only) {name} ({len(g)} rows) — row order differs!")
+            n_pass += 1
+        else:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {diffs}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
