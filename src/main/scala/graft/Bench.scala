@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Methodology (fixed per round-1 verdict):
+  *   - `noop` sink, not `.count()` — a count lets Catalyst prune every
+  *     unreferenced projection, under-measuring string/JSON kernels; the
+  *     noop write materializes every output column without disk cost.
+  *   - one full warm-up pass before the measured pass, so JVM/codegen
+  *     warm-up isn't attributed to whichever query runs first.
+  *   - per-query failures are REPORTED (errors map), never recorded as a
+  *     fake fast time.
+  *   - the metric JSON is printed as a plain stdout line AND written to
+  *     BENCH_OUT.json, so the driver's parser finds it even if the build
+  *     tool prefixes stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,15 +28,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(n => runOnce(SparkEntry.queries(n))) // warm-up pass
+    val measured = names.map(n => n -> runOnce(SparkEntry.queries(n)))
+
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+    val qs = measured.collect { case (k, Right(v)) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = measured.collect { case (k, Left(e)) =>
+      s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
+    val total = measured.collect { case (_, Right(v)) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_OUT.json"), json + "\n")
     spark.stop()
   }
 }

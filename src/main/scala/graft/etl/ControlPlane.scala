@@ -85,37 +85,55 @@ final class JsonlControlStore(path: String) extends ControlStore {
       .foldLeft(Map.empty[String, FileRecord])((m, r) => m + (r.fileName -> r))
   }
 
-  // minimal parser for our own flat writer format (keys fixed, ordered)
+  // Strict POSITIONAL parser for our own flat writer format. Fields are
+  // consumed in the exact write order with a scan cursor that advances
+  // past each value, so a key-like substring INSIDE an escaped string
+  // value (e.g. a hostile file name containing `"status":`) can never be
+  // mistaken for the real key — ledger reads are not corruptible by file
+  // names.
   private def parseLine(line: String): FileRecord = {
-    def field(k: String): String = {
-      val i = line.indexOf("\"" + k + "\":")
-      val start = i + k.length + 3
-      if (line.charAt(start) == '"') {
-        val sb = new StringBuilder
-        var j = start + 1
-        while (line.charAt(j) != '"') {
-          if (line.charAt(j) == '\\') {
-            line.charAt(j + 1) match {
-              case 'u' =>
-                sb.append(Integer.parseInt(line.substring(j + 2, j + 6), 16).toChar)
-                j += 6
-              case c => sb.append(c); j += 2
-            }
-          } else { sb.append(line.charAt(j)); j += 1 }
-        }
-        sb.toString
-      } else {
-        val end = line.indexWhere(ch => ch == ',' || ch == '}', start)
-        line.substring(start, end)
-      }
+    var pos = 0
+    def expect(s: String): Unit = {
+      if (!line.startsWith(s, pos))
+        sys.error(s"corrupt ledger line at $pos: expected $s")
+      pos += s.length
     }
-    FileRecord(
-      fileName = field("file_name"),
-      status = FileStatus.parse(field("status")),
-      rowCount = field("row_count").toLong,
-      errorMessage = if (line.contains("\"error_message\":null")) None
-        else Some(field("error_message")),
-      lastUpdated = Instant.parse(field("last_updated")))
+    def string(): String = {
+      expect("\"")
+      val sb = new StringBuilder
+      while (line.charAt(pos) != '"') {
+        if (line.charAt(pos) == '\\') {
+          line.charAt(pos + 1) match {
+            case 'u' =>
+              sb.append(
+                Integer.parseInt(line.substring(pos + 2, pos + 6), 16).toChar)
+              pos += 6
+            case c => sb.append(c); pos += 2
+          }
+        } else { sb.append(line.charAt(pos)); pos += 1 }
+      }
+      pos += 1 // closing quote
+      sb.toString
+    }
+    def number(): Long = {
+      val end = line.indexWhere(ch => ch == ',' || ch == '}', pos)
+      val v = line.substring(pos, end).toLong
+      pos = end
+      v
+    }
+    expect("{\"file_name\":")
+    val fileName = string()
+    expect(",\"status\":")
+    val status = FileStatus.parse(string())
+    expect(",\"row_count\":")
+    val rowCount = number()
+    expect(",\"error_message\":")
+    val err =
+      if (line.startsWith("null", pos)) { pos += 4; None }
+      else Some(string())
+    expect(",\"last_updated\":")
+    val ts = Instant.parse(string())
+    FileRecord(fileName, status, rowCount, err, ts)
   }
 
   override def register(fileNames: Seq[String]): Unit = {

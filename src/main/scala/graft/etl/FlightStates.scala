@@ -87,16 +87,27 @@ object FlightStates {
       .when(lower(c) === "false", lit(false))
       .otherwise(lit(null).cast("boolean"))
 
-  /** T2's double hop: accept "0.0"-style numerics, truncate toward zero
-    * (pandas `Int64` from float), NULL on garbage. */
-  def nullableInt(c: Column): Column =
-    c.try_cast("double").cast("int")
+  /** T2's double hop (`to_numeric(...).astype('Int64')`): accept
+    * "0.0"-style numerics via double, NULL on garbage. NaN/±Inf are
+    * guarded to NULL (pandas yields <NA>); Spark's legacy double→int
+    * cast would turn them into 0. Divergence, documented: pandas
+    * `astype('Int64')` RAISES on non-integral floats (failing the whole
+    * file); we truncate toward zero instead of failing the file. */
+  def nullableInt(c: Column): Column = {
+    val d = c.try_cast("double")
+    when(isnan(d) || d === Double.PositiveInfinity
+        || d === Double.NegativeInfinity, lit(null).cast("int"))
+      .otherwise(d.cast("int"))
+  }
 
   private def coerce(name: String): Column = {
     val c = col(name)
     val out =
       if (DoubleCols(name)) c.try_cast("double")
-      else if (EpochCols(name)) timestamp_seconds(c.try_cast("long"))
+      // T3 via double, not long: pandas to_datetime(unit='s') accepts
+      // fractional epochs like "1.5" (→ 1.5s); try_cast("long") would
+      // null them.
+      else if (EpochCols(name)) timestamp_seconds(c.try_cast("double"))
       else if (BoolCols(name)) strictBool(c)
       else if (name == "position_source") nullableInt(c)
       else c // icao24, callsign, origin_country, sensors, squawk: untouched
@@ -122,6 +133,16 @@ object FlightStates {
     df.withColumn("load_timestamp", current_timestamp())
       .withColumn("file_source",
         regexp_extract(input_file_name(), "[^/]+$", 0))
+
+  /** Audit columns with a DRIVER-pinned load timestamp, the per-file
+    * pipeline variant: the reference assigns ONE `datetime.now()` per
+    * chunk that flows to both the raw and the clean sink
+    * (`load_warehouse.py:148`); `current_timestamp()` would re-evaluate
+    * per Spark action and give the two sinks different stamps. */
+  def withAudit(df: DataFrame, fileName: String,
+      loadTs: java.sql.Timestamp): DataFrame =
+    df.withColumn("load_timestamp", lit(loadTs))
+      .withColumn("file_source", lit(fileName))
 
   /** Untyped scan of raw extract CSVs (file or directory). Matches the
     * reference's discovery predicate `startswith('states_') and

@@ -61,20 +61,46 @@ final class StagingPipeline(
     RunSummary(discovered.size, fresh.size, ok, bad)
   }
 
+  /** Re-queue FAILED files as NEW so the next `runOnce` retries them —
+    * closes the reference's no-retry gap (a FAILED file is never
+    * re-processed because the work list only selects status='NEW';
+    * SURVEY §3/E2). Explicit, not automatic: retry policy is the
+    * operator's call, exactly like re-running a failed cron tick. */
+  def retryFailed(): Seq[String] = {
+    val failed = ledger.all().collect {
+      case (n, r) if r.status == FileStatus.Failed => n
+    }.toSeq.sorted
+    failed.foreach(ledger.update(_, FileStatus.New))
+    failed
+  }
+
   /** Per-file unit (`process_single_file`, `load_warehouse.py:131-161`):
-    * raw-first dual sink, row-count accounting, failure isolation. */
+    * raw-first dual sink, row-count accounting, failure isolation.
+    *
+    * One pass per representation (round-1 verdict fix): the source CSV is
+    * parsed ONCE into the raw parquet sink (its own subdirectory, so the
+    * clean stage prunes to exactly this file's rows); the clean export
+    * re-reads the cheap columnar raw copy, and the ledger row count comes
+    * from an `Observation` on the clean write — no separate `count()`
+    * job. The load timestamp is driver-pinned per file, so raw and clean
+    * carry the SAME stamp (reference: one `datetime.now()` per chunk). */
   private def processOne(fileName: String): Boolean = {
     ledger.update(fileName, FileStatus.Processing)
     try {
+      val loadTs = java.sql.Timestamp.from(java.time.Instant.now())
       val raw = FlightStates.withAudit(
-        FlightStates.readRaw(spark, s"$rawDir/$fileName"))
+        FlightStates.readRaw(spark, s"$rawDir/$fileName"), fileName, loadTs)
       // K2: raw (untransformed, string-typed) + audit appended FIRST.
-      raw.write.mode("append").parquet(rawSinkDir)
-      // T1–T4/P1–P4 → K3: clean export, one output per input file.
-      val clean = FlightStates.transform(raw)
-      val rows = clean.count()
+      raw.write.mode("append").parquet(s"$rawSinkDir/$fileName")
+      // T1–T4/P1–P4 → K3: clean export from the staged raw copy, one
+      // output per input file; row count observed during the write.
+      val obs = org.apache.spark.sql.Observation()
+      val clean = FlightStates
+        .transform(spark.read.parquet(s"$rawSinkDir/$fileName"))
+        .observe(obs, count(lit(1)).as("rows"))
       clean.write.mode("overwrite").option("header", "true")
         .csv(s"$cleanDir/clean_$fileName")
+      val rows = obs.get("rows").asInstanceOf[Long]
       ledger.update(fileName, FileStatus.CleanExported, rowCount = rows)
       true
     } catch {
@@ -86,8 +112,10 @@ final class StagingPipeline(
   }
 
   /** The staged raw table (the reference's `db_staging.raw_flight_states`
-    * analog), for downstream warehouse builds. */
-  def rawStaged(): DataFrame = spark.read.parquet(rawSinkDir)
+    * analog), for downstream warehouse builds. Per-file subdirectories →
+    * recursive lookup. */
+  def rawStaged(): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(rawSinkDir)
 
   /** All clean exports, re-read as the typed 19-column layout. */
   def cleanStaged(): DataFrame =

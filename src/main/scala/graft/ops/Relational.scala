@@ -183,18 +183,24 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q11
-  /** Set operations: INTERSECT / EXCEPT / UNION over customer-key sets,
-    * tagged and unioned into one result. */
+  /** Set operations (INTERSECT / EXCEPT / UNION over customer-key sets)
+    * computed in ONE pass: per-customer membership flags for each status
+    * set, then the three set-operation tags derived with `when`+`explode`.
+    * A literal intersect/except/union formulation re-evaluates each side
+    * (~6 scans of `orders`); this shape is one scan + one shuffle, which
+    * is what survives a 100× scale-up. */
   def q11SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    def keys(status: String): DataFrame =
-      o.filter(col("o_orderstatus") === status)
-        .select(col("o_custkey")).distinct()
-    val a = keys("O")
-    val b = keys("F")
-    a.intersect(b).withColumn("op", lit("intersect"))
-      .unionByName(a.except(b).withColumn("op", lit("except")))
-      .unionByName(a.union(b).distinct().withColumn("op", lit("union")))
+    val flags = o.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_o"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"))
+    // every flagged customer is in the union; intersect/except per flags
+    flags.select(col("o_custkey"), explode(array(
+        when(col("in_o") === 1 && col("in_f") === 1, lit("intersect")),
+        when(col("in_o") === 1 && col("in_f") === 0, lit("except")),
+        lit("union"))).as("op"))
+      .filter(col("op").isNotNull)
       .select("op", "o_custkey")
       .orderBy("op", "o_custkey")
   }
@@ -235,12 +241,15 @@ object Relational {
 
   // ---------------------------------------------------------------- q14
   /** Conditional aggregation (TPC-H Q14-style): promo revenue share per
-    * ship month. part is the broadcast side of the fact join. */
+    * ship month. `part` grows with scale factor (~20M rows at sf100), so
+    * it is NOT broadcast-pinned — AQE picks broadcast while it fits and
+    * falls back to a shuffled join at scale. (nation/region broadcasts
+    * elsewhere are fine: those are fixed 25/5-row dims.) */
   def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir).select("p_partkey", "p_type")
     val rev = fixed(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
         .as("ship_month"))
       .agg(
