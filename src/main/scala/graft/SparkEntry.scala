@@ -17,8 +17,8 @@ object SparkEntry {
     ops.Relational.q03RevenueByNation(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.FlightQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles
+    ops.Relational.oracles ++ ops.FlightQueries.oracles
 }
