@@ -17,8 +17,10 @@ object SparkEntry {
     ops.Relational.q03RevenueByNation(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.FlightQueries.queries
+    ops.Relational.queries ++ ops.FlightQueries.queries ++
+      ops.TextAnalysis.queries
 
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.FlightQueries.oracles
+    ops.Relational.oracles ++ ops.FlightQueries.oracles ++
+      ops.TextAnalysis.oracles
 }

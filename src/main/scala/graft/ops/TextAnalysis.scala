@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: per-document statistics / quality scoring,
+  * keyword-profile language ID, and polynomial fingerprinting.
+  *
+  * All kernels are builtin codegen'd expressions (split / higher-order
+  * array functions / regexp counts) — embarrassingly parallel per row,
+  * no shuffle except the final presentation ORDER BY, no UDFs. At
+  * 100 TB these run at scan speed with full column pruning.
+  *
+  * Determinism for the oracle hash: every score is integer-scaled
+  * (milli-units) or an exact integer count; the only division is by an
+  * exact small integer, rounded identically in both engines.
+  */
+object TextAnalysis {
+
+  /** Words as the reference unit: whitespace split of trimmed text. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private def nTokens(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(words(c))).cast("long")
+
+  /** Language keyword profiles (argmax classifier). Tie-break is the
+    * fixed CASE order en, de, es, fr, zh. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "key", "value"),
+    "de" -> Seq("table", "join", "merge", "batch"),
+    "es" -> Seq("data", "row", "stream", "filter"),
+    "fr" -> Seq("window", "query", "order", "line"),
+    "zh" -> Seq("spark", "hash", "sort", "scan"))
+
+  private def hits(c: Column, profile: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(profile.map(lit): _*))).cast("long")
+
+  /** Per-document statistics + integer quality score (q25).
+    * BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars — the classic pre-tokenizer regex. */
+  def docStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val t = col("text")
+    val en = LangProfiles.head._2
+    d.select(
+        col("doc_id"), col("lang"), col("source"),
+        length(t).cast("long").as("n_chars_m"),
+        nTokens(t).as("n_tokens"),
+        size(array_distinct(words(t))).cast("long").as("n_distinct_tokens"),
+        length(regexp_replace(t, "\\s", "")).cast("long").as("token_chars"),
+        length(regexp_replace(t, "[a-z0-9\\s]", "")).cast("long")
+          .as("punct_chars"),
+        regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+          .as("bpe_tokens"),
+        hits(t, en).as("stop_hits"))
+      .withColumn("quality_milli",
+        when(col("n_tokens") > 0,
+          round(col("stop_hits") * lit(1000.0) / col("n_tokens")))
+          .otherwise(lit(0)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Keyword-profile language ID (q26): per-profile hit counts, argmax
+    * with the fixed tie-break order, agreement vs the labeled lang. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val t = col("text")
+    val withHits = LangProfiles.foldLeft(
+      d.select(col("doc_id"), col("lang"), t)) { case (df, (l, p)) =>
+      df.withColumn(s"h_$l", hits(t, p))
+    }
+    val Seq(en, de, es, fr, zh) =
+      LangProfiles.map { case (l, _) => col(s"h_$l") }
+    withHits.withColumn("predicted",
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .withColumn("is_match",
+        (col("predicted") === col("lang")).cast("int").cast("long"))
+      .select("doc_id", "lang", "predicted", "is_match",
+        "h_en", "h_de", "h_es", "h_fr", "h_zh")
+      .orderBy("doc_id")
+  }
+
+  /** Cross-engine 32-bit word hash: first 8 hex digits of md5, as a
+    * BIGINT. DuckDB mirror: CAST('0x' || substr(md5(w),1,8) AS BIGINT).
+    * md5 is overkill cryptographically but it is the ONE hash both
+    * engines compute identically — determinism beats speed in the
+    * differential harness, and the same structure works with any
+    * per-engine hash in production. */
+  def wordHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val FpMod = 1000000007L
+  private val HashMod = 1000003L
+  private val Weights = Seq(1L, 31L, 961L, 29791L, 923521L)
+
+  /** Polynomial rolling-hash document fingerprint (q27):
+    * sum_i (hash(w_i) mod 1000003) * 31^(i mod 5), mod 1e9+7.
+    * Bounded so the sum stays well under 2^63 for any document length;
+    * integer arithmetic → order-independent and engine-exact. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val terms = transform(words(col("text")),
+      (w, i) => (wordHash(w) % HashMod) *
+        element_at(array(Weights.map(lit): _*), (i % 5) + 1))
+    d.select(col("doc_id"), col("n_chars"),
+        (aggregate(terms, lit(0L), (acc, x) => acc + x) % FpMod).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_doc_stats" -> (docStats _),
+    "q26_doc_langid" -> (langId _),
+    "q27_doc_fingerprint" -> (fingerprint _)
+  )
+
+  private def inList(p: Seq[String]): String =
+    p.map(w => s"'$w'").mkString(", ")
+
+  private val hitsSqlAll: String = LangProfiles.map { case (l, p) =>
+    s" len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN (${inList(p)}))) AS h_$l"
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "q25_doc_stats" ->
+      s"""SELECT doc_id, lang, source,
+         | length(text) AS n_chars_m,
+         | CASE WHEN length(trim(text))=0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         | len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+         | length(regexp_replace(text, '\\s', '', 'g')) AS token_chars,
+         | length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct_chars,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+         | len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |     x -> x IN (${inList(LangProfiles.head._2)}))) AS stop_hits,
+         | CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+         |  THEN CAST(round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |     x -> x IN (${inList(LangProfiles.head._2)}))) * 1000.0 /
+         |     len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |  ELSE 0 END AS quality_milli
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_doc_langid" ->
+      s"""WITH h AS (
+         | SELECT doc_id, lang,
+         |$hitsSqlAll
+         | FROM documents)
+         |SELECT doc_id, lang,
+         | CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+         |      WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+         |      WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+         |      WHEN h_fr >= h_zh THEN 'fr'
+         |      ELSE 'zh' END AS predicted,
+         | CAST(predicted = lang AS BIGINT) AS is_match,
+         | h_en, h_de, h_es, h_fr, h_zh
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q27_doc_fingerprint" ->
+      s"""SELECT doc_id, any_value(n_chars) AS n_chars,
+         | CAST(sum((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % $HashMod)
+         |   * (CASE (i-1) % 5 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+         |      WHEN 3 THEN 29791 ELSE 923521 END)) % $FpMod AS BIGINT) AS fp
+         |FROM (
+         | SELECT doc_id, n_chars,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         |  generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+         | FROM documents)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
