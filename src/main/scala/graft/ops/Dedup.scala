@@ -1,0 +1,384 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ArrayFunctions
+
+/** Fuzzy / near-duplicate detection over the `documents` table — the
+  * dedup family a training-data pipeline needs at 100 TB scale:
+  *
+  *  - q28 MinHash-LSH: word-3-gram shingles → 16 universal-hash minhash
+  *    signature → 4 bands × 4 rows → candidates share a (band, key)
+  *    bucket → hash-set-Jaccard verify *within buckets only*.
+  *  - q29 near-dedup keep-list: keep-min-doc_id survivor set derived
+  *    from the verified q28 pairs (left-anti join, no iteration).
+  *  - q30 60-bit SimHash per document (frequency-weighted bit votes,
+  *    one aggregate pass with an array accumulator).
+  *  - q31 SimHash near-dup pairs: 4 bands × 15 bits; by pigeonhole a
+  *    pair within Hamming distance 3 always shares ≥1 exact band, so
+  *    banding loses NOTHING at the ≤3 threshold — candidate generation
+  *    is recall-exact, never all-pairs.
+  *  - q32 word-bigram Jaccard with double-minhash anchor blocking
+  *    (collision probability ≈ j² — cheap LSH-lite for one-pass dedup).
+  *
+  * Scale design:
+  *  - Candidate generators are hash-shuffle joins on a bucket key (band
+  *    id + band hash / anchor pair). No crossJoin, no all-pairs step.
+  *  - Shingle sets are verified as *32-bit hash sets* (array<int>), not
+  *    string arrays — the verify join moves ~1 KB per doc instead of
+  *    ~10 KB, and the intersect compares ints, not strings. (md5
+  *    collisions can perturb Jaccard by ~|set|²/2³¹ ≈ 1e-5 — the oracle
+  *    mirrors the hash-set semantics exactly.)
+  *  - A LOSSLESS size-ratio prefilter (Jaccard ≥ t ⇒ min(|A|,|B|) ≥
+  *    t·max(|A|,|B|)) discards most bucket pairs before any array
+  *    intersect runs; it cannot change the output, so the oracle omits
+  *    it.
+  *  - Identical self-join sides collapse into one shuffle via Spark's
+  *    ReusedExchange.
+  *
+  * Cross-engine hash: first 8 (or 15) hex digits of md5 as a BIGINT —
+  * the one hash both engines compute identically (see
+  * TextAnalysis.wordHash). In production the same structure runs with
+  * xxhash64/murmur3; the harness pins md5 for the differential oracle.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31 − 1: universal-hash modulus. a·x stays under
+    * 2^63 for a < 2^31, x < P — no overflow anywhere. */
+  private val P = 2147483647L
+
+  /** 16 fixed (a, b) permutations for (a·x + b) mod P. */
+  val Perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (977L + 104729L * i, 7L + 31L * i))
+
+  val Bands = 4
+  val RowsPerBand = 4
+  /** Band key = Σ sig(r)·31^(3−r): exact in 64-bit (≤ 2^31·29791 ≈ 2^46). */
+  private val BandW = Seq(29791L, 961L, 31L, 1L)
+  /** Verified-Jaccard threshold (milli). */
+  val JMilliMin = 500L
+  /** Word-bigram Jaccard threshold (milli). */
+  val J4MilliMin = 700L
+  /** SimHash width/banding: 60 bits (15 hex digits of md5 fit a signed
+    * 64-bit long), 4 bands × 15 bits, Hamming ≤ 3 (recall-exact). */
+  val SimBits = 60
+  val SimBandBits = 15
+  val SimHMax = 3L
+
+  // ---------- shared text kernels ----------
+
+  private def wordsCol(t: Column): Column = split(trim(t), "\\s+")
+
+  /** Distinct word 3-gram shingles from an already-projected words
+    * ATTRIBUTE; guarded so <3-word docs yield [] (Spark's `sequence`
+    * would otherwise count DOWN for start > stop).
+    *
+    * `ws` must be a plain column reference, never the `split(...)`
+    * expression itself: `element_at(ws, i)` inside the lambda
+    * re-evaluates its receiver per element, so an inlined split would
+    * re-run the regex 3× per shingle (measured 17 s of a 35 s query at
+    * sf0.1 — the projection boundary makes it one split per row, and
+    * SPARK-36718 keeps CollapseProject from re-inlining a multi-
+    * referenced non-cheap expression). */
+  private def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word 2-grams (same attribute-only contract as shingles3).
+    * Word bigrams, not char 4-grams: char n-grams from a small shared
+    * vocabulary have ~0.3+ background Jaccard, which makes anchor
+    * buckets pass ~20× more false candidates (measured 270k vs 15k at
+    * sf0.1) for the same recall. */
+  private def grams2(ws: Column): Column =
+    when(size(ws) >= 2,
+      array_distinct(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit md5-prefix hash (15 hex digits < 2^60). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct ASCENDING-sorted 31-bit hash set of a string array —
+    * compact verify unit, sorted so intersection is a linear merge. */
+  private def hashSet(arr: Column): Column =
+    sort_array(array_distinct(transform(arr,
+      x => (TextAnalysis.wordHash(x) % P).cast("int"))))
+
+  /** Codegen'd |A∩B| merge over sorted sets (see SortedIntersectCount). */
+  private def interCount(a: Column, b: Column): Column =
+    ArrayFunctions.sortedIntersectCount(a, b)
+
+  /** Derived join keys MUST be non-nullable: for a nullable key Catalyst
+    * infers `isnotnull(key)` and pushes it BELOW the projection,
+    * re-substituting the full alias expression (split → n-grams → md5 →
+    * min-hash) into a Filter over raw text — where the split also loses
+    * its projection boundary and re-runs per array element. Measured
+    * 27 s vs 1.3 s on the q32 candidate join at sf0.1. The sentinel
+    * never occurs (inputs are filtered non-empty). */
+  private def nn(key: Column): Column = coalesce(key, lit(-1L))
+
+  /** min(|A|,|B|) · 1000 ≥ t · max(|A|,|B|) — necessary for J ≥ t/1000. */
+  private def sizeRatioOk(na: Column, nb: Column, tMilli: Long): Column =
+    least(na, nb) * 1000 >= lit(tMilli) * greatest(na, nb)
+
+  private def jaccardMilli(inter: Column, uni: Column): Column =
+    round(inter * lit(1000.0) / uni).cast("long")
+
+  // ---------- q28: MinHash-LSH near-dup pairs ----------
+
+  /** doc_id, hs (distinct 31-bit shingle hash set), n = |hs|.
+    * The non-empty guard filters on the CHEAP word count before the
+    * shingle projection (equivalent: ≥3 words ⇔ ≥1 shingle) — a filter
+    * on `size(s) > 0` would be pushed below the projection with the
+    * whole shingle expression substituted in, recomputing it per row. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), wordsCol(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), shingles3(col("ws")).as("s"))
+      .select(col("doc_id"), hashSet(col("s")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hx = hashedShingles(s, dir)
+    val sig = hx.select(col("doc_id"),
+      array(Perms.map { case (a, b) =>
+        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))
+      }: _*).as("sig"))
+    val bandStructs = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1) * BandW(r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), nn(key).as("key"))
+    }
+    // Narrow band rows: (doc_id, band, key) — no arrays in this shuffle,
+    // and the x/y sides are identical subplans (one ReusedExchange).
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("hsa"))
+    val b = hx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hsb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .where(sizeRatioOk(col("na"), col("nb"), JMilliMin))
+      .select(col("doc_a"), col("doc_b"),
+        interCount(col("hsa"), col("hsb")).as("inter_sh"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter_sh"),
+        (col("na") + col("nb") - col("inter_sh")).as("union_sh"))
+      .withColumn("j_milli", jaccardMilli(col("inter_sh"), col("union_sh")))
+      .where(col("j_milli") >= JMilliMin)
+      .select("doc_a", "doc_b", "inter_sh", "union_sh", "j_milli")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- q29: near-dedup survivor set ----------
+
+  /** Keep-min rule: drop every doc that appears as the LARGER id of a
+    * verified near-dup pair. One anti-join — no iterative
+    * connected-components pass, which a 100 TB dedup can't afford. */
+  def nearDedup(s: SparkSession, dir: String): DataFrame = {
+    val drop = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  // ---------- q30: 60-bit SimHash ----------
+
+  /** One aggregate pass: hash each word once, fold a 60-slot vote array,
+    * then collapse votes to bits. (Naive per-bit aggregates would hash
+    * every word 60× — 60 md5 scans per document.) */
+  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
+    val masks = array((0 until SimBits).map(p => lit(1L << p)): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(wordsCol(col("text")), w => hash60(w)).as("hs"))
+      .select(col("doc_id"),
+        aggregate(col("hs"), array_repeat(lit(0L), SimBits),
+          (acc, h) => zip_with(acc, masks, (cnt, m) =>
+            cnt + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
+          .as("votes"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("votes"), masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("simhash"))
+  }
+
+  def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    simhashCore(s, dir).orderBy("doc_id")
+
+  // ---------- q31: SimHash near-dup pairs (banded, recall-exact ≤3) ----------
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashCore(s, dir)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        nn(shiftright(col("simhash"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1))).as("key"))
+    }
+    val bands = sim
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= SimHMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- q32: word-bigram Jaccard with anchor blocking ----------
+
+  def anchorJaccard(s: SparkSession, dir: String): DataFrame = {
+    val (a1, b1) = Perms(0)
+    val (a2, b2) = Perms(1)
+    val an = Tables.documents(s, dir)
+      .select(col("doc_id"), wordsCol(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // cheap pre-filter, see hashedShingles
+      .select(col("doc_id"), grams2(col("ws")).as("g2"))
+      .select(col("doc_id"), hashSet(col("g2")).as("hg"))
+      .select(col("doc_id"), col("hg"), size(col("hg")).cast("long").as("n"),
+        nn(array_min(transform(col("hg"), x => (lit(a1) * x + lit(b1)) % P))).as("anchor1"),
+        nn(array_min(transform(col("hg"), x => (lit(a2) * x + lit(b2)) % P))).as("anchor2"))
+    // Self-join (ReusedExchange); the size-ratio prefilter sits in the
+    // join condition so non-candidates are dropped at probe time,
+    // before any wide row reaches the intersect.
+    an.as("x").join(an.as("y"),
+        col("x.anchor1") === col("y.anchor1") &&
+        col("x.anchor2") === col("y.anchor2") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        sizeRatioOk(col("x.n"), col("y.n"), J4MilliMin))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        interCount(col("x.hg"), col("y.hg")).as("inter_g"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter_g"),
+        (col("na") + col("nb") - col("inter_g")).as("union_g"))
+      .withColumn("j4_milli", jaccardMilli(col("inter_g"), col("union_g")))
+      .where(col("j4_milli") >= J4MilliMin)
+      .select("doc_a", "doc_b", "inter_g", "union_g", "j4_milli")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_minhash_lsh_pairs" -> (minhashPairs _),
+    "q29_near_dedup" -> (nearDedup _),
+    "q30_simhash" -> (simhashDocs _),
+    "q31_simhash_pairs" -> (simhashPairs _),
+    "q32_ngram_anchor_jaccard" -> (anchorJaccard _)
+  )
+
+  // ---------- DuckDB oracle SQL (generated from the same constants) ----------
+
+  private def h32sql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+  private def h60sql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shingle-hash-set + signature CTEs shared by q28/q29. The oracle
+    * omits the size-ratio prefilter (lossless) but mirrors the hash-set
+    * Jaccard exactly. */
+  private val minhashCtes: String = {
+    val sigList = Perms.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> ($a*x + $b) % $P))"
+    }.mkString(",\n   ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |   generate_series(1, greatest(len(ws)-2, 0)),
+       |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+       |sh2 AS (SELECT doc_id,
+       |   list_distinct(list_transform(s, x -> ${h32sql("x")} % $P)) AS h
+       |   FROM sh WHERE len(s) > 0),
+       |sig AS (SELECT doc_id,
+       |  [$sigList] AS g FROM sh2),
+       |bands AS (SELECT doc_id, t.band AS band,
+       |   g[t.band*4+1]*${BandW(0)} + g[t.band*4+2]*${BandW(1)} +
+       |   g[t.band*4+3]*${BandW(2)} + g[t.band*4+4]*${BandW(3)} AS key
+       |   FROM sig, (SELECT unnest([0,1,2,3]) AS band) t),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM bands x JOIN bands y
+       |   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |   len(list_intersect(sa.h, sb.h)) AS inter_sh,
+       |   len(sa.h) + len(sb.h) - len(list_intersect(sa.h, sb.h)) AS union_sh
+       |   FROM cand JOIN sh2 sa ON sa.doc_id = cand.doc_a
+       |             JOIN sh2 sb ON sb.doc_id = cand.doc_b),
+       |pairs AS (SELECT doc_a, doc_b, inter_sh, union_sh,
+       |   CAST(round(1000.0 * inter_sh / union_sh) AS BIGINT) AS j_milli
+       |   FROM v WHERE CAST(round(1000.0 * inter_sh / union_sh) AS BIGINT) >= $JMilliMin)""".stripMargin
+  }
+
+  /** 60-bit simhash CTE (unnest + per-bit votes; the oracle need not be
+    * scale-efficient, only exact). */
+  private val simhashCtes: String = {
+    val votes = (0 until SimBits).map(p =>
+      s"sum(CASE WHEN (hv & ${1L << p}) > 0 THEN 1 ELSE -1 END) AS v$p").mkString(", ")
+    val bits = (0 until SimBits).map(p =>
+      s"CASE WHEN v$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${h60sql("w")} AS hv FROM t),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, ($bits) AS simhash FROM v)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q28_minhash_lsh_pairs" ->
+      s"""$minhashCtes
+         |SELECT doc_a, doc_b, inter_sh, union_sh, j_milli
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_near_dedup" ->
+      s"""$minhashCtes
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+    "q30_simhash" ->
+      s"""$simhashCtes
+         |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,
+    "q31_simhash_pairs" ->
+      s"""$simhashCtes,
+         |b AS (SELECT doc_id, simhash, t.band AS band,
+         |   (simhash >> (t.band*$SimBandBits)) & ${(1L << SimBandBits) - 1} AS key
+         |   FROM s, (SELECT unnest([0,1,2,3]) AS band) t),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |   FROM b x JOIN b y ON x.band = y.band AND x.key = y.key
+         |   AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $SimHMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_ngram_anchor_jaccard" -> {
+      val (a1, b1) = Perms(0)
+      val (a2, b2) = Perms(1)
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, greatest(len(ws)-1, 0)),
+         |   i -> ws[i] || ' ' || ws[i+1])) AS g2 FROM w),
+         |hg AS (SELECT doc_id,
+         |   list_distinct(list_transform(g2, x -> ${h32sql("x")} % $P)) AS h
+         |   FROM g WHERE len(g2) > 0),
+         |an AS (SELECT doc_id, h,
+         |   list_min(list_transform(h, x -> ($a1*x + $b1) % $P)) AS anchor1,
+         |   list_min(list_transform(h, x -> ($a2*x + $b2) % $P)) AS anchor2 FROM hg),
+         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |   len(list_intersect(x.h, y.h)) AS inter_g,
+         |   len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS union_g
+         |   FROM an x JOIN an y
+         |   ON x.anchor1 = y.anchor1 AND x.anchor2 = y.anchor2
+         |   AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, inter_g, union_g,
+         |   CAST(round(1000.0 * inter_g / union_g) AS BIGINT) AS j4_milli
+         |FROM p WHERE CAST(round(1000.0 * inter_g / union_g) AS BIGINT) >= $J4MilliMin
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 hides `Column(expr)` behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils` — public Spark
+  * source, spark/sql/core columnNodeSupport.scala); a one-object shim
+  * inside the sql package tree is the standard library-author pattern
+  * for wiring custom `Expression`s into the public DataFrame API
+  * without forcing every session through SparkSessionExtensions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
