@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): the ANN family a training-data pipeline needs.
+  *
+  *  - q33 brute-force cosine top-k — the exact baseline. Query set
+  *    (vec_id < 10) is broadcast; every partition of the base table is
+  *    scanned once against it (Q×N work, linear in N for a fixed query
+  *    set — the intentional exact-scan reference point).
+  *  - q34 IVF-style ANN — the scale path. 16 deterministically chosen
+  *    centroids; every vector is assigned to its nearest centroid
+  *    (N×K map-side work against broadcast centroids, K constant);
+  *    queries probe their nprobe=4 nearest centroid buckets and rerank
+  *    exactly within those buckets only (~N/4 of the base scanned per
+  *    query instead of N).
+  *  - q35 embedding near-dup pairs — random-hyperplane LSH: 6 tables ×
+  *    6 sign bits → 64 buckets per table; candidates share a
+  *    (table, bucket) key; exact cosine verify within buckets only.
+  *
+  * Determinism (the DuckDB oracle matches cell-for-cell): components
+  * are quantized once to integers (`round(x·1000)` as BIGINT — float→
+  * double cast is exact, both engines round half away from zero), dot
+  * products and squared norms are then exact 64-bit integer sums
+  * (|dot| ≤ 64·578² ≈ 2.1e7 here; overflow needs |x|·1000 > ~3.8e8),
+  * and the only floating step — cos_micro = round(1e6·dot /
+  * sqrt(n2a·n2b)) — is IEEE-deterministic on exact integer inputs.
+  * Rankings tie-break on vec_id, so row_number is engine-independent.
+  *
+  * Scale notes: no all-pairs anywhere except the *declared* Q×N
+  * brute-force baseline; hyperplanes are compile-time integer
+  * constants; every derived join key is non-nullable (see the
+  * Dedup.nn rationale — nullable derived keys re-evaluate their whole
+  * pipeline inside an inferred isnotnull filter).
+  */
+object Similarity {
+
+  /** Component quantization scale (milli-units). */
+  val QScale = 1000
+  /** Query set: vec_id < NQueries. */
+  val NQueries = 10
+  val TopK = 10
+  /** IVF: centroid count and probed buckets per query. */
+  val KCentroids = 16
+  val NProbe = 4
+  /** LSH: tables × sign-bit planes per table. */
+  val LshTables = 6
+  val LshPlanes = 6
+  /** Near-dup cosine threshold (micro). */
+  val NearDupMicroMin = 400000L
+
+  /** Deterministic pseudo-random hyperplane component in [-1000, 1000]
+    * (Knuth-style integer mix — same constants in the SQL mirror; the
+    * products stay ≤ ~3.2e16, exact in 64-bit). */
+  def planeComp(t: Int, p: Int, j: Int): Long =
+    ((1000003L * t + 7919L * p + 104729L * j + 12345L) * 2654435761L) % 2001L - 1000L
+
+  private def planeLits(t: Int, p: Int, dim: Int = 64): Column =
+    array((0 until dim).map(j => lit(planeComp(t, p, j))): _*)
+
+  // ---------- shared kernels ----------
+
+  /** vec_id, q (quantized components), n2 (exact squared norm > 0). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+      .select(col("vec_id"), col("q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+      .filter(col("n2") > 0)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** round(1e6·dot / sqrt(n2a·n2b)) — IEEE-deterministic on exact ints. */
+  private def cosMicro(d: Column, n2a: Column, n2b: Column): Column =
+    round(lit(1000000.0) * d /
+      sqrt(n2a.cast("double") * n2b.cast("double"))).cast("long")
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+
+  private def rerank(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos_micro").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "rnk", "vec_id", "cos_micro")
+      .orderBy("q_id", "rnk")
+  }
+
+  // ---------- q33: brute-force cosine top-k (exact baseline) ----------
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+    // Intentional Q×N exact scan: tiny query side broadcast, non-equi
+    // condition → BroadcastNestedLoopJoin; each executor streams its
+    // base partitions once. Linear in N — this is the baseline the
+    // bucketed variants are judged against, not an accidental
+    // cartesian.
+    val pairs = base.join(broadcast(queriesDf(s, dir)),
+      col("q_id") =!= col("vec_id"))
+    rerank(pairs.select(col("q_id"), col("vec_id"),
+      cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro")))
+  }
+
+  // ---------- q34: IVF-style ANN (probe nprobe of K centroid buckets) ----------
+
+  /** 16 deterministic centroids: smallest (md5-hash(vec_id), vec_id).
+    * Data-independent, sf-independent rule; TakeOrderedAndProject keeps
+    * the selection linear at scale. */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(KCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+
+  /** Nearest-centroid ranks: vector × 16 broadcast centroids (linear
+    * N×K map-side work), row_number by (cos desc, cid). */
+  private def centroidRanks(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        cosMicro(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("ccos"))
+      .withColumn("crn", row_number().over(w))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+    val cent = centroids(s, dir)
+    val assign = centroidRanks(base, cent).filter(col("crn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+    val probes = centroidRanks(
+      base.filter(col("vec_id") < NQueries), cent)
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("cid"))
+    // Bucket join: only vectors in the probed centroid buckets are
+    // compared — ~N·nprobe/K of the base per query, never all of it.
+    val cand = probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+    rerank(cand.select(col("q_id"), col("vec_id"),
+      cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro")))
+  }
+
+  // ---------- q35: hyperplane-LSH near-dup pairs ----------
+
+  /** (table, bucket) sign-bit bucket key per LSH table; non-nullable by
+    * construction (when/otherwise over non-null sums). */
+  private def bucketKey(t: Int): Column =
+    (0 until LshPlanes).map { p =>
+      when(dot(col("q"), planeLits(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val bandStructs = (0 until LshTables).map(t =>
+      struct(lit(t).as("tbl"), bucketKey(t).as("bucket")))
+    // Narrow band rows — arrays never enter the candidate shuffle.
+    val bands = v
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("tbl", "bucket"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = v.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosMicro(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("cos_micro"))
+      .filter(col("cos_micro") >= NearDupMicroMin)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_ann_bruteforce" -> (annBruteForce _),
+    "q34_ann_ivf" -> (annIvf _),
+    "q35_emb_neardup" -> (embNearDup _)
+  )
+
+  // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def cosSql(dot: String, n2a: String, n2b: String): String =
+    s"CAST(round(1000000.0 * $dot / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE))) AS BIGINT)"
+
+  /** Quantized-vector CTE shared by all three oracles. */
+  private val qCte: String =
+    s"""qv AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+       |   FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |   ${dotSql("q", "q")} AS n2 FROM qv)
+       |   , nv AS (SELECT * FROM n WHERE n2 > 0)""".stripMargin
+
+  private def planeListSql(t: Int, p: Int, dim: Int = 64): String =
+    (0 until dim).map(j => planeComp(t, p, j)).mkString("[", ", ", "]")
+
+  private def bucketSql(t: Int): String =
+    (0 until LshPlanes).map { p =>
+      s"(CASE WHEN ${dotSql("q", planeListSql(t, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q33_ann_bruteforce" ->
+      s"""WITH $qCte,
+         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
+         |p AS (SELECT q_id, b.vec_id AS vec_id,
+         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
+         |   FROM qs JOIN nv b ON b.vec_id != qs.q_id),
+         |r AS (SELECT q_id, vec_id, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM p)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q34_ann_ivf" ->
+      s"""WITH $qCte,
+         |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT $KCentroids),
+         |ranks AS (SELECT v.vec_id, v.q, v.n2, cent.cid,
+         |   ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} AS ccos,
+         |   row_number() OVER (PARTITION BY v.vec_id
+         |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
+         |   FROM nv v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, q, n2, cid FROM ranks WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cid FROM ranks
+         |   WHERE crn <= $NProbe AND vec_id < $NQueries),
+         |c AS (SELECT q_id, a.vec_id AS vec_id,
+         |   ${cosSql(dotSql("qq", "a.q"), "qn2", "a.n2")} AS cos_micro
+         |   FROM probes JOIN assign a ON a.cid = probes.cid AND a.vec_id != probes.q_id),
+         |r AS (SELECT q_id, vec_id, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM c)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q35_emb_neardup" -> {
+      val bandSelects = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM nv").mkString("\nUNION ALL\n")
+      s"""WITH $qCte,
+         |b AS (
+         |$bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |   FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |   AND x.vec_id < y.vec_id),
+         |v AS (SELECT vec_a, vec_b,
+         |   ${cosSql(dotSql("va.q", "vb.q"), "va.n2", "vb.n2")} AS cos_micro
+         |   FROM cand JOIN nv va ON va.vec_id = cand.vec_a
+         |             JOIN nv vb ON vb.vec_id = cand.vec_b)
+         |SELECT vec_a, vec_b, cos_micro FROM v
+         |WHERE cos_micro >= $NearDupMicroMin ORDER BY vec_a, vec_b""".stripMargin
+    }
+  )
+}
