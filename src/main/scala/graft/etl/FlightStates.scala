@@ -88,17 +88,16 @@ object FlightStates {
       .otherwise(lit(null).cast("boolean"))
 
   /** T2's double hop (`to_numeric(...).astype('Int64')`): accept
-    * "0.0"-style numerics via double, NULL on garbage. NaN/±Inf are
-    * guarded to NULL (pandas yields <NA>); Spark's legacy double→int
-    * cast would turn them into 0. Divergence, documented: pandas
-    * `astype('Int64')` RAISES on non-integral floats (failing the whole
-    * file); we truncate toward zero instead of failing the file. */
-  def nullableInt(c: Column): Column = {
-    val d = c.try_cast("double")
-    when(isnan(d) || d === Double.PositiveInfinity
-        || d === Double.NegativeInfinity, lit(null).cast("int"))
-      .otherwise(d.cast("int"))
-  }
+    * "0.0"-style numerics via double, NULL on garbage; the second hop is
+    * try_cast too, so NaN/±Inf → NULL (pandas yields <NA>) and int32
+    * overflow → NULL rather than an ANSI runtime error (Spark 4 default
+    * ANSI cast THROWS on overflow — a plain `.cast("int")` here fails
+    * the whole job on one "9999999999"). Divergences, documented:
+    * pandas `astype('Int64')` RAISES on non-integral floats (failing
+    * the whole file) where we truncate toward zero, and keeps 64-bit
+    * values where our int32 target nulls them. */
+  def nullableInt(c: Column): Column =
+    c.try_cast("double").try_cast("int")
 
   private def coerce(name: String): Column = {
     val c = col(name)

@@ -99,6 +99,10 @@ final class StagingPipeline(
         .transform(spark.read.parquet(s"$rawSinkDir/$fileName"))
         .observe(obs, count(lit(1)).as("rows"))
       clean.write.mode("overwrite").option("header", "true")
+        // microsecond format: the CSV default keeps only milliseconds,
+        // which would desync the driver-pinned load_timestamp between
+        // the parquet raw sink (micros) and this export
+        .option("timestampFormat", CsvTsFormat)
         .csv(s"$cleanDir/clean_$fileName")
       val rows = obs.get("rows").asInstanceOf[Long]
       ledger.update(fileName, FileStatus.CleanExported, rowCount = rows)
@@ -120,6 +124,15 @@ final class StagingPipeline(
   /** All clean exports, re-read as the typed 19-column layout. */
   def cleanStaged(): DataFrame =
     spark.read.option("header", "true")
+      .option("timestampFormat", CsvTsFormat)
       .schema(FlightStates.cleanSchema)
       .csv(s"$cleanDir/clean_*")
+
+  private def CsvTsFormat = StagingPipeline.CsvTsFormat
+}
+
+object StagingPipeline {
+  /** Clean-CSV timestamp format with microseconds (lossless round-trip
+    * of TimestampType, like pandas `to_csv`). */
+  val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 }

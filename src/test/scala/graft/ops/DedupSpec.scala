@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.ArrayFunctions
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests of the dedup family on constructed documents with
+  * known duplicate structure (the oracle harness proves engine parity;
+  * these prove the SEMANTICS: what is and is not a near-duplicate). */
+class DedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa quebec romeo " +
+    "sierra tango uniform victor whiskey xray yankee zulu one two three four"
+
+  /** doc 0: base; doc 1: exact copy; doc 2: one word changed (near-dup);
+    * doc 3: unrelated; doc 4: shuffled words (same set, different order). */
+  private lazy val dir: String = {
+    val d = tmpDir("docs")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),
+      (2L, base.replace("november", "NOVEMBER-CHANGED"), "en", "src2", 1L),
+      (3L, "totally different content with no overlap whatsoever at all " +
+        "nothing shared here believe me not even a little bit of text", "de", "src3", 1L),
+      (4L, base.split(" ").reverse.mkString(" "), "en", "src4", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q28 finds exact and one-word-changed pairs, not unrelated or reshuffled docs") {
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .select("doc_a", "doc_b", "j_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    // word-order shuffle destroys 3-gram shingles → NOT a near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("q28 exact copy scores j_milli = 1000") {
+    val exact = Dedup.minhashPairs(spark, dir)
+      .filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .select("j_milli").head().getLong(0)
+    assert(exact === 1000L)
+  }
+
+  test("q29 keep-min survivor set drops the larger id of each verified pair") {
+    val kept = Dedup.nearDedup(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1 and 2 drop (paired with 0); 3 and 4 survive
+    assert(kept === Set(0L, 3L, 4L))
+  }
+
+  test("q30 simhash is identical for identical text, near for near-dups") {
+    val sh = Dedup.simhashDocs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 6)
+    // simhash is word-frequency based → order-insensitive: doc 4 collides
+    assert(sh(4L) === sh(0L))
+  }
+
+  test("q31 banded simhash pairs include the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
+  test("q32 word-bigram anchor Jaccard flags the near pair, not the shuffle") {
+    val pairs = Dedup.anchorJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("sortedIntersectCount: merge semantics over sorted int sets") {
+    val df = Seq(
+      (Seq(1, 3, 5, 9), Seq(3, 5, 7)),
+      (Seq[Int](), Seq(1, 2)),
+      (Seq(1, 2, 3), Seq(4, 5, 6)),
+      (Seq(2, 4), Seq(2, 4))
+    ).toDF("a", "b")
+    val got = df.select(
+      ArrayFunctions.sortedIntersectCount(col("a"), col("b"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 0L, 0L, 2L))
+  }
+
+  test("sortedIntersectCount is null-safe") {
+    val df = Seq((Some(Seq(1, 2)), Option.empty[Seq[Int]]))
+      .toDF("a", "b")
+    assert(df.select(ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+}

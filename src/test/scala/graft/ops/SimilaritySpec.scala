@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests of the ANN family on constructed vectors with known
+  * geometry. */
+class SimilaritySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dim = 64
+
+  private def vec(f: Int => Float): Seq[Float] = (0 until dim).map(f)
+
+  /** vec 0 = e0; vec 20 = 2·e0 (cos 1 with the query); vec 21 = −e0;
+    * vec 22 = e1 (orthogonal); the rest form a deterministic cloud. */
+  private lazy val dir: String = {
+    val d = tmpDir("emb")
+    val rows = Seq(
+      (0L, vec(j => if (j == 0) 1f else 0f), 0),
+      (20L, vec(j => if (j == 0) 2f else 0f), 0),
+      (21L, vec(j => if (j == 0) -1f else 0f), 0),
+      (22L, vec(j => if (j == 1) 1f else 0f), 1)
+    ) ++ (23L to 80L).map { i =>
+      (i, vec(j => (((i * 31 + j * 7) % 13) - 6).toFloat / 6f), (i % 10).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q33 brute force ranks the parallel vector first with cos_micro = 1e6") {
+    val top = Similarity.annBruteForce(spark, dir)
+      .filter(col("q_id") === 0 && col("rnk") === 1).head()
+    assert(top.getAs[Long]("vec_id") === 20L)
+    assert(top.getAs[Long]("cos_micro") === 1000000L)
+  }
+
+  test("q33 antiparallel vector ranks last for the axis query") {
+    val rows = Similarity.annBruteForce(spark, dir)
+      .filter(col("q_id") === 0).orderBy(col("rnk"))
+      .select("vec_id", "cos_micro").collect()
+    assert(rows.length === 10)
+    // strictly non-increasing scores
+    val scores = rows.map(_.getLong(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(!rows.map(_.getLong(0)).contains(21L)) // cos −1 can't be top-10 here
+  }
+
+  test("q34 IVF results are a subset of brute-force candidates with exact scores") {
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("q_id", "vec_id", "cos_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Similarity.annIvf(spark, dir)
+      .select("q_id", "vec_id", "cos_micro").collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit that brute force also surfaced carries the SAME score
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s === r.getLong(2)))
+    }
+    // ranks are 1..k dense per query
+    val perQ = ivf.groupBy(_.getLong(0))
+    Similarity.annIvf(spark, dir).groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx")).collect()
+      .foreach(r => assert(r.getAs[Long]("n") === r.getAs[Long]("mx")))
+    assert(perQ.nonEmpty)
+  }
+
+  test("q35 LSH near-dup finds the parallel pair (identical hyperplane signs)") {
+    val pairs = Similarity.embNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (0, 20) are parallel → same bucket in EVERY table, cos_micro 1e6
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 20L && p._3 == 1000000L))
+    // antiparallel pair never surfaces (opposite sign bits everywhere)
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 21L))
+    assert(!pairs.exists(p => p._1 == 20L && p._2 == 21L))
+  }
+
+  test("quantized cosine is symmetric and bounded") {
+    val pairs = Similarity.embNearDup(spark, dir).collect()
+    pairs.foreach { r =>
+      val c = r.getAs[Long]("cos_micro")
+      assert(c >= Similarity.NearDupMicroMin && c <= 1000000L)
+    }
+  }
+}
