@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators: treat media as an opaque `binary`
+  * payload column plus typed metadata, with decode/feature/frame ops
+  * that run at scan speed.
+  *
+  * The harness has no real media files, so the payload is derived
+  * deterministically (UTF-8 bytes of `documents.text` — both engines
+  * produce identical BLOBs), and the "decode" is a clearly-marked STUB
+  * (md5-derived integers standing in for pixel/sample features). What
+  * is REAL and verified is the Spark-side plumbing a 100 TB media
+  * pipeline needs:
+  *
+  *  - q36 metadata extraction: byte length, content digest, and a
+  *    digest-routed media_type/width/height — pure codegen'd
+  *    expressions over the binary column, mirrored in DuckDB.
+  *  - q37 feature extraction: fixed-width integer feature vector per
+  *    payload. Expression form feeds the oracle; the SAME kernel runs
+  *    through the [[MediaPipeline]] `mapPartitions` seam where a real
+  *    decoder (JNI codec, ONNX session) would sit, and a test pins
+  *    mapPartitions ≡ expression.
+  *  - q38 frame sampling: N equal byte-range "frames" per payload with
+  *    per-frame digests — the substring-on-binary slice pattern used
+  *    for video keyframe / audio window sampling.
+  *
+  * Everything is per-row and shuffle-free except the presentation
+  * ORDER BY; binary payloads never fan out through a join.
+  */
+object MultiModal {
+
+  val FeatureDim = 8
+  val NFrames = 4
+
+  /** doc_id + opaque binary payload (deterministic stand-in media). */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  private def digest(payload: Column): Column = md5(payload)
+
+  /** Digest-routed fake metadata — deterministic, engine-identical. */
+  private def hex32(c: Column, from: Int, len: Int): Column =
+    conv(substring(c, from, len), 16, 10).cast("long")
+
+  def mmMetadata(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), col("payload"), digest(col("payload")).as("dg"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("dg").as("content_md5"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (hex32(col("dg"), 1, 4) % 3 + 1).cast("int")).as("media_type"),
+        (hex32(col("dg"), 5, 4) % 1920 + 1).as("width"),
+        (hex32(col("dg"), 9, 4) % 1080 + 1).as("height"))
+      .orderBy("doc_id")
+
+  /** The stub feature kernel as a codegen'd expression:
+    * f(i) = hash32(md5hex ∥ "_" ∥ i) mod 1000, i < FeatureDim. */
+  def featureExpr(payload: Column): Column = {
+    val dg = digest(payload)
+    transform(sequence(lit(0), lit(FeatureDim - 1)),
+      i => TextAnalysis.wordHash(concat(dg, lit("_"), i.cast("string"))) % 1000)
+  }
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), featureExpr(col("payload")).as("features"))
+      .select(col("doc_id") +: (0 until FeatureDim).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i")): _*)
+      .orderBy("doc_id")
+
+  /** q38: split the payload into NFrames equal byte ranges (remainder
+    * bytes drop, like fixed-stride frame sampling) and digest each. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), col("payload"),
+        expr(s"CAST(length(payload) AS BIGINT) DIV $NFrames").as("flen"))
+      .filter(col("flen") >= 1)
+      .select(col("doc_id"), col("payload"), col("flen"),
+        explode(sequence(lit(0), lit(NFrames - 1))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("flen"),
+        md5(col("payload").substr(
+          (col("frame_idx") * col("flen") + 1).cast("int"),
+          col("flen").cast("int"))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_mm_metadata" -> (mmMetadata _),
+    "q37_mm_features" -> (mmFeatures _),
+    "q38_mm_frames" -> (mmFrames _)
+  )
+
+  private def h32sql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+
+  /** The oracle mirrors payload bytes through VARCHAR: this DuckDB
+    * build has no md5/substring over BLOB, and the synthetic text is
+    * pure ASCII, where md5(varchar) hashes the same UTF-8 bytes and
+    * character offsets equal byte offsets. (The Spark side stays truly
+    * binary.) */
+  val oracles: Map[String, String] = Map(
+    "q36_mm_metadata" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS dg FROM documents)
+         |SELECT doc_id,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  dg AS content_md5,
+         |  (['image', 'audio', 'video'])[CAST(CAST(concat('0x', substr(dg, 1, 4)) AS BIGINT) % 3 + 1 AS INT)] AS media_type,
+         |  CAST(concat('0x', substr(dg, 5, 4)) AS BIGINT) % 1920 + 1 AS width,
+         |  CAST(concat('0x', substr(dg, 9, 4)) AS BIGINT) % 1080 + 1 AS height
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q37_mm_features" -> {
+      val cols = (0 until FeatureDim).map(i =>
+        s"${h32sql(s"concat(dg, '_', $i)")} % 1000 AS f$i").mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents)
+         |SELECT doc_id,
+         |  $cols
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "q38_mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, text,
+         |    CAST(strlen(text) // $NFrames AS BIGINT) AS flen FROM documents),
+         |f AS (SELECT doc_id, text, flen,
+         |    unnest(generate_series(0, ${NFrames - 1})) AS frame_idx
+         |    FROM m WHERE flen >= 1)
+         |SELECT doc_id, frame_idx, flen,
+         |  md5(substring(text, CAST(frame_idx * flen + 1 AS INT), CAST(flen AS INT))) AS frame_md5
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
