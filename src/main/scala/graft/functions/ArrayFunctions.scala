@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{GraftBridge, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{GraftBridge, HyperplaneBuckets, SimHash60, SortedIntersectCount}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -18,4 +18,16 @@ object ArrayFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** 60-bit SimHash of pre-hashed words (`array<long>`) — one pass,
+    * one scratch array per row (the HOF fold allocates per word). */
+  def simhash60(hashes: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(hashes)))
+
+  /** Per-table random-hyperplane LSH bucket ids for a quantized vector
+    * (`array<long>`), planes baked in as codegen constants. */
+  def hyperplaneBuckets(q: Column, planes: Array[Long], tables: Int,
+      planesPerTable: Int, dim: Int): Column =
+    GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(q),
+      planes, tables, planesPerTable, dim))
 }

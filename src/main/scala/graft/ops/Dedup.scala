@@ -197,21 +197,16 @@ object Dedup {
   /** One aggregate pass: hash each word once, fold a 60-slot vote array,
     * then collapse votes to bits. (Naive per-bit aggregates would hash
     * every word 60× — 60 md5 scans per document.) */
-  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
-    val masks = array((0 until SimBits).map(p => lit(1L << p)): _*)
+  /** One projection to the hashed-word array, then the native
+    * [[graft.functions.ArrayFunctions.simhash60]] kernel (the
+    * higher-order-function fold allocated a 60-slot array per WORD —
+    * measured ~3 s at sf0.1 vs sub-second for the one-pass kernel). */
+  private def simhashCore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         transform(wordsCol(col("text")), w => hash60(w)).as("hs"))
       .select(col("doc_id"),
-        aggregate(col("hs"), array_repeat(lit(0L), SimBits),
-          (acc, h) => zip_with(acc, masks, (cnt, m) =>
-            cnt + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
-          .as("votes"))
-      .select(col("doc_id"),
-        aggregate(
-          zip_with(col("votes"), masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-          lit(0L), (a, x) => a + x).as("simhash"))
-  }
+        ArrayFunctions.simhash60(col("hs")).as("simhash"))
 
   def simhashDocs(s: SparkSession, dir: String): DataFrame =
     simhashCore(s, dir).orderBy("doc_id")

@@ -59,9 +59,6 @@ object Similarity {
   def planeComp(t: Int, p: Int, j: Int): Long =
     ((1000003L * t + 7919L * p + 104729L * j + 12345L) * 2654435761L) % 2001L - 1000L
 
-  private def planeLits(t: Int, p: Int, dim: Int = 64): Column =
-    array((0 until dim).map(j => lit(planeComp(t, p, j))): _*)
-
   // ---------- shared kernels ----------
 
   /** vec_id, q (quantized components), n2 (exact squared norm > 0). */
@@ -150,21 +147,22 @@ object Similarity {
 
   // ---------- q35: hyperplane-LSH near-dup pairs ----------
 
-  /** (table, bucket) sign-bit bucket key per LSH table; non-nullable by
-    * construction (when/otherwise over non-null sums). */
-  private def bucketKey(t: Int): Column =
-    (0 until LshPlanes).map { p =>
-      when(dot(col("q"), planeLits(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Flattened constant plane matrix for the native bucket kernel. */
+  private lazy val planeMatrix: Array[Long] =
+    (0 until LshTables).flatMap(t => (0 until LshPlanes).flatMap(p =>
+      (0 until 64).map(j => planeComp(t, p, j)))).toArray
 
   def embNearDup(s: SparkSession, dir: String): DataFrame = {
     val v = quantized(s, dir)
-    val bandStructs = (0 until LshTables).map(t =>
-      struct(lit(t).as("tbl"), bucketKey(t).as("bucket")))
-    // Narrow band rows — arrays never enter the candidate shuffle.
+    // All 36 sign-bit dot products in one native pass per row (the
+    // HOF form allocates a zipped array per plane per row); posexplode
+    // gives (table id, bucket id). Narrow band rows — arrays never
+    // enter the candidate shuffle.
     val bands = v
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.ArrayFunctions.hyperplaneBuckets(
+          col("q"), planeMatrix, LshTables, LshPlanes, 64)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     val cand = bands.as("x").join(bands.as("y"), Seq("tbl", "bucket"))
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

@@ -1,0 +1,90 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType}
+
+/** Random-hyperplane LSH bucket ids for a quantized vector: for each of
+  * `tables` hash tables, the sign bits of `planesPerTable` integer
+  * hyperplane dot products packed into one bucket id. Returns
+  * `array<int>` of length `tables` (index = table id).
+  *
+  * `planes` is the flattened constant matrix
+  * `[table][plane][dim] → planes(((t*planesPerTable)+p)*dim + j)`,
+  * baked in as a codegen reference object — the higher-order-function
+  * form re-allocates a zipped array per plane per row (36× per row at
+  * the q35 defaults). One pass, no per-row allocation beyond the
+  * result.
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    planes: Array[Long],
+    tables: Int,
+    planesPerTable: Int,
+    dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.length == tables * planesPerTable * dim,
+    s"planes length ${planes.length} != $tables*$planesPerTable*$dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerTable) {
+        val base = ((t * planesPerTable) + p) * dim
+        var dot = 0L
+        var j = 0
+        while (j < n) {
+          dot += v.getLong(j) * planes(base + j)
+          j += 1
+        }
+        if (dot >= 0L) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $dim);
+         |final int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $planesPerTable; $p++) {
+         |    final int $base = (($t * $planesPerTable) + $p) * $dim;
+         |    long $dot = 0L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $dot += $a.getLong($j) * $planesRef[$base + $j];
+         |    }
+         |    if ($dot >= 0L) $bucket |= (1 << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_buckets"
+}
