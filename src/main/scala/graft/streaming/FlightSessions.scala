@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operator: per-aircraft flight
+  * sessionization over the cleaned state stream —
+  * `KeyValueGroupedDataset.flatMapGroupsWithState`, the §2.8 "stateful
+  * ops" surface.
+  *
+  * A session is a maximal run of state vectors for one `icao24` with
+  * no gap exceeding `gapMinutes` between consecutive event times. A
+  * session closes two ways:
+  *   - by data: a later record for the same key arrives beyond the gap
+  *     (emitted immediately in that micro-batch), or
+  *   - by timeout: the event-time watermark passes `end + gap`
+  *     (EventTimeTimeout), covering keys that simply stop reporting.
+  *
+  * Scale shape: state is O(1) per active key (start/end/count of the
+  * OPEN session only — never buffered rows), keys shard across
+  * executors by groupByKey hash, and the within-batch sort is over one
+  * key's batch slice, not the partition. This is the pattern for any
+  * "session with custom close rule" Spark's built-in
+  * `session_window` can't express (e.g. emit-on-close with counts).
+  */
+object FlightSessions {
+
+  final case class StateRow(icao24: String, ts: Timestamp)
+  final case class OpenSession(start: Timestamp, end: Timestamp, n: Long)
+  final case class FlightSession(icao24: String, session_start: Timestamp,
+      session_end: Timestamp, n_states: Long)
+
+  def sessionsStream(clean: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[FlightSession] = {
+    val s = clean.sparkSession
+    import s.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(key: String, rows: Iterator[StateRow],
+        state: GroupState[OpenSession]): Iterator[FlightSession] = {
+      val out = Seq.newBuilder[FlightSession]
+      if (state.hasTimedOut) {
+        state.getOption.foreach(o =>
+          out += FlightSession(key, o.start, o.end, o.n))
+        state.remove()
+      } else {
+        // micro-batch slice for this key, event-time order
+        val sorted = rows.toArray.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        sorted.foreach { r =>
+          cur match {
+            case Some(o) if r.ts.getTime - o.end.getTime > gapMs =>
+              out += FlightSession(key, o.start, o.end, o.n)
+              cur = Some(OpenSession(r.ts, r.ts, 1L))
+            case Some(o) =>
+              cur = Some(OpenSession(o.start,
+                if (r.ts.getTime > o.end.getTime) r.ts else o.end, o.n + 1L))
+            case None =>
+              cur = Some(OpenSession(r.ts, r.ts, 1L))
+          }
+        }
+        cur.foreach { o =>
+          state.update(o)
+          state.setTimeoutTimestamp(o.end.getTime + gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    clean
+      .filter(col("icao24").isNotNull && col("time_position").isNotNull)
+      .select(col("icao24"), col("time_position").as("ts"))
+      .as[StateRow]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.icao24)
+      .flatMapGroupsWithState[OpenSession, FlightSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Batch mirror (lag → gap flag → cumulative session id → group):
+    * the sessions the stream emits must be exactly a subset of these,
+    * and every data-closed session must appear. */
+  def sessionsBatch(clean: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byKey = Window.partitionBy("icao24").orderBy("ts")
+    clean
+      .filter(col("icao24").isNotNull && col("time_position").isNotNull)
+      .select(col("icao24"), col("time_position").as("ts"))
+      .withColumn("prev", lag("ts", 1).over(byKey))
+      .withColumn("new_s",
+        (col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > gapMinutes * 60L)
+          .cast("int"))
+      .withColumn("sid", sum("new_s").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("icao24", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_states"))
+      .select("icao24", "session_start", "session_end", "n_states")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.etl.FlightStates
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stateful sessionization: streaming flatMapGroupsWithState vs the
+  * batch window-function mirror over the same fixture data. */
+class FlightSessionsSpec extends SparkTestBase {
+
+  private lazy val cleanDir: String = {
+    val d = tmpDir("sess-clean")
+    FlightStates.cleanFromDir(spark, fixturesDir).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streamed sessions ⊆ batch mirror; every data-closed session emits") {
+    val clean = spark.read.parquet(cleanDir)
+    val stream = spark.readStream.schema(clean.schema).parquet(cleanDir)
+    val q = FlightSessions.sessionsStream(stream).toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sessions_stream")
+    val batch = FlightSessions.sessionsBatch(clean)
+    val key = Seq("icao24", "session_start", "session_end", "n_states")
+
+    assert(streamed.count() > 0)
+    // soundness: nothing streamed that the batch mirror doesn't have
+    assert(streamed.join(batch, key, "left_anti").count() === 0,
+      "streaming emitted a session the batch mirror does not contain")
+    // completeness for data-closed sessions: any batch session that is
+    // FOLLOWED by another session of the same aircraft was closed by
+    // data and must have been emitted in-batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("icao24").orderBy("session_start")
+    val dataClosed = batch
+      .withColumn("nxt", lead("session_start", 1).over(w))
+      .filter(col("nxt").isNotNull).drop("nxt")
+    assert(dataClosed.join(streamed, key, "left_anti").count() === 0,
+      "a data-closed session was not emitted by the stream")
+  }
+
+  test("multi-session aircraft split exactly at the gap threshold") {
+    val clean = spark.read.parquet(cleanDir)
+    val batch = FlightSessions.sessionsBatch(clean).collect()
+    // fixtures span 2025-11-06..24 with per-day captures: every aircraft
+    // seen on two different days must produce >= 2 sessions
+    val multiDay = clean.filter(col("icao24").isNotNull && col("time_position").isNotNull)
+      .select(col("icao24"), to_date(col("time_position")).as("d"))
+      .distinct().groupBy("icao24").count().filter(col("count") > 1)
+      .select("icao24").collect().map(_.getString(0)).toSet
+    val sessionsPerKey = batch.groupBy(_.getString(0)).view.mapValues(_.length)
+    multiDay.foreach(k => assert(sessionsPerKey(k) >= 2,
+      s"aircraft $k seen on multiple days must have >= 2 sessions"))
+    // and no session may internally contain a gap: n_states >= 1 and
+    // duration bounded by (n_states - 1) * gap
+    batch.foreach { r =>
+      val dur = r.getTimestamp(2).getTime - r.getTimestamp(1).getTime
+      assert(dur <= (r.getLong(3) - 1) * 30 * 60000L)
+    }
+  }
+}
