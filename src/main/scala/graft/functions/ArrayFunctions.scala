@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{GraftBridge, HyperplaneBuckets, SimHash60, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{DotProductLong, GraftBridge, HyperplaneBuckets, SimHash60, SortedIntersectCount}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -23,6 +23,13 @@ object ArrayFunctions {
     * one scratch array per row (the HOF fold allocates per word). */
   def simhash60(hashes: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(hashes)))
+
+  /** Exact integer dot product of two `array<long>` columns — one
+    * fused codegen'd loop (the zip_with/aggregate form allocates the
+    * zipped array per row). */
+  def dotProductLong(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Per-table random-hyperplane LSH bucket ids for a quantized vector
     * (`array<long>`), planes baked in as codegen constants. */

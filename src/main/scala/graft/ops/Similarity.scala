@@ -68,11 +68,11 @@ object Similarity {
         transform(col("embedding"),
           x => round(x.cast("double") * QScale).cast("long")).as("q"))
       .select(col("vec_id"), col("q"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+        graft.functions.ArrayFunctions.dotProductLong(col("q"), col("q")).as("n2"))
       .filter(col("n2") > 0)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.ArrayFunctions.dotProductLong(a, b)
 
   /** round(1e6·dot / sqrt(n2a·n2b)) — IEEE-deterministic on exact ints. */
   private def cosMicro(d: Column, n2a: Column, n2b: Column): Column =
