@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{DotProductLong, GraftBridge, HyperplaneBuckets, SimHash60, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -23,6 +23,12 @@ object ArrayFunctions {
     * one scratch array per row (the HOF fold allocates per word). */
   def simhash60(hashes: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(hashes)))
+
+  /** First 8 or 15 hex digits of md5 as unsigned BIGINT — equal to
+    * `conv(substring(md5(x), 1, n), 16, 10)` without the hex-string /
+    * substring / radix-parse allocations per evaluation. */
+  def md5Prefix(s: Column, hexDigits: Int): Column =
+    GraftBridge.column(Md5PrefixLong(GraftBridge.expression(s), hexDigits))
 
   /** Exact integer dot product of two `array<long>` columns — one
     * fused codegen'd loop (the zip_with/aggregate form allocates the

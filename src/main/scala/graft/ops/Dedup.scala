@@ -101,7 +101,7 @@ object Dedup {
 
   /** 60-bit md5-prefix hash (15 hex digits < 2^60). */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    ArrayFunctions.md5Prefix(c, 15)
 
   /** Distinct ASCENDING-sorted 31-bit hash set of a string array —
     * compact verify unit, sorted so intersection is a linear merge. */

@@ -93,7 +93,7 @@ object TextAnalysis {
     * differential harness, and the same structure works with any
     * per-engine hash in production. */
   def wordHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.ArrayFunctions.md5Prefix(c, 8)
 
   private val FpMod = 1000000007L
   private val HashMod = 1000003L
