@@ -156,12 +156,17 @@ object Dedup {
         .reduce(_ + _)
       struct(lit(b).as("band"), nn(key).as("key"))
     }
-    // Narrow band rows: (doc_id, band, key) — no arrays in this shuffle,
-    // and the x/y sides are identical subplans (one ReusedExchange).
+    // Narrow band rows: (doc_id, band, key) — no arrays in this
+    // shuffle. shuffle_hash pinned on the self-join: both sides of an
+    // LSH self-join scale with N (broadcast is wrong at 100 TB), and
+    // the identical shuffle exchanges collapse into ONE via
+    // ReusedExchange — AQE's broadcast conversion would compute the
+    // signature pipeline twice.
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+    val cand = bands.hint("shuffle_hash").as("x")
+      .join(bands.hint("shuffle_hash").as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -224,7 +229,8 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+    bands.hint("shuffle_hash").as("x")
+      .join(bands.hint("shuffle_hash").as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
@@ -247,10 +253,11 @@ object Dedup {
       .select(col("doc_id"), col("hg"), size(col("hg")).cast("long").as("n"),
         nn(array_min(transform(col("hg"), x => (lit(a1) * x + lit(b1)) % P))).as("anchor1"),
         nn(array_min(transform(col("hg"), x => (lit(a2) * x + lit(b2)) % P))).as("anchor2"))
-    // Self-join (ReusedExchange); the size-ratio prefilter sits in the
-    // join condition so non-candidates are dropped at probe time,
-    // before any wide row reaches the intersect.
-    an.as("x").join(an.as("y"),
+    // Self-join (shuffle_hash → one ReusedExchange, see minhashPairs);
+    // the size-ratio prefilter sits in the join condition so
+    // non-candidates are dropped at probe time, before any wide row
+    // reaches the intersect.
+    an.hint("shuffle_hash").as("x").join(an.hint("shuffle_hash").as("y"),
         col("x.anchor1") === col("y.anchor1") &&
         col("x.anchor2") === col("y.anchor2") &&
         col("x.doc_id") < col("y.doc_id") &&

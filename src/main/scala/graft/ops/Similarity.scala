@@ -163,7 +163,8 @@ object Similarity {
         posexplode(graft.functions.ArrayFunctions.hyperplaneBuckets(
           col("q"), planeMatrix, LshTables, LshPlanes, 64)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("tbl", "bucket"))
+    val cand = bands.hint("shuffle_hash").as("x")
+      .join(bands.hint("shuffle_hash").as("y"), Seq("tbl", "bucket"))
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
