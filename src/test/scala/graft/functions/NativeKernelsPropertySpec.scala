@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: every native graftbridge kernel must agree with the
+  * builtin Spark formulation it replaced, over ScalaCheck-generated
+  * inputs evaluated in one DataFrame pass (deterministic seed — the
+  * suite never flakes; bump the seed to widen the search). */
+class NativeKernelsPropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.choose(0, 24)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ',', '"', 'é', '中', '\t')))
+  } yield cs.mkString
+
+  test("Md5PrefixLong == conv(substring(md5(x),1,n),16,10) for widths 8 and 15") {
+    val df = sample(wordGen, 400, 1L).toDF("s")
+    val mism = df.select(
+        ArrayFunctions.md5Prefix(col("s"), 8).as("n8"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("b8"),
+        ArrayFunctions.md5Prefix(col("s"), 15).as("n15"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("b15"))
+      .filter(col("n8") =!= col("b8") || col("n15") =!= col("b15"))
+    assert(mism.count() === 0)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct sets") {
+    val setGen = Gen.listOf(Gen.choose(0, 400)).map(_.distinct.sorted)
+    val rows = sample(Gen.zip(setGen, setGen), 300, 2L)
+    val df = rows.toDF("a", "b")
+    val mism = df.select(
+        ArrayFunctions.sortedIntersectCount(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("bi"))
+      .filter(col("n") =!= col("bi"))
+    assert(mism.count() === 0)
+  }
+
+  test("DotProductLong == aggregate(zip_with(a,b,*)) on bounded vectors") {
+    val vecGen = Gen.listOfN(64, Gen.choose(-4000L, 4000L))
+    val df = sample(Gen.zip(vecGen, vecGen), 200, 3L).toDF("a", "b")
+    val mism = df.select(
+        ArrayFunctions.dotProductLong(col("a"), col("b")).as("n"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("bi"))
+      .filter(col("n") =!= col("bi"))
+    assert(mism.count() === 0)
+  }
+
+  test("SimHash60 == the higher-order-function vote fold") {
+    val hashGen = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
+    val df = sample(hashGen, 250, 4L).toDF("hs")
+    val masks = array((0 until 60).map(p => lit(1L << p)): _*)
+    val hof = aggregate(
+      zip_with(
+        aggregate(col("hs"), array_repeat(lit(0L), 60),
+          (acc, h) => zip_with(acc, masks, (cnt, m) =>
+            cnt + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L)))),
+        masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    val mism = df.select(ArrayFunctions.simhash60(col("hs")).as("n"), hof.as("bi"))
+      .filter(col("n") =!= col("bi"))
+    assert(mism.count() === 0)
+  }
+
+  test("HyperplaneBuckets == per-plane sign-bit sums") {
+    val tables = 3; val planes = 4; val dim = 16
+    val mat = (0 until tables * planes * dim)
+      .map(i => ((i * 2654435761L) % 401L) - 200L).toArray
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1000L, 1000L))
+    val df = sample(vecGen, 200, 5L).toDF("q")
+    val hof = array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val plane = array((0 until dim).map(j =>
+          lit(mat(((t * planes) + p) * dim + j))): _*)
+        when(aggregate(zip_with(col("q"), plane, (x, w) => x * w),
+          lit(0L), (a, v) => a + v) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val mism = df.select(
+        ArrayFunctions.hyperplaneBuckets(col("q"), mat, tables, planes, dim).as("n"),
+        hof.as("bi"))
+      .filter(to_json(col("n")) =!= to_json(col("bi")))
+    assert(mism.count() === 0)
+  }
+
+  test("ledger round-trips arbitrary printable file names and messages") {
+    import graft.etl.{FileStatus, JsonlControlStore}
+    val nameGen = wordGen.map(s => "states_" + s + ".csv")
+    val names = sample(nameGen, 60, 6L).distinct
+    val msgs = sample(wordGen, 60, 7L)
+    val store = new JsonlControlStore(
+      java.nio.file.Files.createTempDirectory("prop").resolve("l.jsonl").toString)
+    store.register(names)
+    names.zip(msgs).foreach { case (n, m) =>
+      store.update(n, FileStatus.Failed, error = Some(m))
+    }
+    val all = store.all()
+    names.zip(msgs).foreach { case (n, m) =>
+      assert(all(n).fileName === n)
+      assert(all(n).errorMessage === Some(m.take(500)))
+    }
+  }
+}
