@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.FlightQueries.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ ops.MultiModal.queries ++ ops.Sketches.queries
+      ops.Similarity.queries ++ ops.MultiModal.queries ++
+      ops.Sketches.queries ++ ops.RangeJoin.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
       ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++
-      ops.Similarity.oracles ++ ops.MultiModal.oracles ++ ops.Sketches.oracles
+      ops.Similarity.oracles ++ ops.MultiModal.oracles ++
+      ops.Sketches.oracles ++ ops.RangeJoin.oracles
 }
