@@ -177,10 +177,25 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------- q42: embedding-cosine near-dedup of documents ----------
+
+  /** The dedup-family use of q35: `doc_id` and `vec_id` share an id
+    * space; drop every document whose embedding is the LARGER side of
+    * a verified cosine near-dup pair (keep-min rule, same anti-join
+    * shape as Dedup.nearDedup). Documents without an embedding always
+    * survive — the pairs can only name ids that have vectors. */
+  def embNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val drop = embNearDup(s, dir).select(col("vec_b").as("doc_id")).distinct()
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_ann_bruteforce" -> (annBruteForce _),
     "q34_ann_ivf" -> (annIvf _),
-    "q35_emb_neardup" -> (embNearDup _)
+    "q35_emb_neardup" -> (embNearDup _),
+    "q42_emb_near_dedup" -> (embNearDedup _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -241,22 +256,31 @@ object Similarity {
          |   FROM c)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
          |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
-    "q35_emb_neardup" -> {
-      val bandSelects = (0 until LshTables).map(t =>
-        s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM nv").mkString("\nUNION ALL\n")
-      s"""WITH $qCte,
-         |b AS (
-         |$bandSelects
-         |),
-         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |   FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |   AND x.vec_id < y.vec_id),
-         |v AS (SELECT vec_a, vec_b,
-         |   ${cosSql(dotSql("va.q", "vb.q"), "va.n2", "vb.n2")} AS cos_micro
-         |   FROM cand JOIN nv va ON va.vec_id = cand.vec_a
-         |             JOIN nv vb ON vb.vec_id = cand.vec_b)
+    "q35_emb_neardup" ->
+      s"""$nearDupCtes
          |SELECT vec_a, vec_b, cos_micro FROM v
-         |WHERE cos_micro >= $NearDupMicroMin ORDER BY vec_a, vec_b""".stripMargin
-    }
+         |WHERE cos_micro >= $NearDupMicroMin ORDER BY vec_a, vec_b""".stripMargin,
+    "q42_emb_near_dedup" ->
+      s"""$nearDupCtes
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT vec_b FROM v WHERE cos_micro >= $NearDupMicroMin)
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared LSH-candidate + verify CTEs for q35/q42. */
+  private lazy val nearDupCtes: String = {
+    val bandSelects = (0 until LshTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM nv").mkString("\nUNION ALL\n")
+    s"""WITH $qCte,
+       |b AS (
+       |$bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |   FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |   AND x.vec_id < y.vec_id),
+       |v AS (SELECT vec_a, vec_b,
+       |   ${cosSql(dotSql("va.q", "vb.q"), "va.n2", "vb.n2")} AS cos_micro
+       |   FROM cand JOIN nv va ON va.vec_id = cand.vec_a
+       |             JOIN nv vb ON vb.vec_id = cand.vec_b)""".stripMargin
+  }
 }
