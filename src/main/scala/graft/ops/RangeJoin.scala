@@ -53,8 +53,34 @@ object RangeJoin {
       .orderBy("view_id")
   }
 
+  /** q43: the NATURAL spelling of an interval theta-join — per-view
+    * platform-wide purchase counts inside (view_ts, view_ts + 30 min],
+    * written with no manual binning and no equi key at all. As written
+    * Spark can only nested-loop this (O(views × purchases));
+    * `graft.plans.BinnedRangeJoinRule` — installed in the Verify/Bench
+    * sessions via `spark.sql.extensions=graft.plans.GraftExtensions` —
+    * rewrites it to the binned hash join automatically, so this query
+    * proves the optimizer rule itself against the DuckDB oracle (the
+    * oracle states the direct unbinned theta-join). Without the rule
+    * installed the results are identical, just O(N·M) slower. */
+  def attributionNatural(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+    views
+      .join(purchases, col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr(s"INTERVAL $WindowMinutes MINUTES"))
+      .groupBy(col("view_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("purchase_id")).as("first_purchase_id"))
+      .orderBy("view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q41_range_join_attribution" -> (attribution _)
+    "q41_range_join_attribution" -> (attribution _),
+    "q43_range_join_natural" -> (attributionNatural _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,6 +93,15 @@ object RangeJoin {
          |  AND v.event_type = 'view' AND p.event_type = 'purchase'
          |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL $WindowMinutes MINUTE
          |GROUP BY v.event_id, v.user_id
+         |ORDER BY view_id""".stripMargin,
+    "q43_range_join_natural" ->
+      s"""SELECT v.event_id AS view_id,
+         |  count(*) AS n_purchases,
+         |  min(p.event_id) AS first_purchase_id
+         |FROM events v JOIN events p
+         |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+         |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL $WindowMinutes MINUTE
+         |GROUP BY v.event_id
          |ORDER BY view_id""".stripMargin
   )
 }

@@ -33,15 +33,24 @@ object Sketches {
       .orderBy("nationkey")
 
   /** q40: order-price quantiles per status — GK sketch at accuracy
-    * 10000 beside the exact interpolated percentile. */
+    * 10000 beside the exact interpolated percentile. Output is four
+    * scalar DOUBLE columns (not arrays): the driver's rows-only check
+    * sorts the parquet in pandas, and array cells are unhashable there. */
   def quantileSketch(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus").as("orderstatus"))
       .agg(
         percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("approx_p50_p95"),
-        expr("percentile(o_totalprice, array(0.5, 0.95))").as("exact_p50_p95"),
+          lit(10000)).as("ap"),
+        expr("percentile(o_totalprice, array(0.5, 0.95))").as("ep"),
         count(lit(1)).as("n_orders"))
+      .select(
+        col("orderstatus"),
+        col("ap").getItem(0).as("approx_p50"),
+        col("ap").getItem(1).as("approx_p95"),
+        col("ep").getItem(0).as("exact_p50"),
+        col("ep").getItem(1).as("exact_p95"),
+        col("n_orders"))
       .orderBy("orderstatus")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 
@@ -12,28 +12,33 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * Users write the natural predicate
   * {{{ r.ts > l.ts && r.ts <= l.ts + INTERVAL w }}}
   * — without an accompanying equality Spark can only plan that as a
-  * nested-loop join (O(N·M)); with one, every hot key still explodes
-  * quadratically inside its task. This rule adds the lossless bin
-  * equality: with bins exactly `w` wide, any qualifying pair has
-  * `bin(r.ts) ∈ {bin(l.ts), bin(l.ts)+1}`, and the two cases are
-  * disjoint, so
-  * {{{ J(cond)  ≡  J(cond && binR = binL)  ∪ALL  J(cond && binR = binL+1) }}}
-  * Each branch now carries an extractable equi-key
-  * (`unix_micros(ts) div w`) and plans as a hash/sort-merge join; the
-  * original predicate stays in place as the exact refinement. Same
-  * candidates-then-verify shape as graft's LSH family — this rule just
-  * derives it automatically from the natural query. (The Generate/
-  * explode form of the rewrite reads each side once instead of twice;
-  * the union form is chosen for robustness — no new attributes, no
-  * generator resolution.)
+  * nested-loop join (O(N·M)), a scale killer. This rule derives the
+  * lossless bin equality: with bins exactly `w` wide, any qualifying
+  * pair has `bin(r.ts) ∈ {bin(l.ts), bin(l.ts)+1}`, so fanning the
+  * `l.ts` side out to those two bins (a Generate/explode — each input
+  * is still scanned ONCE) and equating `bin(r.ts)` with the fanned-out
+  * bin turns the join into a plain hash-shuffle equi-join; the original
+  * interval predicate stays in place as the exact refinement. The two
+  * bins are always distinct, so each qualifying pair matches exactly
+  * one fanned row — no duplicates, no Union (the earlier union-of-two-
+  * joins form scanned both inputs twice and reused child ExprIds across
+  * sibling branches, violating Catalyst's unique-attribute invariant).
+  * Same candidates-then-verify shape as graft's LSH family — this rule
+  * just derives it automatically from the natural query.
   *
-  * Fires only on: INNER join, condition containing exactly the
-  * lower+upper timestamp pattern on `AttributeReference`s from
-  * opposite sides, a positive literal day-time interval width, and no
-  * bin equality already present (idempotence guard).
+  * Fires only on: INNER join whose condition has NO extractable
+  * equi-join key (if one exists Spark already hash-joins; adding a bin
+  * key would only fan out rows — and this guard is also what makes the
+  * rule idempotent, since the rewritten join carries the bin equality),
+  * containing exactly the lower+upper timestamp pattern on
+  * `AttributeReference`s from opposite sides with a positive literal
+  * day-time interval width.
   *
   * Wire up per session via `spark.experimental.extraOptimizations` or
-  * globally with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * globally with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (the Verify/Bench harness sessions do the latter, so q43 — the
+  * natural spelling of q41's interval join — exercises this rule under
+  * the DuckDB oracle).
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 
@@ -66,18 +71,26 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
   private def bin(ts: Expression, widthUs: Long): Expression =
     IntegralDivide(UnixMicros(ts), Literal(widthUs, LongType))
 
-  private def alreadyBinned(cond: Expression): Boolean =
-    cond.exists {
-      case EqualTo(l, _) => unwrapCast(l) match {
-        case d: IntegralDivide => d.left.isInstanceOf[UnixMicros]
-        case _ => false
-      }
+  /** True when `a = b` (or `<=>`) splits cleanly across the two join
+    * sides — i.e. Spark can already extract it as a hash-join key. */
+  private def isEquiKey(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def across(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) ||
+         (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet)))
+    e match {
+      case EqualTo(a, b) => across(a, b)
+      case EqualNullSafe(a, b) => across(a, b)
       case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !alreadyBinned(cond) =>
+        if !conjuncts(cond).exists(isEquiKey(_, left, right)) =>
       val cs = conjuncts(cond)
       // lower bound: rt > lt (either spelling)
       val lowers = cs.collect {
@@ -103,11 +116,21 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       }
       matched match {
         case Some((lt, rt, w)) =>
-          val binEq0 = EqualTo(bin(rt, w), bin(lt, w))
-          val binEq1 = EqualTo(bin(rt, w), Add(bin(lt, w), Literal(1L, LongType)))
-          Union(
-            Join(left, right, Inner, Some(And(cond, binEq0)), hint),
-            Join(left, right, Inner, Some(And(cond, binEq1)), hint))
+          // Fan the lt side out to its window's ≤2 bins; a null ts bins
+          // to null, which the equality (and the interval predicate)
+          // already rejects.
+          val binOut = AttributeReference("_graft_bin", LongType)()
+          val bins = CreateArray(Seq(
+            bin(lt, w), Add(bin(lt, w), Literal(1L, LongType))))
+          def fanOut(side: LogicalPlan): LogicalPlan =
+            Generate(Explode(bins), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(binOut), child = side)
+          val (newLeft, newRight) =
+            if (left.outputSet.contains(lt)) (fanOut(left), right)
+            else (left, fanOut(right))
+          val newCond = And(cond, EqualTo(bin(rt, w), binOut))
+          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
         case None => j
       }
   }

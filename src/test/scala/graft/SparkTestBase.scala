@@ -13,6 +13,9 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every optimizer step (incl. graft's injected rules) must preserve
+    // Catalyst's plan invariants — unique ExprIds, resolved outputs
+    .config("spark.sql.planChangeValidation", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -23,8 +23,8 @@ class SketchesSpec extends SparkTestBase {
     val rows = Sketches.quantileSketch(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getSeq[Double](1)
-      val exact = r.getSeq[Double](2)
+      val approx = Seq(r.getAs[Double]("approx_p50"), r.getAs[Double]("approx_p95"))
+      val exact = Seq(r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p95"))
       // GK at accuracy 1e4 over <=15k rows per group: rank error <= 1
       // rank; translate to a loose 2% value tolerance on this data
       approx.zip(exact).foreach { case (a, e) =>

@@ -1,11 +1,16 @@
 package graft.plans
 
 import graft.{SparkTestBase, Tables}
-import org.apache.spark.sql.DataFrame
+import graft.ops.RangeJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The rule must turn a nested-loop interval join into hash joins
-  * without changing a single row. */
+/** The rule must turn a nested-loop interval join into a binned hash
+  * join without changing a single row. SparkTestBase runs with
+  * `spark.sql.planChangeValidation=true`, so every test here also
+  * asserts the rewrite preserves Catalyst's plan invariants (unique
+  * ExprIds, resolved output) — the union form this rule used to emit
+  * would trip that validation. */
 class BinnedRangeJoinRuleSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.01"
@@ -22,40 +27,91 @@ class BinnedRangeJoinRuleSpec extends SparkTestBase {
       col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
   }
 
-  test("rewrites the nested-loop interval join to unioned hash joins, losslessly") {
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations = Seq(BinnedRangeJoinRule)
+    try body finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rewrites the nested-loop interval join to a binned hash join, losslessly") {
     // control: without the rule this is a nested-loop plan
     val control = naturalJoin()
     assert(control.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
     val expected = control.collect().map(_.toSeq).toSet
 
-    spark.experimental.extraOptimizations = Seq(BinnedRangeJoinRule)
-    try {
+    withRule {
       val rewritten = naturalJoin()
       val plan = rewritten.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
         s"rule did not remove the nested loop:\n$plan")
-      assert(plan.contains("Union"))
+      // single-scan form: one Generate fan-out, no Union of two joins
+      assert(plan.contains("Generate"))
+      assert(!plan.contains("Union"))
       val got = rewritten.collect().map(_.toSeq).toSet
       assert(got === expected)
       assert(got.nonEmpty)
-    } finally {
-      spark.experimental.extraOptimizations = Nil
     }
   }
 
-  test("rule leaves non-matching joins untouched") {
-    spark.experimental.extraOptimizations = Seq(BinnedRangeJoinRule)
+  test("q43 (natural theta-join query) plans through the rule and matches q41-style grouping") {
+    withRule {
+      val df = RangeJoin.attributionNatural(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"q43 still nested-loops:\n$plan")
+      val got = df.collect()
+      assert(got.nonEmpty)
+      // spot-check semantics against the unrewritten plan
+      spark.experimental.extraOptimizations = Nil
+      val expected = RangeJoin.attributionNatural(spark, dir).collect()
+      assert(got.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("GraftExtensions injects the rule into a new session") {
+    // `spark.sql.extensions=graft.plans.GraftExtensions` is read from
+    // the SparkContext conf only at context creation, so an in-JVM test
+    // sharing the suite's context must inject through the same class
+    // via withExtensions — the string-config path is what Verify/Bench
+    // use (fresh context) and is proven end-to-end by q43's oracle row.
+    val base = spark // force the shared session/context to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
-      // plain equi join: must not be rewritten into a union
+      val s2 = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      val plan = RangeJoin.attributionNatural(s2, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"extension-installed session still nested-loops:\n$plan")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("rule leaves joins that already have an equi key untouched") {
+    withRule {
+      // plain equi join: must not be rewritten
       val n = Tables.nation(spark, dir)
       val r = Tables.region(spark, dir)
       val j = n.join(r, n("n_regionkey") === r("r_regionkey"))
-      assert(!j.queryExecution.optimizedPlan.toString.contains("Union"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Generate"))
       assert(j.count() === 25)
-    } finally {
-      spark.experimental.extraOptimizations = Nil
+      // q41's manual rewrite carries (user_id, bin) equi keys: the rule
+      // must not fan it out a second time
+      val q41 = RangeJoin.attribution(spark, dir)
+      val once = q41.queryExecution.optimizedPlan
+      assert(once.toString.split("Generate").length ===
+        2, // exactly the one explode q41 itself writes
+        s"rule double-fanned q41:\n$once")
     }
   }
 
