@@ -90,8 +90,11 @@ final class StagingPipeline(
       val loadTs = java.sql.Timestamp.from(java.time.Instant.now())
       val raw = FlightStates.withAudit(
         FlightStates.readRaw(spark, s"$rawDir/$fileName"), fileName, loadTs)
-      // K2: raw (untransformed, string-typed) + audit appended FIRST.
-      raw.write.mode("append").parquet(s"$rawSinkDir/$fileName")
+      // K2: raw (untransformed, string-typed) + audit staged FIRST.
+      // Overwrite, not append: the sink subdirectory belongs to exactly
+      // this input file, and a retry after a post-raw-write failure
+      // (see retryFailed) must replace — not duplicate — its rows.
+      raw.write.mode("overwrite").parquet(s"$rawSinkDir/$fileName")
       // T1–T4/P1–P4 → K3: clean export from the staged raw copy, one
       // output per input file; row count observed during the write.
       val obs = org.apache.spark.sql.Observation()
@@ -108,7 +111,10 @@ final class StagingPipeline(
       ledger.update(fileName, FileStatus.CleanExported, rowCount = rows)
       true
     } catch {
-      case e: Throwable =>
+      // NonFatal: a corrupt file must not take the run down (reference
+      // semantics, `load_warehouse.py:196-207`), but OOM/thread death
+      // must propagate, not masquerade as a FAILED file.
+      case scala.util.control.NonFatal(e) =>
         ledger.update(fileName, FileStatus.Failed,
           error = Some(String.valueOf(e.getMessage)))
         false

@@ -130,7 +130,10 @@ object ExtractJob {
       control.logJobEnd(logId, "COMPLETED", Some(msg), clock.instant())
       RunResult(logId, "COMPLETED", saved, rows)
     } catch {
-      case e: Throwable =>
+      // NonFatal mirrors the reference's `except Exception`
+      // (`extract_script.py`): HTTP/parse failures are recorded as a
+      // FAILED run; process-fatal throwables (OOM, interrupt) propagate.
+      case scala.util.control.NonFatal(e) =>
         control.logJobEnd(logId, "FAILED",
           Some(String.valueOf(e.getMessage)), clock.instant())
         RunResult(logId, "FAILED", None, 0L)

@@ -36,6 +36,19 @@ object ScaleJoins {
     spark.table(left).hint("merge")
       .join(spark.table(right).hint("merge"), Seq(key))
 
+  /** Deterministic content-derived salt. NOT spark_partition_id or
+    * monotonically_increasing_id: those change across task retries, and
+    * a partially recomputed shuffle map stage would then route the same
+    * row to a different reducer on re-attempt — the SPARK-23207-class
+    * lost/duplicated-row hazard, routine on large clusters. Hashing the
+    * full row content is stable under any recomputation; hot keys made
+    * of distinct rows (the normal skew case) still spread uniformly.
+    * (Only a key whose rows are byte-identical duplicates stays on one
+    * reducer — and such rows collapse under pre-aggregation anyway.) */
+  private def contentSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(saltFactor.toLong)).cast("int")
+
   /** Salted aggregation for skewed group keys: two-phase — first
     * aggregate on (key, salt) so a hot key's rows spread over
     * `saltFactor` reducers, then merge the partials per key. Correct
@@ -43,8 +56,7 @@ object ScaleJoins {
     * here: count + sum, the building blocks of mean-style stats. */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       saltFactor: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    val salted = df.withColumn("__salt", contentSalt(df, saltFactor))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
@@ -59,9 +71,7 @@ object ScaleJoins {
     * can see — this works inside any topology. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor))
-        .cast("int"))
+    val saltedBig = big.withColumn("__salt", contentSalt(big, saltFactor))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

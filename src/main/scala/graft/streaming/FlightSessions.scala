@@ -38,6 +38,12 @@ object FlightSessions {
     val s = clean.sparkSession
     import s.implicits._
     val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // FlightStates emits fractional-second (microsecond) timestamps, so
+    // the gap is compared in micros — exactly like sessionsBatch; a
+    // millis comparison would close boundary gaps (e.g. 1800000.4 ms)
+    // differently on the two paths.
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     def fn(key: String, rows: Iterator[StateRow],
         state: GroupState[OpenSession]): Iterator[FlightSession] = {
@@ -48,23 +54,26 @@ object FlightSessions {
         state.remove()
       } else {
         // micro-batch slice for this key, event-time order
-        val sorted = rows.toArray.sortBy(_.ts.getTime)
+        val sorted = rows.toArray.sortBy(r => us(r.ts))
         var cur = state.getOption
         sorted.foreach { r =>
           cur match {
-            case Some(o) if r.ts.getTime - o.end.getTime > gapMs =>
+            case Some(o) if us(r.ts) - us(o.end) > gapUs =>
               out += FlightSession(key, o.start, o.end, o.n)
               cur = Some(OpenSession(r.ts, r.ts, 1L))
             case Some(o) =>
               cur = Some(OpenSession(o.start,
-                if (r.ts.getTime > o.end.getTime) r.ts else o.end, o.n + 1L))
+                if (us(r.ts) > us(o.end)) r.ts else o.end, o.n + 1L))
             case None =>
               cur = Some(OpenSession(r.ts, r.ts, 1L))
           }
         }
         cur.foreach { o =>
           state.update(o)
-          state.setTimeoutTimestamp(o.end.getTime + gapMs)
+          // timeout API is millis; +1 ms rounds UP so the timeout can
+          // never fire before the true microsecond-precision gap expiry
+          // (firing late is safe — close-by-data still wins)
+          state.setTimeoutTimestamp(o.end.getTime + gapMs + 1L)
         }
       }
       out.result().iterator
@@ -90,8 +99,13 @@ object FlightSessions {
       .select(col("icao24"), col("time_position").as("ts"))
       .withColumn("prev", lag("ts", 1).over(byKey))
       .withColumn("new_s",
+        // gap compared in MICROseconds: FlightStates emits fractional-
+        // second timestamps, and the stream side compares millis — a
+        // whole-second cast here would truncate and close sessions the
+        // batch mirror keeps open, breaking the stream ⊆ batch invariant
         (col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") > gapMinutes * 60L)
+          unix_micros(col("ts")) - unix_micros(col("prev")) >
+            gapMinutes * 60L * 1000000L)
           .cast("int"))
       .withColumn("sid", sum("new_s").over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -82,4 +82,40 @@ class StagingPipelineSpec extends SparkTestBase {
     assert(p.retryFailed() === Seq(ghost))
     assert(ledger.newFiles() === Seq(ghost))
   }
+
+  test("retry after a post-raw-write failure does not duplicate raw or clean rows") {
+    val rawDir = tmpDir("raw")
+    val fixture = Files.list(Paths.get(fixturesDir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .minBy(_.getFileName.toString)
+    val name = fixture.getFileName.toString
+    Files.copy(fixture, Paths.get(rawDir, name))
+    val ledger = new JsonlControlStore(s"${tmpDir("ledger")}/file_log.jsonl")
+    val rawSink = tmpDir("rawsink")
+
+    // inject a failure AFTER the raw write: the clean "directory" is a
+    // plain file, so the raw parquet stages but the CSV export throws
+    val brokenCleanDir = Paths.get(tmpDir("cleanparent"), "cleanfile")
+    Files.writeString(brokenCleanDir, "not a directory")
+    val p1 = new StagingPipeline(spark, rawDir, rawSink,
+      brokenCleanDir.toString, ledger)
+    val s1 = p1.runOnce()
+    assert(s1.failed === Seq(name))
+    assert(ledger.all()(name).status === FileStatus.Failed)
+    val rawRowsAfterFailure = p1.rawStaged().count()
+    assert(rawRowsAfterFailure > 0) // raw-first: rows staged before the crash
+
+    // operator fixes the config; next tick retries: raw must be
+    // REPLACED, not appended
+    val p2 = new StagingPipeline(spark, rawDir, rawSink, tmpDir("clean"), ledger)
+    assert(p2.retryFailed() === Seq(name))
+    val s2 = p2.runOnce()
+    assert(s2.processed === Seq(name) && s2.failed.isEmpty)
+    assert(p2.rawStaged().count() === rawRowsAfterFailure,
+      "retry duplicated the raw staging rows")
+    val rec = ledger.all()(name)
+    assert(rec.status === FileStatus.CleanExported)
+    assert(rec.rowCount === p2.cleanStaged().count())
+  }
 }
