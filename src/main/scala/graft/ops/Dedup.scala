@@ -162,9 +162,11 @@ object Dedup {
     // the identical shuffle exchanges collapse into ONE via
     // ReusedExchange — AQE's broadcast conversion would compute the
     // signature pipeline twice.
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = LshSkew.capBuckets(
+      sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), "minhash")
     val cand = bands.hint("shuffle_hash").as("x")
       .join(bands.hint("shuffle_hash").as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -225,10 +227,12 @@ object Dedup {
         nn(shiftright(col("simhash"), b * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1))).as("key"))
     }
-    val bands = sim
-      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = LshSkew.capBuckets(
+      sim
+        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), "simhash")
     bands.hint("shuffle_hash").as("x")
       .join(bands.hint("shuffle_hash").as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -245,14 +249,16 @@ object Dedup {
   def anchorJaccard(s: SparkSession, dir: String): DataFrame = {
     val (a1, b1) = Perms(0)
     val (a2, b2) = Perms(1)
-    val an = Tables.documents(s, dir)
-      .select(col("doc_id"), wordsCol(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2) // cheap pre-filter, see hashedShingles
-      .select(col("doc_id"), grams2(col("ws")).as("g2"))
-      .select(col("doc_id"), hashSet(col("g2")).as("hg"))
-      .select(col("doc_id"), col("hg"), size(col("hg")).cast("long").as("n"),
-        nn(array_min(transform(col("hg"), x => (lit(a1) * x + lit(b1)) % P))).as("anchor1"),
-        nn(array_min(transform(col("hg"), x => (lit(a2) * x + lit(b2)) % P))).as("anchor2"))
+    val an = LshSkew.capBuckets(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), wordsCol(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2) // cheap pre-filter, see hashedShingles
+        .select(col("doc_id"), grams2(col("ws")).as("g2"))
+        .select(col("doc_id"), hashSet(col("g2")).as("hg"))
+        .select(col("doc_id"), col("hg"), size(col("hg")).cast("long").as("n"),
+          nn(array_min(transform(col("hg"), x => (lit(a1) * x + lit(b1)) % P))).as("anchor1"),
+          nn(array_min(transform(col("hg"), x => (lit(a2) * x + lit(b2)) % P))).as("anchor2")),
+      Seq("anchor1", "anchor2"), "anchor")
     // Self-join (shuffle_hash → one ReusedExchange, see minhashPairs);
     // the size-ratio prefilter sits in the join condition so
     // non-candidates are dropped at probe time, before any wide row

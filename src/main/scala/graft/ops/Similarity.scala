@@ -158,11 +158,13 @@ object Similarity {
     // HOF form allocates a zipped array per plane per row); posexplode
     // gives (table id, bucket id). Narrow band rows — arrays never
     // enter the candidate shuffle.
-    val bands = v
-      .select(col("vec_id"),
-        posexplode(graft.functions.ArrayFunctions.hyperplaneBuckets(
-          col("q"), planeMatrix, LshTables, LshPlanes, 64)))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val bands = LshSkew.capBuckets(
+      v
+        .select(col("vec_id"),
+          posexplode(graft.functions.ArrayFunctions.hyperplaneBuckets(
+            col("q"), planeMatrix, LshTables, LshPlanes, 64)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket")),
+      Seq("tbl", "bucket"), "hyperplane")
     val cand = bands.hint("shuffle_hash").as("x")
       .join(bands.hint("shuffle_hash").as("y"), Seq("tbl", "bucket"))
       .where(col("x.vec_id") < col("y.vec_id"))
