@@ -53,18 +53,64 @@ object ExtractTick {
 }
 
 /** One staging tick: `runMain graft.StagingTick <rawDir> <rawSink>
-  * <cleanDir> <ledgerPath>` — discover, register, process, report. */
+  * <cleanDir> <ledgerPath> [--retry-failed]` — discover, register,
+  * process, report. With `--retry-failed`, FAILED ledger entries are
+  * re-queued as NEW before the run (the operator's recovery path after
+  * fixing whatever broke; reprocessing is idempotent — the per-file raw
+  * sink is overwritten, not appended). */
 object StagingTick {
-  def main(args: Array[String]): Unit = {
-    val Array(rawDir, rawSink, cleanDir, ledgerPath) = args
-    val spark = Mains.session()
+  /** The full CLI behavior minus session lifecycle — testable. */
+  private[graft] def run(spark: SparkSession,
+      args: Array[String]): etl.StagingPipeline.RunSummary = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val Array(rawDir, rawSink, cleanDir, ledgerPath) = positional
+    flags.filterNot(_ == "--retry-failed").foreach { f =>
+      sys.error(s"unknown flag $f")
+    }
     val pipeline = new etl.StagingPipeline(spark, rawDir, rawSink, cleanDir,
       new etl.JsonlControlStore(ledgerPath))
+    if (flags.contains("--retry-failed")) {
+      val requeued = pipeline.retryFailed()
+      println(s"[staging] retry-failed requeued=${requeued.mkString(",")}")
+    }
     val s = pipeline.runOnce()
     println(s"[staging] discovered=${s.discovered} registered=${s.registered} " +
       s"processed=${s.processed.size} failed=${s.failed.mkString(",")}")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Mains.session()
+    val s = run(spark, args)
     spark.stop()
     if (s.failed.nonEmpty) sys.exit(1)
+  }
+}
+
+/** One aggregate tick (diagram stage 5): `runMain graft.AggregateTick
+  * <warehouseDir> <aggregateDir> <from> <to>` — read the warehouse over
+  * [from, to] (partition-pruned), dump the daily aggregate artifact.
+  * Idempotent per date via dynamic partition overwrite. */
+object AggregateTick {
+  def main(args: Array[String]): Unit = {
+    val Array(warehouseDir, aggregateDir, from, to) = args
+    val spark = Mains.session()
+    val rows = etl.WarehouseBuild.aggregate(spark, warehouseDir, aggregateDir, from, to)
+    println(s"[aggregate] $from..$to rows=$rows -> $aggregateDir")
+    spark.stop()
+  }
+}
+
+/** One mart tick (diagram stage 6): `runMain graft.MartTick
+  * <aggregateDir> <martDir>` — load the aggregate artifact into the
+  * mart table, replacing only the dates present in the artifact. */
+object MartTick {
+  def main(args: Array[String]): Unit = {
+    val Array(aggregateDir, martDir) = args
+    val spark = Mains.session()
+    val rows = etl.WarehouseBuild.loadMart(spark, aggregateDir, martDir)
+    println(s"[mart] rows=$rows -> $martDir")
+    spark.stop()
   }
 }
 

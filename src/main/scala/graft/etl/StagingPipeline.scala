@@ -33,8 +33,7 @@ final class StagingPipeline(
     cleanDir: String,
     ledger: ControlStore) {
 
-  final case class RunSummary(discovered: Int, registered: Int,
-      processed: Seq[String], failed: Seq[String])
+  import StagingPipeline.RunSummary
 
   /** S7+F5: driver-side listing, like the reference's `os.listdir` —
     * file *names*, not data, so this is control-plane work. */
@@ -141,4 +140,7 @@ object StagingPipeline {
   /** Clean-CSV timestamp format with microseconds (lossless round-trip
     * of TimestampType, like pandas `to_csv`). */
   val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  final case class RunSummary(discovered: Int, registered: Int,
+      processed: Seq[String], failed: Seq[String])
 }

@@ -41,4 +41,45 @@ object WarehouseBuild {
       .agg(countDistinct("icao24").as("n_aircraft"),
         count(lit(1)).as("n_states"))
       .orderBy("event_date", "origin_country")
+
+  /** Diagram stage 5 — "Create aggregate script" (declared in the
+    * reference's architecture diagram, never implemented there): read
+    * the warehouse over a date range (partition-pruned) and dump the
+    * daily aggregate as a date-partitioned parquet artifact.
+    *
+    * Dynamic partition overwrite makes re-running a range IDEMPOTENT —
+    * only the touched event_date partitions are replaced, history is
+    * untouched. That is the property a scheduled (cron-hourly, like the
+    * reference's stages) aggregate job needs: a re-run after a late
+    * batch or a failure converges instead of duplicating. */
+  def aggregate(spark: SparkSession, warehouseDir: String,
+      aggregateDir: String, from: String, to: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    dailyAirborne(spark, warehouseDir, from, to)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(aggregateDir)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Diagram stage 6 — "Load to data mart script": load the aggregate
+    * artifact into the mart table. Same dynamic-overwrite discipline:
+    * partitions present in the aggregate replace their mart
+    * counterparts; everything else is preserved — loads are idempotent
+    * and late re-aggregations converge. The mart is a parquet table
+    * here (the reference's mart was a declared-but-unbuilt Postgres
+    * schema); a JDBC mart is one `JdbcSinks`-style writer away. */
+  def loadMart(spark: SparkSession, aggregateDir: String,
+      martDir: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    spark.read.parquet(aggregateDir)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(martDir)
+    obs.get("rows").asInstanceOf[Long]
+  }
 }
