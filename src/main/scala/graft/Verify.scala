@@ -16,6 +16,9 @@ object Verify {
       // harness session so q43's natural theta-join is planned — and
       // oracle-verified — through the rewrite.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // One session runs all 40+ queries: let q29/q42 reuse the pairs
+      // their defining pipelines (q28/q35) already computed.
+      .config(ops.PipelineCache.ConfKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -144,7 +144,15 @@ object Dedup {
       .select(col("doc_id"), hashSet(col("s")).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
 
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Verified pairs are memoized per session/dir when the opt-in
+    * [[PipelineCache]] is on, so q29 (defined over these pairs) reads
+    * them instead of re-running the whole signature pipeline. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.getOrPersist(s, dir, "q28_minhash_lsh_pairs") {
+      minhashPairsUncached(s, dir)
+    }
+
+  private def minhashPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val hx = hashedShingles(s, dir)
     val sig = hx.select(col("doc_id"),
       array(Perms.map { case (a, b) =>

@@ -152,7 +152,15 @@ object Similarity {
     (0 until LshTables).flatMap(t => (0 until LshPlanes).flatMap(p =>
       (0 until 64).map(j => planeComp(t, p, j)))).toArray
 
-  def embNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized per session/dir under the opt-in
+    * [[graft.ops.PipelineCache]] — q42 is an anti-join against these
+    * pairs and reuses them instead of re-running the LSH pipeline. */
+  def embNearDup(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.getOrPersist(s, dir, "q35_emb_neardup") {
+      embNearDupUncached(s, dir)
+    }
+
+  private def embNearDupUncached(s: SparkSession, dir: String): DataFrame = {
     val v = quantized(s, dir)
     // All 36 sign-bit dot products in one native pass per row (the
     // HOF form allocates a zipped array per plane per row); posexplode

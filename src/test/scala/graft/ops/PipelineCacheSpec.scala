@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class PipelineCacheSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("disabled by default: builds pass through uncached") {
+    spark.conf.unset(PipelineCache.ConfKey)
+    var builds = 0
+    def build = { builds += 1; spark.range(3).toDF("doc_id") }
+    PipelineCache.getOrPersist(spark, sf, "owner_a")(build)
+    PipelineCache.getOrPersist(spark, sf, "owner_a")(build)
+    assert(builds == 2)
+  }
+
+  test("enabled: one build per (dir, owner), invalidate forces rebuild") {
+    spark.conf.set(PipelineCache.ConfKey, "true")
+    try {
+      var builds = 0
+      def build = { builds += 1; spark.range(3).toDF("doc_id") }
+      val a = PipelineCache.getOrPersist(spark, sf, "owner_b")(build)
+      val b = PipelineCache.getOrPersist(spark, sf, "owner_b")(build)
+      assert(builds == 1 && (a eq b), "second call must return the memo")
+      PipelineCache.getOrPersist(spark, sf + "/other", "owner_b")(build)
+      assert(builds == 2, "distinct dir must build its own entry")
+      PipelineCache.invalidate(spark, "owner_b")
+      PipelineCache.getOrPersist(spark, sf, "owner_b")(build)
+      assert(builds == 3, "invalidate must force a rebuild")
+    } finally {
+      PipelineCache.clear(spark)
+      spark.conf.unset(PipelineCache.ConfKey)
+    }
+  }
+
+  test("q29/q42 results are identical with the cache on") {
+    val off29 = Dedup.nearDedup(spark, sf).collect().toSeq
+    val off42 = Similarity.embNearDedup(spark, sf).collect().toSeq
+    spark.conf.set(PipelineCache.ConfKey, "true")
+    try {
+      // derive twice so the second run actually hits the memo
+      Dedup.minhashPairs(spark, sf).count()
+      Similarity.embNearDup(spark, sf).count()
+      assert(Dedup.nearDedup(spark, sf).collect().toSeq == off29)
+      assert(Similarity.embNearDedup(spark, sf).collect().toSeq == off42)
+    } finally {
+      PipelineCache.clear(spark)
+      spark.conf.unset(PipelineCache.ConfKey)
+    }
+  }
+}
