@@ -44,9 +44,21 @@ object Similarity {
   /** Query set: vec_id < NQueries. */
   val NQueries = 10
   val TopK = 10
-  /** IVF: centroid count and probed buckets per query. */
-  val KCentroids = 16
+  /** IVF: centroid-count bounds and probed buckets per query. */
+  val KCentroidsFloor = 16
+  val KCentroidsCap = 65536
   val NProbe = 4
+
+  /** IVF cell count for N vectors: √N-proportional (the standard IVF
+    * sizing — assignment work N·K grows with K while per-query probe
+    * work N·nprobe/K shrinks, balancing near √N), scaled by 1/8 and
+    * floored at 16 so every harness scale (N ≤ 2000) sits at the same
+    * K=16 the round-2 oracle pinned. Crosses the floor at N ≈ 17k and
+    * reaches the 65536 cap only past N ≈ 2.7e11 vectors. The oracle
+    * mirrors this formula in SQL, so K stays engine-agreed at any SF. */
+  def kCentroidsFor(n: Long): Int =
+    math.max(KCentroidsFloor,
+      math.min(KCentroidsCap.toLong, math.round(math.sqrt(n / 64.0)))).toInt
   /** LSH: tables × sign-bit planes per table. */
   val LshTables = 6
   val LshPlanes = 6
@@ -108,14 +120,19 @@ object Similarity {
 
   // ---------- q34: IVF-style ANN (probe nprobe of K centroid buckets) ----------
 
-  /** 16 deterministic centroids: smallest (md5-hash(vec_id), vec_id).
-    * Data-independent, sf-independent rule; TakeOrderedAndProject keeps
-    * the selection linear at scale. */
-  private def centroids(s: SparkSession, dir: String): DataFrame =
+  /** K deterministic centroids: smallest (md5-hash(vec_id), vec_id),
+    * K = [[kCentroidsFor]](N). Data-independent rule;
+    * TakeOrderedAndProject keeps the selection linear at scale. N is
+    * the raw table row count — parquet answers it from footer metadata
+    * (no column scan); a production deployment would read it from
+    * table stats the same way. */
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
+    val k = kCentroidsFor(Tables.embeddings(s, dir).count())
     quantized(s, dir)
       .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(KCentroids)
+      .orderBy("h", "vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+  }
 
   /** Nearest-centroid ranks: vector × 16 broadcast centroids (linear
     * N×K map-side work), row_number by (cos desc, cid). */
@@ -249,7 +266,8 @@ object Similarity {
       s"""WITH $qCte,
          |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
          |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
-         |   LIMIT $KCentroids),
+         |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
+         |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
          |ranks AS (SELECT v.vec_id, v.q, v.n2, cent.cid,
          |   ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} AS ccos,
          |   row_number() OVER (PARTITION BY v.vec_id

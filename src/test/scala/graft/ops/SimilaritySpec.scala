@@ -76,6 +76,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 20L && p._2 == 21L))
   }
 
+  test("kCentroidsFor: floor at harness scales, √N growth, hard cap") {
+    // every harness SF (N ≤ 2000) stays at the round-2 constant 16
+    assert(Similarity.kCentroidsFor(500) === 16)
+    assert(Similarity.kCentroidsFor(2000) === 16)
+    assert(Similarity.kCentroidsFor(17000) === 16)
+    // past the floor it grows as √(N/64)
+    assert(Similarity.kCentroidsFor(1L << 20) === 128)
+    assert(Similarity.kCentroidsFor(1L << 26) === 1024)
+    // monotone, capped
+    assert(Similarity.kCentroidsFor(1L << 40) <= Similarity.KCentroidsCap)
+    assert(Similarity.kCentroidsFor(1L << 50) === Similarity.KCentroidsCap)
+  }
+
   test("quantized cosine is symmetric and bounded") {
     val pairs = Similarity.embNearDup(spark, dir).collect()
     pairs.foreach { r =>
