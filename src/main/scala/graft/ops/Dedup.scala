@@ -207,6 +207,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------- q44: exact dedup (hash-groupBy) ----------
+
+  /** Exact-duplicate collapse — the first (and cheapest) pass of any
+    * dedup cascade: group documents by full content hash, keep the
+    * min-doc_id survivor per group with its copy count. One
+    * hash-shuffle groupBy with map-side partial aggregation (min +
+    * count combine before the exchange), so the shuffle carries one
+    * row per distinct content per map partition — at 100 TB the
+    * post-shuffle side is the distinct-content cardinality, not N.
+    * Full 128-bit md5 as the group key: for EXACT dedup a collision
+    * merges distinct texts, so no truncated/cheap hash here (the
+    * near-dup families are where lossy hashing belongs). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+      .orderBy("doc_id")
+
   // ---------- q30: 60-bit SimHash ----------
 
   /** One aggregate pass: hash each word once, fold a 60-slot vote array,
@@ -292,7 +311,8 @@ object Dedup {
     "q29_near_dedup" -> (nearDedup _),
     "q30_simhash" -> (simhashDocs _),
     "q31_simhash_pairs" -> (simhashPairs _),
-    "q32_ngram_anchor_jaccard" -> (anchorJaccard _)
+    "q32_ngram_anchor_jaccard" -> (anchorJaccard _),
+    "q44_exact_dedup" -> (exactDedup _)
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -372,6 +392,10 @@ object Dedup {
          |   AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $SimHMax
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q44_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q32_ngram_anchor_jaccard" -> {
       val (a1, b1) = Perms(0)
       val (a2, b2) = Perms(1)

@@ -79,6 +79,17 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q44 exact dedup keeps the min-id survivor per identical text only") {
+    val rows = Dedup.exactDedup(spark, dir).collect()
+    assert(rows.length === 4, "5 docs, one exact-copy pair → 4 groups")
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(0L) === 2L, "docs 0 and 1 collapse onto survivor 0")
+    assert(!byId.contains(1L), "the larger id of an exact pair is dropped")
+    // near-dup (2), unrelated (3), reshuffled (4) all survive singly —
+    // exact dedup must not merge anything that differs by one byte
+    assert(Seq(2L, 3L, 4L).forall(byId(_) === 1L))
+  }
+
   test("sortedIntersectCount: merge semantics over sorted int sets") {
     val df = Seq(
       (Seq(1, 3, 5, 9), Seq(3, 5, 7)),
