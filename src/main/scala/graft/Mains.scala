@@ -24,10 +24,14 @@ object Mains {
 
 /** One extract tick: `runMain graft.ExtractTick <configDir> <jobName>`.
   *
-  * `configDir` holds `configuration.properties` (system config, S3) and
-  * `job_<name>.properties` (the job-definition row, S4); the job ledger
-  * lands in `configDir/job_logs.jsonl`. Driver-side only — no Spark
-  * session, exactly like the reference's script.
+  * Configuration comes from `configDir` in either of two shapes:
+  * a single `config.ini` in the reference's configparser format
+  * (`[configuration]` system section + `[job_<name>]` per job —
+  * reference `config.ini` / `extract_script.py:13-30`), or the pair
+  * `configuration.properties` + `job_<name>.properties`. The INI wins
+  * when both exist. The job ledger lands in `configDir/job_logs.jsonl`.
+  * Driver-side only — no Spark session, exactly like the reference's
+  * script.
   */
 object ExtractTick {
   private def props(path: java.nio.file.Path): Map[String, String] = {
@@ -38,13 +42,27 @@ object ExtractTick {
     p.asScala.toMap
   }
 
+  /** (system config, job definition) from INI or properties files. */
+  private[graft] def loadConfig(dir: java.nio.file.Path,
+      jobName: String): (Map[String, String], Map[String, String]) = {
+    val ini = dir.resolve("config.ini")
+    if (java.nio.file.Files.exists(ini)) {
+      val sections = extract.IniConfig.read(ini)
+      (extract.IniConfig.section(sections, "configuration"),
+        extract.IniConfig.section(sections, s"job_$jobName"))
+    } else
+      (props(dir.resolve("configuration.properties")),
+        props(dir.resolve(s"job_$jobName.properties")))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(configDir, jobName) = args
     val dir = java.nio.file.Paths.get(configDir)
+    val (config, job) = loadConfig(dir, jobName)
     val control = new extract.JsonlJobControl(
       dir.resolve("job_logs.jsonl").toString,
-      config = props(dir.resolve("configuration.properties")),
-      jobs = Map(jobName -> props(dir.resolve(s"job_$jobName.properties"))))
+      config = config,
+      jobs = Map(jobName -> job))
     val res = extract.ExtractJob.run(jobName, control, new extract.JdkHttpBackend())
     println(s"[extract] job=$jobName status=${res.status} rows=${res.rows} " +
       s"file=${res.savedFile.getOrElse("-")}")
