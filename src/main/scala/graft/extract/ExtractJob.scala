@@ -76,8 +76,10 @@ object ExtractJob {
 
   // ---------- K1/T5/F6/A1: CSV landing ----------
 
-  /** Python-csv-compatible cell rendering of a JSON scalar. */
-  private[extract] def renderCell(n: JsonNode): String =
+  /** Python-csv-compatible cell rendering of a JSON scalar (also the
+    * cell semantics of the distributed [[graft.sources]] reader, so
+    * both ingest paths feed the staging kernel identical strings). */
+  private[graft] def renderCell(n: JsonNode): String =
     if (n == null || n.isNull) ""
     else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
     else n.asText()

@@ -1,0 +1,208 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.extract.{ExtractJob, HttpBackend, JdkHttpBackend}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 reader for the OpenSky `/states/all` REST endpoint:
+  * the distributed upgrade of the reference's driver-side extract
+  * (`extract_script.py:106-123`, SURVEY S1/S2).
+  *
+  * {{{
+  * spark.read.format("opensky-states")
+  *   .option("base_url", ...).option("endpoint", "/states/all")
+  *   .option("token_url", ...).option("client_id", ...).option("client_secret", ...)
+  *   .option("lamin", "45.8").option("lomin", "5.9")
+  *   .option("lamax", "47.8").option("lomax", "10.5")
+  *   .option("splits", "8")
+  *   .load()
+  * }}}
+  *
+  * Design, from the reference's WHAT to Spark's HOW:
+  *
+  *  - **Parallel ingest**: the bbox is split into `splits` equal
+  *    latitude bands, one `InputPartition` each — every executor
+  *    fetches its own band concurrently, where the reference fetched
+  *    one payload on the driver. One REST call per partition, so
+  *    `splits` is also the request fan-out cap.
+  *  - **Exactly-once row ownership**: the API's bbox bounds are
+  *    inclusive, so a state sitting exactly on an interior split line
+  *    is returned by BOTH adjacent bands. Each band keeps only rows
+  *    with `lat < bandHigh` (the top band keeps its upper edge), and
+  *    rows without a parseable latitude belong to the FIRST band —
+  *    no duplicates, no losses, no cross-partition coordination.
+  *  - **One token per scan**: the OAuth2 client-credentials POST runs
+  *    once on the driver at batch-planning time (S2 semantics); the
+  *    bearer token ships to partitions as part of the read task, not
+  *    re-acquired N times.
+  *  - **Raw-string schema**: rows surface as the same 17 text columns
+  *    the CSV landing produces ([[graft.etl.FlightStates.rawSchema]]),
+  *    rendered with the python-csv cell rules
+  *    ([[graft.extract.ExtractJob.renderCell]]) — so
+  *    `FlightStates.transform` consumes this source and the file path
+  *    byte-identically, and coercion stays owned by the staging kernel.
+  *  - **Column pruning**: `SupportsPushDownRequiredColumns` — a
+  *    `select(icao24)` reads one field per state row.
+  *
+  * HTTP is injectable for tests via [[OpenSkyStatesSource.registerBackend]]
+  * (`option("backend", name)`); production omits the option and each
+  * read task builds a [[graft.extract.JdkHttpBackend]]. The registry is
+  * process-local, which is exactly the test scope (`local[*]`).
+  */
+class OpenSkyStatesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "opensky-states"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.etl.FlightStates.rawSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StatesTable(properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+}
+
+object OpenSkyStatesSource {
+  /** Test seam: named HTTP backends, looked up by `option("backend", name)`. */
+  private val backends = scala.collection.concurrent.TrieMap.empty[String, HttpBackend]
+
+  def registerBackend(name: String, b: HttpBackend): Unit = backends.update(name, b)
+  def unregisterBackend(name: String): Unit = backends.remove(name)
+
+  private[sources] def backendFor(opts: Map[String, String]): HttpBackend =
+    opts.get("backend") match {
+      case Some(name) => backends.getOrElse(name,
+        sys.error(s"no registered test backend '$name'"))
+      case None => new JdkHttpBackend()
+    }
+}
+
+private[sources] class StatesTable(opts: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"opensky_states(${opts.getOrElse("base_url", "")}${opts.getOrElse("endpoint", "")})"
+  override def schema(): StructType = graft.etl.FlightStates.rawSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StatesScanBuilder(opts)
+}
+
+private[sources] class StatesScanBuilder(opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = graft.etl.FlightStates.rawSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new StatesScan(opts, required)
+}
+
+private[sources] class StatesScan(opts: Map[String, String],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"opensky-states splits=${opts.getOrElse("splits", "1")} cols=${required.fieldNames.mkString(",")}"
+
+  /** Driver-side planning: one token, `splits` latitude bands.
+    * Memoized — Spark may call `planInputPartitions` more than once
+    * per scan (planning + execution), and the token POST must run
+    * exactly once. */
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private lazy val planned: Array[InputPartition] = {
+    val token = opts.get("token_url").map { tokenUrl =>
+      ExtractJob.getAccessToken(OpenSkyStatesSource.backendFor(opts), tokenUrl,
+        opts.getOrElse("client_id", sys.error("client_id required with token_url")),
+        opts.getOrElse("client_secret", sys.error("client_secret required with token_url")))
+    }
+    val splits = opts.getOrElse("splits", "1").toInt
+    require(splits >= 1, "splits must be >= 1")
+    val bbox = Seq("lamin", "lomin", "lamax", "lomax").flatMap(k => opts.get(k))
+    if (splits == 1 || bbox.size < 4) {
+      require(splits == 1 || bbox.size == 4,
+        "splits > 1 requires a full lamin/lomin/lamax/lomax bbox")
+      Array(StatesPartition(0, opts.filter(p => BboxKeys(p._1)), token,
+        keepBelow = None, keepNullLat = true))
+    } else {
+      val (lamin, lamax) = (opts("lamin").toDouble, opts("lamax").toDouble)
+      val h = (lamax - lamin) / splits
+      (0 until splits).map { i =>
+        val lo = lamin + i * h
+        val hi = if (i == splits - 1) lamax else lamin + (i + 1) * h
+        StatesPartition(i,
+          opts.filter(p => BboxKeys(p._1)) ++
+            Map("lamin" -> lo.toString, "lamax" -> hi.toString),
+          token,
+          // interior bands disown their inclusive upper edge; the top
+          // band keeps it (hi == lamax there)
+          keepBelow = if (i == splits - 1) None else Some(hi),
+          keepNullLat = i == 0)
+      }.toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatesReaderFactory(
+      opts.filterNot(p => p._1 == "client_secret"), // never ship the secret
+      required.fieldNames.map(graft.etl.FlightStates.RawColumns.indexOf).toSeq)
+
+  private val BboxKeys = Set("lamin", "lomin", "lamax", "lomax")
+}
+
+/** One latitude band. `params` is the complete bbox query for this
+  * band; `keepBelow`/`keepNullLat` implement boundary row ownership. */
+private[sources] final case class StatesPartition(idx: Int,
+    params: Map[String, String], token: Option[String],
+    keepBelow: Option[Double], keepNullLat: Boolean) extends InputPartition
+
+private[sources] class StatesReaderFactory(opts: Map[String, String],
+    colIdx: Seq[Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatesPartition]
+    new PartitionReader[InternalRow] {
+      private val LatIdx = graft.etl.FlightStates.RawColumns.indexOf("latitude")
+      private lazy val rows: Iterator[InternalRow] = {
+        val http = OpenSkyStatesSource.backendFor(opts)
+        val url = opts.getOrElse("base_url",
+          sys.error("base_url required")) + opts.getOrElse("endpoint", "")
+        val reply = http.get(url, p.params,
+          p.token.map(t => Map("Authorization" -> s"Bearer $t")).getOrElse(Map.empty))
+        if (reply.status >= 400) sys.error(s"HTTP ${reply.status} from states API")
+        val payload = new ObjectMapper().readTree(reply.body)
+        // F6 guards: missing/null/empty states → zero rows
+        if (payload == null || !payload.has("states") || payload.get("states").isNull)
+          Iterator.empty
+        else payload.get("states").elements().asScala
+          .map(st => (0 until graft.etl.FlightStates.RawColumns.size)
+            .map(i => ExtractJob.renderCell(st.get(i))))
+          .filter { cells =>
+            val lat = cells(LatIdx).toDoubleOption
+            lat match {
+              case None => p.keepNullLat
+              case Some(v) => p.keepBelow.forall(v < _)
+            }
+          }
+          .map { cells =>
+            InternalRow.fromSeq(colIdx.map { i =>
+              val c = cells(i)
+              if (c.isEmpty) null else UTF8String.fromString(c)
+            })
+          }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
