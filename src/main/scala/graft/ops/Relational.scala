@@ -366,6 +366,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q45
+  /** The same as-of lookup as q21, but through graft's CUSTOM as-of
+    * join operator ([[graft.plans.AsOfJoin]]): left = all events,
+    * right = the distinct (user_id, ts) signup instants from a second
+    * scan. Plans as one Exchange+Sort per side and a streamed
+    * per-partition merge; the DuckDB oracle states the native
+    * `ASOF LEFT JOIN`, so the operator's semantics are pinned against
+    * an independent engine's as-of implementation — and q21 pins the
+    * window formulation of the identical answer. */
+  def q45AsOfJoinCustom(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+    // separate scan → fresh attribute instances for the right side
+    val signups = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .distinct()
+    graft.plans.AsOf.join(e, signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "signup_ts")
+      .toDF("event_id", "user_id", "event_type", "ts", "r_user_id", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("signup_ts")).as("last_signup_us"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Union + exact dedup: two overlapping slices, distinct, aggregate. */
   def q22UnionDedup(s: SparkSession, dir: String): DataFrame = {
@@ -400,7 +425,8 @@ object Relational {
     "q19_json_extract" -> (q19JsonExtract _),
     "q20_sessionize" -> (q20Sessionize _),
     "q21_asof_last_signup" -> (q21AsOfLastSignup _),
-    "q22_union_dedup" -> (q22UnionDedup _)
+    "q22_union_dedup" -> (q22UnionDedup _),
+    "q45_asof_custom" -> (q45AsOfJoinCustom _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,6 +594,13 @@ object Relational {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q45_asof_custom" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        | epoch_us(s.ts) AS last_signup_us
+        |FROM events e ASOF LEFT JOIN
+        | (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') s
+        | ON e.user_id = s.user_id AND s.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q22_union_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT * FROM events WHERE value > 100

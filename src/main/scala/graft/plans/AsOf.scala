@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Public DataFrame API over the [[AsOfJoin]] custom operator.
+  *
+  * {{{
+  * AsOf.join(trades, quotes, keys = Seq("symbol"),
+  *   leftTs = "trade_ts", rightTs = "quote_ts")
+  * }}}
+  *
+  * attaches to every trade the last quote at-or-before it per symbol
+  * (left-outer; unmatched trades keep null quote columns). The
+  * operator plans as one Exchange + Sort per side and a streamed
+  * O(n+m) per-partition merge — see [[AsOfJoin]].
+  *
+  * The planner strategy self-installs into the session
+  * (`spark.experimental.extraStrategies`), so the API needs no
+  * extension wiring; sessions configured with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` get the strategy
+  * globally as well (double registration is harmless — the strategy
+  * matches the node at most once).
+  */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of join sides share attribute instances (self-join on the same " +
+        "Dataset object) — derive each side from its own read/select")
+
+    def attr(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.find(_.name == name).getOrElse(sys.error(
+        s"$side side has no column '$name' (has: ${out.map(_.name).mkString(", ")})"))
+
+    val lk = keys.map(attr(lPlan.output, _, "left"))
+    val rk = keys.map(attr(rPlan.output, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name} ${a.dataType} vs ${b.name} ${b.dataType}")
+    }
+    val lt = attr(lPlan.output, leftTs, "left")
+    val rt = attr(rPlan.output, rightTs, "right")
+    require(lt.dataType == rt.dataType,
+      s"timestamp type mismatch: ${lt.dataType} vs ${rt.dataType}")
+
+    GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+  }
+}

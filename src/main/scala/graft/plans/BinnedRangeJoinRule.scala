@@ -137,8 +137,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — injects graft's
-  * optimizer rules into every session of the application. */
+  * optimizer rules and planner strategies into every session of the
+  * application. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -16,4 +16,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` is `private[sql]` in the
+    * classic module) — the seam graft's custom plan nodes (AsOfJoin)
+    * use to re-enter the public Dataset API. */
+  def ofRows(s: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
