@@ -40,8 +40,13 @@ object TextAnalysis {
   /** Per-document statistics + integer quality score (q25).
     * BPE-ish token count: runs of letters, runs of digits, or single
     * other non-space chars — the classic pre-tokenizer regex. */
-  def docStats(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    docStatsCols(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The q25 projection alone — stateless per-row kernels, so it
+    * applies to a streaming DataFrame unchanged (the harness query
+    * adds only the presentation sort). */
+  def docStatsCols(d: DataFrame): DataFrame = {
     val t = col("text")
     val en = LangProfiles.head._2
     d.select(
@@ -59,7 +64,6 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           round(col("stop_hits") * lit(1000.0) / col("n_tokens")))
           .otherwise(lit(0)).cast("long"))
-      .orderBy("doc_id")
   }
 
   /** Keyword-profile language ID (q26): per-profile hit counts, argmax
