@@ -89,6 +89,32 @@ object FlightSessions {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** The same sessionization through Spark's BUILT-IN
+    * `session_window` aggregation — the tier-(a) form: one gap-merged
+    * window aggregate, no custom state function, and it runs on a
+    * stream (watermark + append mode) or a batch frame unchanged.
+    *
+    * Kept beside [[sessionsStream]] deliberately: the builtin cannot
+    * express custom close rules (emit-on-close side effects, close
+    * conditions beyond the gap), which is exactly when
+    * `flatMapGroupsWithState` earns its complexity. Prefer THIS form
+    * when plain gap sessions are all that's needed.
+    *
+    * Boundary semantics MATCH [[sessionsBatch]]: `session_window`
+    * merges an event whose distance from the previous is ≤ `gap`
+    * (windows touch-merge), exactly the lag formulation's strict-`>`
+    * split rule — the spec pins the exact-boundary case and full
+    * fixture equivalence. */
+  def sessionsWindowed(clean: DataFrame, gapMinutes: Int = 30): DataFrame =
+    clean
+      .filter(col("icao24").isNotNull && col("time_position").isNotNull)
+      .select(col("icao24"), col("time_position").as("ts"))
+      .groupBy(col("icao24"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_states"))
+      .select("icao24", "session_start", "session_end", "n_states")
+
   /** Batch mirror (lag → gap flag → cumulative session id → group):
     * the sessions the stream emits must be exactly a subset of these,
     * and every data-closed session must appear. */

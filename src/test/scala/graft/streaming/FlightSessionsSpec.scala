@@ -46,6 +46,31 @@ class FlightSessionsSpec extends SparkTestBase {
       "a data-closed session was not emitted by the stream")
   }
 
+  test("built-in session_window form ≡ lag-formulation on fixture data") {
+    val clean = spark.read.parquet(cleanDir)
+    val key = Seq("icao24", "session_start", "session_end", "n_states")
+    val windowed = FlightSessions.sessionsWindowed(clean)
+    val batch = FlightSessions.sessionsBatch(clean)
+    assert(windowed.count() === batch.count())
+    assert(windowed.join(batch, key, "left_anti").count() === 0)
+    assert(batch.join(windowed, key, "left_anti").count() === 0)
+  }
+
+  test("both forms merge at the exact gap boundary and split just past it") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val atGap = new java.sql.Timestamp(t0.getTime + 30 * 60000L) // exactly 30 min
+    val pastGap = new java.sql.Timestamp(atGap.getTime + 1L)     // 30 min + 1 ms
+    val boundary = Seq(("k", t0), ("k", atGap)).toDF("icao24", "time_position")
+    assert(FlightSessions.sessionsWindowed(boundary).count() === 1,
+      "session_window touch-merges at distance == gap")
+    assert(FlightSessions.sessionsBatch(boundary).count() === 1,
+      "the lag formulation merges at the exact boundary (strict >)")
+    val past = Seq(("k", t0), ("k", pastGap)).toDF("icao24", "time_position")
+    assert(FlightSessions.sessionsWindowed(past).count() === 2)
+    assert(FlightSessions.sessionsBatch(past).count() === 2)
+  }
+
   test("multi-session aircraft split exactly at the gap threshold") {
     val clean = spark.read.parquet(cleanDir)
     val batch = FlightSessions.sessionsBatch(clean).collect()
