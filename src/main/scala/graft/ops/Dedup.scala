@@ -153,7 +153,15 @@ object Dedup {
     }
 
   private def minhashPairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val hx = hashedShingles(s, dir)
+    // hx appears three times in this plan (signature pipeline + both
+    // verify sides); ReusedExchange collapses only the identical band
+    // exchanges, so without a persist the shingle-hash scan runs 3×.
+    // Under the opt-in cache it materializes once per run — the subtree
+    // persist the same pipeline would carry in production. Registered
+    // as a q28/ sub-pipeline so Bench's invalidate covers it.
+    val hx = PipelineCache.getOrPersist(s, dir, "q28_minhash_lsh_pairs/hx") {
+      hashedShingles(s, dir)
+    }
     val sig = hx.select(col("doc_id"),
       array(Perms.map { case (a, b) =>
         array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))

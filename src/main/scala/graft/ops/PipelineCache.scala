@@ -42,18 +42,28 @@ object PipelineCache {
     s.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true"))
 
   /** Return the memoized `owner` pipeline for (session, dir), building
-    * and persisting it on first use. Pass-through when disabled. */
+    * and persisting it on first use. Pass-through when disabled.
+    *
+    * `owner` may carry a sub-pipeline label after a `/` (e.g.
+    * `"q28_minhash_lsh_pairs/hx"`): [[invalidate]] of the owner drops
+    * its sub-pipelines too, so a benchmark invalidating a query still
+    * forces ALL of its work to recompute — while within one run a
+    * subtree referenced N times by the same plan materializes once
+    * instead of N times (persist dedupes subtree recomputation even
+    * inside a single action). */
   def getOrPersist(s: SparkSession, dir: String, owner: String)
       (build: => DataFrame): DataFrame =
     if (!enabled(s)) build
     else cache.getOrElseUpdate((sessionKey(s), dir, owner),
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Drop (and unpersist) every entry this `owner` holds in `s`, so its
-    * next run rebuilds from scratch. No-op for unknown owners. */
+  /** Drop (and unpersist) every entry this `owner` holds in `s` —
+    * including `owner/…` sub-pipelines — so its next run rebuilds from
+    * scratch. No-op for unknown owners. */
   def invalidate(s: SparkSession, owner: String): Unit = {
     val sk = sessionKey(s)
-    cache.keys.filter(k => k._1 == sk && k._3 == owner).foreach { k =>
+    cache.keys.filter(k => k._1 == sk &&
+        (k._3 == owner || k._3.startsWith(owner + "/"))).foreach { k =>
       cache.remove(k).foreach(_.unpersist(blocking = false))
     }
   }

@@ -178,6 +178,11 @@ object Similarity {
     }
 
   private def embNearDupUncached(s: SparkSession, dir: String): DataFrame = {
+    // v is referenced three times, but deliberately NOT persisted
+    // (unlike Dedup's hx): quantization is one cheap multiply-add pass
+    // and its output is as wide as the input, so recompute beats a
+    // cache write at every scale — measured +0.1 s at sf0.1 when
+    // persisted.
     val v = quantized(s, dir)
     // All 36 sign-bit dot products in one native pass per row (the
     // HOF form allocates a zipped array per plane per row); posexplode

@@ -28,6 +28,13 @@ class PipelineCacheSpec extends SparkTestBase {
       PipelineCache.invalidate(spark, "owner_b")
       PipelineCache.getOrPersist(spark, sf, "owner_b")(build)
       assert(builds == 3, "invalidate must force a rebuild")
+      PipelineCache.getOrPersist(spark, sf, "owner_b/sub")(build)
+      PipelineCache.invalidate(spark, "owner_b")
+      PipelineCache.getOrPersist(spark, sf, "owner_b/sub")(build)
+      assert(builds == 5, "invalidating the owner must drop owner/ sub-pipelines")
+      PipelineCache.invalidate(spark, "owner")
+      PipelineCache.getOrPersist(spark, sf, "owner_b/sub")(build)
+      assert(builds == 5, "a prefix that is not the owner must not match")
     } finally {
       PipelineCache.clear(spark)
       spark.conf.unset(PipelineCache.ConfKey)
