@@ -30,9 +30,10 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * equi-join key (if one exists Spark already hash-joins; adding a bin
   * key would only fan out rows — and this guard is also what makes the
   * rule idempotent, since the rewritten join carries the bin equality),
-  * containing exactly the lower+upper timestamp pattern on
-  * `AttributeReference`s from opposite sides with a positive literal
-  * day-time interval width.
+  * containing exactly the lower+upper pattern on `AttributeReference`s
+  * from opposite sides: timestamps with a positive literal day-time
+  * interval width, or same-type integral columns (long/int/short) with
+  * a positive same-type literal width (`r.x > l.x && r.x <= l.x + c`).
   *
   * Wire up per session via `spark.experimental.extraOptimizations` or
   * globally with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -52,7 +53,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** `lt + INTERVAL w` with a literal positive day-time width. */
+  /** `lt + w`: a timestamp plus a literal positive day-time interval,
+    * or an integral column plus a literal positive integral constant.
+    * Returns the width in the column's own units (µs for timestamps). */
   private object TsPlusWidth {
     def unapply(e: Expression): Option[(AttributeReference, Long)] =
       unwrapCast(e) match {
@@ -64,12 +67,36 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
               Some((lt, w))
             case _ => None
           }
+        case Add(lt: AttributeReference, Literal(w, t), _)
+            if integralWidth(w, t).exists(_ > 0) =>
+          Some((lt, integralWidth(w, t).get))
+        case Add(Literal(w, t), lt: AttributeReference, _)
+            if integralWidth(w, t).exists(_ > 0) =>
+          Some((lt, integralWidth(w, t).get))
         case _ => None
       }
   }
 
-  private def bin(ts: Expression, widthUs: Long): Expression =
-    IntegralDivide(UnixMicros(ts), Literal(widthUs, LongType))
+  private def integralWidth(w: Any, t: org.apache.spark.sql.types.DataType): Option[Long] =
+    (w, t) match {
+      case (v: Long, LongType) => Some(v)
+      case (v: Integer, _: org.apache.spark.sql.types.IntegerType) => Some(v.longValue)
+      case (v: java.lang.Short, _: org.apache.spark.sql.types.ShortType) => Some(v.longValue)
+      case _ => None
+    }
+
+  /** Bin id in the column's own units. Truncating division is fine for
+    * negatives too: for any l < r ≤ l+w, `r quot w − l quot w ∈ {0, 1}`
+    * (quot is monotone and quot(x+w) ≤ quot(x)+1), so the two fanned
+    * bins still cover every qualifying pair — lossless either way. */
+  private def bin(x: Expression, width: Long): Expression = {
+    val units = x.dataType match {
+      case TimestampType => UnixMicros(x)
+      case LongType => x
+      case _ => Cast(x, LongType)
+    }
+    IntegralDivide(units, Literal(width, LongType))
+  }
 
   /** True when `a = b` (or `<=>`) splits cleanly across the two join
     * sides — i.e. Spark can already extract it as a hash-join key. */
@@ -106,9 +133,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
         case GreaterThanOrEqual(TsPlusWidth(lt, w), rt: AttributeReference) => (lt, rt, w)
         case GreaterThan(TsPlusWidth(lt, w), rt: AttributeReference) => (lt, rt, w)
       }
+      val binnable = Set[org.apache.spark.sql.types.DataType](TimestampType,
+        LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
       val matched = uppers.collectFirst {
         case (lt, rt, w)
-            if lt.dataType == TimestampType && rt.dataType == TimestampType &&
+            if lt.dataType == rt.dataType && binnable(lt.dataType) &&
               lowers.exists(p => p._1.semanticEquals(lt) && p._2.semanticEquals(rt)) &&
               ((left.outputSet.contains(lt) && right.outputSet.contains(rt)) ||
                 (right.outputSet.contains(lt) && left.outputSet.contains(rt))) =>

@@ -96,6 +96,24 @@ class BinnedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("numeric integral interval joins rewrite too, negatives included") {
+    import spark.implicits._
+    // offsets straddle zero: truncating-division bins differ from floor
+    // bins there, but the two fanned bins still cover every pair
+    val l = (-25L to 25L by 3).toDF("x")
+    val r = (-30L to 30L by 2).map(v => (v, s"r$v")).toDF("y", "tag")
+    def join() = l.join(r, col("y") > col("x") && col("y") <= col("x") + lit(10L))
+    val expected = join().collect().map(_.toSeq).toSet
+    assert(join().queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    withRule {
+      val rewritten = join()
+      assert(!rewritten.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(rewritten.collect().map(_.toSeq).toSet === expected)
+    }
+  }
+
   test("rule leaves joins that already have an equi key untouched") {
     withRule {
       // plain equi join: must not be rewritten
