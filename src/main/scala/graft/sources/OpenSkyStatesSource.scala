@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => streamingapi}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -91,7 +92,7 @@ private[sources] class StatesTable(opts: Map[String, String])
     s"opensky_states(${opts.getOrElse("base_url", "")}${opts.getOrElse("endpoint", "")})"
   override def schema(): StructType = graft.etl.FlightStates.rawSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatesScanBuilder(opts)
 }
@@ -104,25 +105,19 @@ private[sources] class StatesScanBuilder(opts: Map[String, String])
   override def build(): Scan = new StatesScan(opts, required)
 }
 
-private[sources] class StatesScan(opts: Map[String, String],
-    required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"opensky-states splits=${opts.getOrElse("splits", "1")} cols=${required.fieldNames.mkString(",")}"
+/** Shared driver-side planning for the batch and micro-batch paths:
+  * one token fetch, `splits` latitude-band partitions. */
+private[sources] object StatesPlanner {
+  private val BboxKeys = Set("lamin", "lomin", "lamax", "lomax")
 
-  /** Driver-side planning: one token, `splits` latitude bands.
-    * Memoized — Spark may call `planInputPartitions` more than once
-    * per scan (planning + execution), and the token POST must run
-    * exactly once. */
-  override def planInputPartitions(): Array[InputPartition] = planned
-
-  private lazy val planned: Array[InputPartition] = {
-    val token = opts.get("token_url").map { tokenUrl =>
+  def fetchToken(opts: Map[String, String]): Option[String] =
+    opts.get("token_url").map { tokenUrl =>
       ExtractJob.getAccessToken(OpenSkyStatesSource.backendFor(opts), tokenUrl,
         opts.getOrElse("client_id", sys.error("client_id required with token_url")),
         opts.getOrElse("client_secret", sys.error("client_secret required with token_url")))
     }
+
+  def bands(opts: Map[String, String], token: Option[String]): Array[InputPartition] = {
     val splits = opts.getOrElse("splits", "1").toInt
     require(splits >= 1, "splits must be >= 1")
     val bbox = Seq("lamin", "lomin", "lamax", "lomax").flatMap(k => opts.get(k))
@@ -149,12 +144,103 @@ private[sources] class StatesScan(opts: Map[String, String],
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  def readerFactory(opts: Map[String, String],
+      required: StructType): PartitionReaderFactory =
     new StatesReaderFactory(
       opts.filterNot(p => p._1 == "client_secret"), // never ship the secret
       required.fieldNames.map(graft.etl.FlightStates.RawColumns.indexOf).toSeq)
+}
 
-  private val BboxKeys = Set("lamin", "lomin", "lamax", "lomax")
+private[sources] class StatesScan(opts: Map[String, String],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : streamingapi.MicroBatchStream = new StatesMicroBatchStream(opts, required)
+  override def description(): String =
+    s"opensky-states splits=${opts.getOrElse("splits", "1")} cols=${required.fieldNames.mkString(",")}"
+
+  /** Driver-side planning: one token, `splits` latitude bands.
+    * Memoized — Spark may call `planInputPartitions` more than once
+    * per scan (planning + execution), and the token POST must run
+    * exactly once. */
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private lazy val planned: Array[InputPartition] =
+    StatesPlanner.bands(opts, StatesPlanner.fetchToken(opts))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StatesPlanner.readerFactory(opts, required)
+}
+
+/** Polling micro-batch stream: every trigger is ONE snapshot fetch of
+  * the bbox, fanned across the same latitude-band partitions as the
+  * batch path — `readStream.format("opensky-states")` is the always-on
+  * upgrade of the reference's 10-minute cron extract.
+  *
+  * Offsets count polls; the states endpoint serves a LIVE snapshot, so
+  * a batch replayed after failure re-fetches the CURRENT snapshot —
+  * at-least-once with cron-tick freshness semantics, exactly like the
+  * reference's scheduler re-running a tick (and like Spark's own
+  * non-replayable socket source). Each micro-batch acquires a fresh
+  * token (polling outlives any token's lifetime). */
+private[sources] class StatesMicroBatchStream(opts: Map[String, String],
+    required: StructType) extends streamingapi.MicroBatchStream
+    with streamingapi.SupportsAdmissionControl {
+
+  private case class PollOffset(poll: Long) extends streamingapi.Offset {
+    override def json(): String = s"""{"poll":$poll}"""
+  }
+
+  override def initialOffset(): streamingapi.Offset = PollOffset(0L)
+
+  /** Admission control hands us the restored start offset, so the next
+    * end is simply one poll past it — correct across restarts with no
+    * counter state. A poll is one snapshot; `allAvailable` is always
+    * exactly one more poll. */
+  override def latestOffset(start: streamingapi.Offset,
+      limit: streamingapi.ReadLimit): streamingapi.Offset =
+    PollOffset(start.asInstanceOf[PollOffset].poll + 1)
+
+  override def getDefaultReadLimit: streamingapi.ReadLimit =
+    streamingapi.ReadLimit.allAvailable()
+
+  override def latestOffset(): streamingapi.Offset =
+    sys.error("SupportsAdmissionControl sources use latestOffset(start, limit)")
+
+  override def deserializeOffset(json: String): streamingapi.Offset = {
+    val m = """\{"poll":(\d+)\}""".r
+    json.trim match {
+      case m(n) => PollOffset(n.toLong)
+      case other => sys.error(s"bad opensky-states offset: $other")
+    }
+  }
+
+  // Spark calls planInputPartitions several times per micro-batch
+  // (planning, validation, execution) — memoize per offset range so
+  // each poll acquires exactly one token and one partition plan.
+  private var plannedRange: (Long, Long) = _
+  private var plannedParts: Array[InputPartition] = _
+
+  override def planInputPartitions(start: streamingapi.Offset,
+      end: streamingapi.Offset): Array[InputPartition] = synchronized {
+    val from = start.asInstanceOf[PollOffset].poll
+    val to = end.asInstanceOf[PollOffset].poll
+    if (to == from) Array.empty
+    else {
+      if (plannedRange != (from, to)) {
+        plannedParts = StatesPlanner.bands(opts, StatesPlanner.fetchToken(opts))
+        plannedRange = (from, to)
+      }
+      plannedParts
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StatesPlanner.readerFactory(opts, required)
+
+  override def commit(end: streamingapi.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One latitude band. `params` is the complete bbox query for this

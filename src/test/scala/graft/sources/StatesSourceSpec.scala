@@ -105,6 +105,41 @@ class StatesSourceSpec extends SparkTestBase {
     assert(read(api, 1).count() === 0)
   }
 
+  test("micro-batch stream: one snapshot poll per trigger, banded fetch, fresh token") {
+    val api = new FakeApi
+    val name = s"fake-stream-${System.identityHashCode(api)}"
+    OpenSkyStatesSource.registerBackend(name, api)
+    val ckpt = tmpDir("states-ckpt")
+    val out = tmpDir("states-out")
+    // parquet sink: the memory sink rejects checkpoint recovery, and
+    // the restart leg below resumes from the checkpoint
+    def start() = spark.readStream.format("opensky-states")
+      .option("base_url", "https://api.test").option("endpoint", "/states/all")
+      .option("lamin", "40").option("lomin", "5")
+      .option("lamax", "60").option("lomax", "10")
+      .option("splits", "2")
+      .option("token_url", "https://auth.test/token")
+      .option("client_id", "id").option("client_secret", "sec")
+      .option("backend", name)
+      .load()
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).outputMode("append")
+      .start()
+
+    val q1 = start(); q1.awaitTermination()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst === 6, "first poll lands the full snapshot once")
+    assert(api.tokenPosts.get() === 1, "one token per micro-batch")
+    assert(api.gets.size() === 2, "banded fetch: one GET per split")
+
+    // restart from the checkpoint: a NEW poll fetches the live snapshot
+    // again (cron-tick semantics) with a fresh token
+    val q2 = start(); q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === afterFirst + 6)
+    assert(api.tokenPosts.get() === 2)
+  }
+
   test("source output feeds the staging kernel like the CSV path") {
     val cleaned = graft.etl.FlightStates.transform(
       graft.etl.FlightStates.withAudit(read(new FakeApi, 2), "rest://states",
