@@ -391,6 +391,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q46
+  /** Forward as-of through the custom operator: for every event, the
+    * NEXT signup at-or-after it per user (first-at-or-after — pandas
+    * merge_asof direction="forward"). Oracle: DuckDB ASOF LEFT JOIN
+    * with the inequality reversed. */
+  def q46AsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+    val signups = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .distinct()
+    graft.plans.AsOf.join(e, signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "signup_ts", direction = "forward")
+      .toDF("event_id", "user_id", "event_type", "ts", "r_user_id", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("signup_ts")).as("next_signup_us"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Union + exact dedup: two overlapping slices, distinct, aggregate. */
   def q22UnionDedup(s: SparkSession, dir: String): DataFrame = {
@@ -426,7 +446,8 @@ object Relational {
     "q20_sessionize" -> (q20Sessionize _),
     "q21_asof_last_signup" -> (q21AsOfLastSignup _),
     "q22_union_dedup" -> (q22UnionDedup _),
-    "q45_asof_custom" -> (q45AsOfJoinCustom _)
+    "q45_asof_custom" -> (q45AsOfJoinCustom _),
+    "q46_asof_forward" -> (q46AsOfForward _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +621,13 @@ object Relational {
         |FROM events e ASOF LEFT JOIN
         | (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') s
         | ON e.user_id = s.user_id AND s.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q46_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        | epoch_us(s.ts) AS next_signup_us
+        |FROM events e ASOF LEFT JOIN
+        | (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') s
+        | ON e.user_id = s.user_id AND s.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
     "q22_union_dedup" ->
       """SELECT event_type, count(*) AS n FROM (

@@ -25,8 +25,14 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   */
 object AsOf {
 
+  /** `direction = "backward"` (default): last right row at-or-before
+    * each left timestamp. `direction = "forward"`: first right row
+    * at-or-after (pandas merge_asof's direction vocabulary). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -53,6 +59,7 @@ object AsOf {
     require(lt.dataType == rt.dataType,
       s"timestamp type mismatch: ${lt.dataType} vs ${rt.dataType}")
 
-    GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
+      forward = direction == "forward"))
   }
 }

@@ -37,7 +37,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key on both sides")
@@ -57,15 +58,20 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * sessions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false`: last right row at-or-BEFORE each left timestamp.
+  * `forward = true`: first right row at-or-AFTER — the mirror image:
+  * both sides sort ts DESCENDING and the merge consumes while
+  * `rts >= lts`, so the retained row is the minimal qualifying rts. */
 final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -76,10 +82,15 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** (key…, ts) ascending within partitions; the merge relies on it. */
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+  /** (key… asc, ts asc|desc) within partitions; the merge relies on it.
+    * Keys always ascend; only the ts direction flips for forward. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val tsDir = if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+      else Ascending
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
+  }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -136,14 +147,17 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           if (lKey.anyNull || lTs.isNullAt(0)) {
             resultProj(joined(l, nullRight)) // null key/ts never matches
           } else {
-            // consume right rows that are at-or-before the left cursor:
-            // earlier key groups (skip), same group with null ts (skip —
-            // sorted first), same group with ts <= left ts (candidate)
+            // consume right rows on the qualifying side of the left
+            // cursor: earlier key groups (skip), same group with null
+            // ts (skip), same group with ts at-or-before (backward) /
+            // at-or-after (forward) the cursor (candidate) — the ts
+            // sort direction makes qualifying rows a prefix either way
             var continue = rRow != null
             while (continue) {
               val c = keyOrd.compare(rKey, lKey)
+              val tc = if (c == 0 && !rTs.isNullAt(0)) tsOrd.compare(rTs, lTs) else 0
               if (c < 0 || (c == 0 && rTs.isNullAt(0))) advanceRight()
-              else if (c == 0 && tsOrd.compare(rTs, lTs) <= 0) {
+              else if (c == 0 && (if (forward) tc >= 0 else tc <= 0)) {
                 if (!rKey.anyNull) { lastMatch = rRow; lastMatchKey = rKey }
                 advanceRight()
               } else continue = false
