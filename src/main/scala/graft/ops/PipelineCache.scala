@@ -35,8 +35,54 @@ object PipelineCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
+  /** session keys registered per applicationId, so an application-end
+    * event can evict every entry its sessions left behind. */
+  private val sessionsByApp =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private val hookedApps =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Stable per-session identity. `sessionUUID` is unique for the
+    * session's lifetime AND never reused, unlike an identity hash,
+    * which a later session can collide with after this one is
+    * collected (and whose entries would otherwise never be evicted). */
   private def sessionKey(s: SparkSession): String =
-    System.identityHashCode(s).toHexString
+    org.apache.spark.sql.graftbridge.GraftBridge.sessionUUID(s)
+      // Non-classic implementations can't share persisted plans anyway;
+      // fall back to an identity key rather than fail.
+      .getOrElse("id:" + System.identityHashCode(s).toHexString)
+
+  /** Drop every cache entry belonging to `sk`, tolerating a stopped
+    * context (unpersist on a dead session is then a best-effort no-op). */
+  private def evictSessionKey(sk: String): Unit =
+    cache.keys.filter(_._1 == sk).foreach { k =>
+      cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+
+  /** Visible for tests: evict everything registered under `appId`, as
+    * the application-end listener does. */
+  private[ops] def evictApplication(appId: String): Unit = {
+    sessionsByApp.remove(appId).getOrElse(Set.empty).foreach(evictSessionKey)
+    hookedApps.remove(appId)
+  }
+
+  /** Tie `sk`'s entries to its context's lifecycle: one listener per
+    * application clears all of that application's entries at
+    * application end, so stopped sessions never leak persisted plans. */
+  private def registerEviction(s: SparkSession, sk: String): Unit = {
+    val sc = s.sparkContext
+    val appId = sc.applicationId
+    sessionsByApp.updateWith(appId)(prev => Some(prev.getOrElse(Set.empty) + sk))
+    if (hookedApps.putIfAbsent(appId, ()).isEmpty) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictApplication(appId)
+      })
+    }
+  }
 
   def enabled(s: SparkSession): Boolean =
     s.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true"))
@@ -54,8 +100,12 @@ object PipelineCache {
   def getOrPersist(s: SparkSession, dir: String, owner: String)
       (build: => DataFrame): DataFrame =
     if (!enabled(s)) build
-    else cache.getOrElseUpdate((sessionKey(s), dir, owner),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    else {
+      val sk = sessionKey(s)
+      registerEviction(s, sk)
+      cache.getOrElseUpdate((sk, dir, owner),
+        build.persist(StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Drop (and unpersist) every entry this `owner` holds in `s` —
     * including `owner/…` sub-pipelines — so its next run rebuilds from

@@ -25,4 +25,13 @@ object GraftBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Stable, never-reused per-session identity (`sessionUUID` is
+    * `private[sql]` on the classic session). None for non-classic
+    * implementations. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
 }

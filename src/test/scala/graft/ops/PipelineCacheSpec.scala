@@ -41,6 +41,31 @@ class PipelineCacheSpec extends SparkTestBase {
     }
   }
 
+  test("entries are per-session (sessionUUID key) and evicted at application end") {
+    spark.conf.set(PipelineCache.ConfKey, "true")
+    val other = spark.newSession()
+    other.conf.set(PipelineCache.ConfKey, "true")
+    try {
+      var builds = 0
+      def build = { builds += 1; spark.range(3).toDF("doc_id") }
+      PipelineCache.getOrPersist(spark, sf, "owner_c")(build)
+      PipelineCache.getOrPersist(other, sf, "owner_c")(build)
+      assert(builds == 2, "sibling sessions must not share entries")
+      PipelineCache.getOrPersist(spark, sf, "owner_c")(build)
+      PipelineCache.getOrPersist(other, sf, "owner_c")(build)
+      assert(builds == 2, "each session still memoizes its own entry")
+      // the application-end listener path, driven directly
+      PipelineCache.evictApplication(spark.sparkContext.applicationId)
+      PipelineCache.getOrPersist(spark, sf, "owner_c")(build)
+      PipelineCache.getOrPersist(other, sf, "owner_c")(build)
+      assert(builds == 4, "application end must evict every session's entries")
+    } finally {
+      PipelineCache.clear(spark)
+      PipelineCache.clear(other)
+      spark.conf.unset(PipelineCache.ConfKey)
+    }
+  }
+
   test("q29/q42 results are identical with the cache on") {
     val off29 = Dedup.nearDedup(spark, sf).collect().toSeq
     val off42 = Similarity.embNearDedup(spark, sf).collect().toSeq
