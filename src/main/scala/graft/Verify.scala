@@ -30,6 +30,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Surface the LSH bucket-cap counters: a truncating cap means the
+    // dumped q28/q31/q32/q35 (and derived q29/q42) results are weaker
+    // than the documented semantics — that must be a loud, machine-
+    // visible line in the verify output, never just an executor log.
+    val skew = ops.LshSkew.truncatedFamilies(spark)
+    skew.foreach { case (fam, s) =>
+      System.err.println(s"[verify] WARNING lsh_over_cap family=$fam " +
+        s"dropped_rows=${s.overCapRows} max_bucket=${s.maxBucket}")
+    }
+    if (skew.isEmpty)
+      System.err.println("[verify] lsh_over_cap: none (no candidate truncation)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -36,23 +36,75 @@ object LshSkew {
   val MaxBucketConf = "spark.graft.lsh.maxBucket"
   val MaxBucketDefault = 10000L
 
+  /** Strict mode: a bucket over the cap FAILS the query (executor-side
+    * `assert_true`) instead of being truncated. For pipelines where
+    * silently weaker recall is worse than an error — the operator then
+    * either raises the cap deliberately or pre-cleans the degenerate
+    * key. Default off: the cap + surfaced metric is the scale-safe
+    * production posture. */
+  val StrictConf = "spark.graft.lsh.strict"
+
   def maxBucket(s: SparkSession): Long =
     s.conf.get(MaxBucketConf, MaxBucketDefault.toString).toLong
 
+  def strict(s: SparkSession): Boolean =
+    s.conf.get(StrictConf, "false").equalsIgnoreCase("true")
+
   /** Filter `bands` down to rows whose (keys…) bucket is within the
-    * configured cap; observe + log what was dropped. */
+    * configured cap; observe + log + record what was dropped. In
+    * strict mode an over-cap bucket raises instead of truncating. */
   def capBuckets(bands: DataFrame, keys: Seq[String], family: String): DataFrame = {
     val s = bands.sparkSession
     ensureListener(s)
     val cap = maxBucket(s)
     val w = Window.partitionBy(keys.map(col): _*)
-    bands
+    val sized = bands
       .withColumn("__bn", count(lit(1)).over(w))
       .observe(s"graft_lsh_skew_$family",
         sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("over_cap_rows"),
         max(col("__bn")).as("max_bucket"))
-      .filter(col("__bn") <= cap)
-      .drop("__bn")
+    val capped =
+      if (strict(s))
+        // assert_true is NULL when the predicate holds, raises otherwise;
+        // the isNull filter keeps every row that passed the assertion.
+        sized.filter(assert_true(col("__bn") <= cap,
+          concat(lit(s"LSH strict mode [$family]: bucket on (" +
+            keys.mkString(", ") + s") exceeds $MaxBucketConf=$cap: size="),
+            col("__bn"))).isNull)
+      else sized.filter(col("__bn") <= cap)
+    capped.drop("__bn")
+  }
+
+  // ---- surfaced metrics ----------------------------------------------
+  // The observe() counters land here via the QueryExecutionListener, so
+  // callers (Verify, tests, operators embedding the generators) can READ
+  // what the cap did instead of digging through logs. Keyed by
+  // (sessionUUID, family); dropped rows accumulate across actions, max
+  // bucket size keeps the high-water mark.
+
+  /** (over_cap_rows summed, max_bucket high-water) per family. */
+  final case class Skew(overCapRows: Long, maxBucket: Long)
+
+  private val recorded =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Skew]
+
+  private def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.graftbridge.GraftBridge.sessionUUID(s)
+      .getOrElse("id:" + System.identityHashCode(s).toHexString)
+
+  /** What the caps observed in this session so far, by family. */
+  def observedSkew(s: SparkSession): Map[String, Skew] = {
+    val sk = sessionKey(s)
+    recorded.collect { case ((k, fam), v) if k == sk => fam -> v }.toMap
+  }
+
+  /** Families whose cap actually dropped candidate rows this session. */
+  def truncatedFamilies(s: SparkSession): Map[String, Skew] =
+    observedSkew(s).filter(_._2.overCapRows > 0)
+
+  def resetObserved(s: SparkSession): Unit = {
+    val sk = sessionKey(s)
+    recorded.keys.filter(_._1 == sk).foreach(recorded.remove)
   }
 
   // One listener per session; WeakHashMap so stopped sessions can be
@@ -66,14 +118,21 @@ object LshSkew {
 
   private def ensureListener(s: SparkSession): Unit = seen.synchronized {
     if (seen.add(s)) {
+      val sk = sessionKey(s)
       s.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach {
             case (name, row) if name.startsWith("graft_lsh_skew_") =>
+              val family = name.stripPrefix("graft_lsh_skew_")
               val dropped = row.getAs[Long]("over_cap_rows")
-              val msg = s"$name: over_cap_rows=$dropped " +
-                s"max_bucket=${row.getAs[Long]("max_bucket")}"
+              val maxB = row.getAs[Long]("max_bucket")
+              recorded.updateWith((sk, family)) {
+                case Some(p) => Some(Skew(p.overCapRows + dropped,
+                  math.max(p.maxBucket, maxB)))
+                case None => Some(Skew(dropped, maxB))
+              }
+              val msg = s"$name: over_cap_rows=$dropped max_bucket=$maxB"
               if (dropped > 0) log.warn(s"LSH bucket cap truncated candidates — $msg")
               else log.info(msg)
             case _ =>

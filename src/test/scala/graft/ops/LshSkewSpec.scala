@@ -43,6 +43,47 @@ class LshSkewSpec extends SparkTestBase {
     } finally spark.conf.unset(LshSkew.MaxBucketConf)
   }
 
+  test("truncation is surfaced to callers via observedSkew, not just logs") {
+    spark.conf.set(LshSkew.MaxBucketConf, "50")
+    LshSkew.resetObserved(spark)
+    try {
+      Dedup.minhashPairs(spark, dir).count()
+      val truncated = LshSkew.truncatedFamilies(spark)
+      assert(truncated.contains("minhash"),
+        s"minhash cap must report dropped rows, got $truncated")
+      val s = truncated("minhash")
+      assert(s.overCapRows >= 1000L, "all 1000 hot-bucket rows were dropped")
+      assert(s.maxBucket >= 1000L, "high-water bucket size recorded")
+    } finally {
+      spark.conf.unset(LshSkew.MaxBucketConf)
+      LshSkew.resetObserved(spark)
+    }
+  }
+
+  test("strict mode fails the query on an over-cap bucket instead of truncating") {
+    spark.conf.set(LshSkew.MaxBucketConf, "50")
+    spark.conf.set(LshSkew.StrictConf, "true")
+    try {
+      val e = intercept[Exception] {
+        Dedup.minhashPairs(spark, dir).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("LSH strict mode")),
+        s"expected the strict-mode assertion, got: ${e.getMessage}")
+      // healthy data passes untouched in strict mode
+      val d = tmpDir("strictok")
+      Seq((0L, pairA, "en", "s0", 1L), (1L, pairB, "en", "s1", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      assert(Dedup.minhashPairs(spark, d).count() == 1L)
+    } finally {
+      spark.conf.unset(LshSkew.MaxBucketConf)
+      spark.conf.unset(LshSkew.StrictConf)
+      LshSkew.resetObserved(spark)
+    }
+  }
+
   test("default cap leaves small-bucket results identical") {
     // 30 identical docs: under the default cap, all pairs produced
     val d = tmpDir("smalldocs")
