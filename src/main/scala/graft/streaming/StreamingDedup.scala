@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Append-mode dedup of `docs` (a streaming DataFrame): one survivor
-    * per md5(text) within the watermark horizon over `eventTimeCol`. */
+    * per md5(text) within the watermark horizon over `eventTimeCol`.
+    *
+    * Null text gets a per-row random sentinel key instead of a null
+    * hash: `dropDuplicatesWithinWatermark` compares null keys equal, so
+    * md5(null)=null would collapse ALL null-text rows inside the
+    * horizon to one survivor — distinct rows that merely lack text are
+    * not duplicates of each other. (Content-null rows pass through;
+    * dropping them is a policy the caller applies upstream if wanted.) */
   def exactDedupStream(docs: DataFrame, eventTimeCol: String,
       watermark: String): DataFrame =
     docs
-      .withColumn("content_hash", md5(col("text")))
+      .withColumn("content_hash",
+        coalesce(md5(col("text")), concat(lit("null:"), uuid())))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -67,6 +67,29 @@ class StreamingDedupSpec extends SparkTestBase {
         "the horizon, not by history")
   }
 
+  test("distinct null-text rows are NOT deduped against each other") {
+    // md5(null) is null and dropDuplicatesWithinWatermark compares null
+    // keys equal — without the sentinel, rows 2 and 3 would collapse.
+    val d = tmpDir("snull-in")
+    Seq((1L, Some("doc A"), ts("2026-01-01 10:00:00")),
+        (2L, None: Option[String], ts("2026-01-01 10:00:10")),
+        (3L, None: Option[String], ts("2026-01-01 10:00:20")),
+        (4L, Some("doc A"), ts("2026-01-01 10:00:30")))
+      .toDF("doc_id", "text", "arrival").coalesce(1).write.parquet(s"$d/b1.parquet")
+    val schema = spark.read.parquet(s"$d/b1.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$d/*.parquet")
+    val q = StreamingDedup.exactDedupStream(stream, "arrival", "10 minutes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("snull-ckpt"))
+      .format("memory").queryName("snull").outputMode("append")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("snull").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L),
+      "both null-text rows survive; the real text duplicate still drops")
+  }
+
   test("stateless per-row kernels (q25 doc stats) run on a stream unchanged") {
     val docs = Seq((1L, "en", "s", "hello world the end", 19L))
       .toDF("doc_id", "lang", "source", "text", "n_chars")
