@@ -8,10 +8,13 @@ import java.nio.file.{Files, Paths}
   *     noop write materializes every output column without disk cost.
   *   - one full warm-up pass before the measured passes, so JVM/codegen
   *     warm-up isn't attributed to whichever query runs first.
-  *   - two measured passes, min per query: single-pass numbers at this
-  *     scale swing several × on stop-the-world GC left over from a
-  *     neighbor query (observed 1 s ↔ 18 s on the same query); the min
-  *     of two is the standard noise floor.
+  *   - three measured passes, min per query: single-pass numbers at
+  *     this scale swing several × on stop-the-world GC left over from a
+  *     neighbor query (observed 1 s ↔ 18 s on the same query), and the
+  *     round-3 driver run showed min-of-two still letting 4–6 s
+  *     contention spikes through on a loaded host (q01 6.3 s vs 0.7 s
+  *     here). Min of three on ~0.5 s medians costs ~25 s of wall clock
+  *     and removes the double-spike failure mode.
   *   - per-query failures are REPORTED (errors map), never recorded as a
   *     fake fast time.
   *   - the metric JSON is printed as a plain stdout line AND written to
@@ -59,7 +62,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => runOnce(n, SparkEntry.queries(n))) // warm-up pass
     val measured = names.map { n =>
-      val runs = Seq.fill(2)(runOnce(n, SparkEntry.queries(n)))
+      // GC between queries so a neighbor's garbage isn't attributed to
+      // this query's first measured run.
+      System.gc()
+      val runs = Seq.fill(3)(runOnce(n, SparkEntry.queries(n)))
       val ok = runs.collect { case Right(v) => v }
       n -> (if (ok.nonEmpty) Right(ok.min) else runs.head)
     }
