@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data preparation operators (q47–q51): repetition-based
+  * quality filtering, deterministic dataset splitting, tf-idf term
+  * ranking, stratified sampling, and quantile feature binning.
+  *
+  * These are the ops a 100 TB pretraining pipeline runs between raw
+  * ingest and tokenization. Design rules shared by all five:
+  *   - integer arithmetic end-to-end (counts, integer division,
+  *     md5-prefix hashing) so the DuckDB oracle hash-matches exactly —
+  *     no floating-point round-off surface;
+  *   - the heavy shapes are word-count aggregations (explode →
+  *     two-level partial agg) and window functions, both of which scale
+  *     linearly and keep partial aggregation on the map side;
+  *   - sampling/splitting is a pure per-row projection on a content
+  *     hash: deterministic, re-runnable, no shuffle at all.
+  */
+object DataPrep {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** First-8-hex-digits-of-md5 as BIGINT — the cross-engine hash
+    * (see TextAnalysis.wordHash). */
+  private def h8(c: Column): Column =
+    graft.functions.ArrayFunctions.md5Prefix(c, 8)
+
+  /** Integer per-mille: (num * 1000) div den, 0 when den = 0. Both
+    * operands are non-negative longs ≤ ~1e9·1000, exact in a double,
+    * so floor(double-div) ≡ integer div in both engines. */
+  private def perMille(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(num * lit(1000L) / den)).cast("long")
+
+  // ---- q47: repetition / quality stats (Gopher-style) ----------------
+
+  /** Keep-thresholds (per-mille). A doc is kept when at most
+    * `MaxDupTokenMilli`/1000 of its tokens are repeats of earlier
+    * tokens AND its most frequent bigram is at most
+    * `MaxTopBigramMilli`/1000 of all bigrams — the standard repetition
+    * filters for boilerplate/spam (Gopher §A1.1 shape). */
+  val MaxDupTokenMilli = 600L
+  val MaxTopBigramMilli = 65L
+
+  /** The top-bigram fraction is statistically meaningless on tiny docs
+    * (1 bigram of 7 is already 142‰); the filter only applies to docs
+    * with at least this many bigrams, as the length-guarded repetition
+    * filters do. */
+  val MinBigramsForFilter = 20L
+
+  /** Per-document repetition statistics + keep flag (q47).
+    *
+    * Token/bigram top-frequencies are computed as distributed
+    * word-count aggregations (explode → groupBy(doc, gram) →
+    * groupBy(doc) max), NOT per-row higher-order loops: a per-row
+    * `transform(distinct, count-occurrences)` is O(k·n) per document
+    * and degenerates on a pathological 1 M-token doc, while the
+    * two-level agg is linear with map-side partial aggregation. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val base = d.select(
+      col("doc_id"),
+      when(length(concat_ws("", col("w"))) === 0, 0L)
+        .otherwise(size(col("w"))).cast("long").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+      greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"))
+    val topTok = d.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("top_token_count"))
+    val bigrams = d.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val topBg = bigrams
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(max("count").as("top_bigram_count"))
+    base
+      .join(topTok, Seq("doc_id"), "left")
+      .join(topBg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_bigrams"),
+        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        perMille(col("n_tokens") - col("n_distinct"), col("n_tokens"))
+          .as("dup_token_milli"),
+        perMille(coalesce(col("top_bigram_count"), lit(0L)), col("n_bigrams"))
+          .as("top_bigram_milli"))
+      .withColumn("keep",
+        (col("dup_token_milli") <= MaxDupTokenMilli &&
+          (col("n_bigrams") < MinBigramsForFilter ||
+            col("top_bigram_milli") <= MaxTopBigramMilli)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q48: deterministic train/val/test split -----------------------
+
+  /** Hash-split bucket bounds (percent of the 100-bucket space). */
+  val TrainPct = 80L
+  val ValPct = 90L // buckets [80, 90) → val, [90, 100) → test
+
+  /** Deterministic dataset split (q48): bucket = md5(doc_id) % 100.
+    * Pure per-row projection — no shuffle, no RNG state, stable under
+    * re-runs/retries and across cluster sizes, which is the property
+    * that matters for a split (a `rand()` split changes membership on
+    * every recompute and poisons eval sets). */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (h8(col("doc_id").cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < ValPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  // ---- q49: tf-idf top terms per document ----------------------------
+
+  val TfIdfTopK = 3
+
+  /** Integer tf-idf (q49): score = tf · ((N·1000) div df), top-3 terms
+    * per document, ties broken by term. The idf is integer-scaled
+    * instead of a log so both engines agree bit-for-bit; the ranking
+    * behavior (rare terms up-weighted) is the same.
+    *
+    * Shape: word-count agg for tf; df derived from tf by a second agg
+    * (one row per (doc, term) already exists, so df = COUNT(*) per
+    * term); N joined in as a broadcast 1-row aggregate — the whole
+    * pipeline is three hash aggregations and one broadcast, no
+    * driver-side scalars. */
+  def tfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * floor(col("n_docs") * lit(1000L) / col("df")).cast("long"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  // ---- q50: stratified sampling --------------------------------------
+
+  /** Per-stratum sample rates (per-mille). The overrepresented language
+    * is downsampled hard; scarcer strata keep more — the standard
+    * rebalancing move for a multilingual corpus. */
+  val StratRates: Seq[(String, Long)] =
+    Seq("en" -> 100L, "de" -> 250L, "es" -> 250L, "fr" -> 250L, "zh" -> 500L)
+
+  /** Deterministic stratified sample (q50): keep a doc when
+    * md5('strat:' ++ doc_id) % 1000 < rate(lang). The salt decorrelates
+    * this membership from q48's split buckets (same hash on different
+    * keys); unknown strata default to rate 0 (dropped). Per-row
+    * projection + filter — shuffle-free, pushdown-friendly. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = StratRates.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (h8(concat(lit("strat:"), col("doc_id").cast("string"))) % 1000)
+          .as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  // ---- q51: quantile feature binning ---------------------------------
+
+  val NBins = 10
+
+  /** Decile feature binning (q51): ntile(10) of event value within each
+    * event_type, tie-broken by event_id so the assignment is total and
+    * deterministic. One shuffle on event_type + a sort within
+    * partitions — at 100 TB the per-type sort is the cost, which is
+    * exactly what a quantile binning must pay (or move to the GK-sketch
+    * approximate binning of q40 when exact ranks aren't required). */
+  def featureBins(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("bin", ntile(NBins).over(
+        Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)))
+      .select(col("event_id"), col("event_type"), col("bin").cast("long").as("bin"),
+        Det.cents(col("value")).cast("long").as("value_cents"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_repetition_stats" -> (repetitionStats _),
+    "q48_hash_split" -> (hashSplit _),
+    "q49_tfidf_topk" -> (tfIdfTopTerms _),
+    "q50_stratified_sample" -> (stratifiedSample _),
+    "q51_feature_binning" -> (featureBins _)
+  )
+
+  private def h8Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q47_repetition_stats" ->
+      s"""WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |base AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(list_aggregate(w, 'string_agg', '')) = 0 THEN 0
+        |       ELSE len(w) END AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  greatest(len(w) - 1, 0) AS n_bigrams
+        | FROM d),
+        |tok AS (
+        | SELECT doc_id, unnest(w) AS tok,
+        |        generate_subscripts(w, 1) AS i
+        | FROM d),
+        |toptok AS (
+        | SELECT doc_id, max(c) AS top_token_count FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        | GROUP BY doc_id),
+        |bg AS (
+        | SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+        | FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |topbg AS (
+        | SELECT doc_id, max(c) AS top_bigram_count FROM (
+        |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        | GROUP BY doc_id)
+        |SELECT base.doc_id, n_tokens, n_distinct, n_bigrams,
+        | coalesce(top_token_count, 0) AS top_token_count,
+        | coalesce(top_bigram_count, 0) AS top_bigram_count,
+        | CASE WHEN n_tokens = 0 THEN 0
+        |      ELSE (n_tokens - n_distinct) * 1000 // n_tokens END AS dup_token_milli,
+        | CASE WHEN n_bigrams = 0 THEN 0
+        |      ELSE coalesce(top_bigram_count, 0) * 1000 // n_bigrams END AS top_bigram_milli,
+        | CAST(dup_token_milli <= $MaxDupTokenMilli AND
+        |   (n_bigrams < $MinBigramsForFilter OR top_bigram_milli <= $MaxTopBigramMilli) AS BIGINT) AS keep
+        |FROM base
+        |LEFT JOIN toptok ON base.doc_id = toptok.doc_id
+        |LEFT JOIN topbg ON base.doc_id = topbg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q48_hash_split" ->
+      s"""SELECT doc_id,
+         | ${h8Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         | CASE WHEN bucket < $TrainPct THEN 'train'
+         |      WHEN bucket < $ValPct THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q49_tfidf_topk" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         | FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         | SELECT doc_id, term, tf, df, tf * ((n_docs * 1000) // df) AS score
+         | FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (
+         | SELECT *, row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+         | FROM scored)
+         |SELECT doc_id, term, tf, df, score, rnk
+         |FROM r WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""".stripMargin,
+    "q50_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         | ${h8Sql("concat('strat:', CAST(doc_id AS VARCHAR))")} % 1000 AS bucket
+         |FROM documents
+         |WHERE bucket < (CASE lang ${
+          StratRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+        } ELSE 0 END)
+         |ORDER BY doc_id""".stripMargin,
+    "q51_feature_binning" ->
+      s"""SELECT event_id, event_type,
+         | ntile($NBins) OVER (
+         |   PARTITION BY event_type ORDER BY value, event_id) AS bin,
+         | CAST(round(value * 100) AS BIGINT) AS value_cents
+         |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** q47–q51 kernels on handcrafted documents/events where every
+  * statistic is checkable by eye. */
+class DataPrepSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** a: clean (8 tokens, 1 repeat); b: degenerate "spam spam …";
+    * c: single token (no bigrams); d: half-and-half repetition. */
+  private lazy val docsDir: String = {
+    val d = tmpDir("dataprep")
+    Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf alpha", "en", "s1", 48L),
+      (2L, "spam spam spam spam spam spam spam spam spam spam", "en", "s2", 49L),
+      (3L, "single", "de", "s3", 6L),
+      (4L, "x y x y x y z w", "fr", "s4", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q47: repetition stats — counts, integer per-milles, keep flag") {
+    val rows = DataPrep.repetitionStats(spark, docsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val a = rows(1L)
+    assert(a.getAs[Long]("n_tokens") == 8 && a.getAs[Long]("n_distinct") == 7)
+    assert(a.getAs[Long]("top_token_count") == 2) // "alpha" twice
+    assert(a.getAs[Long]("dup_token_milli") == 125) // 1000/8
+    assert(a.getAs[Long]("top_bigram_milli") == 142) // 1*1000 div 7
+    assert(a.getAs[Long]("keep") == 1)
+
+    val b = rows(2L)
+    assert(b.getAs[Long]("dup_token_milli") == 900) // 9*1000 div 10
+    assert(b.getAs[Long]("top_bigram_count") == 9) // "spam spam" ×9
+    assert(b.getAs[Long]("top_bigram_milli") == 1000)
+    assert(b.getAs[Long]("keep") == 0)
+
+    val c = rows(3L)
+    assert(c.getAs[Long]("n_bigrams") == 0 && c.getAs[Long]("top_bigram_count") == 0)
+    assert(c.getAs[Long]("top_bigram_milli") == 0)
+    assert(c.getAs[Long]("keep") == 1)
+
+    val dd = rows(4L)
+    assert(dd.getAs[Long]("n_tokens") == 8 && dd.getAs[Long]("n_distinct") == 4)
+    assert(dd.getAs[Long]("dup_token_milli") == 500)
+    assert(dd.getAs[Long]("top_bigram_count") == 3) // "y x" ×3
+    assert(dd.getAs[Long]("top_bigram_milli") == 428) // 3000 div 7
+    assert(dd.getAs[Long]("keep") == 1, // under the min-bigram guard
+      "tiny doc passes the bigram filter, dup fraction is within bounds")
+  }
+
+  test("q48: hash split is deterministic, total, and hits the bucket bounds") {
+    val one = DataPrep.hashSplit(spark, docsDir).collect()
+    val two = DataPrep.hashSplit(spark, docsDir).collect()
+    assert(one.toSeq == two.toSeq, "re-run must give identical membership")
+    assert(one.length == 4)
+    one.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val s = r.getAs[String]("split")
+      assert(b >= 0 && b < 100)
+      val expect = if (b < DataPrep.TrainPct) "train"
+        else if (b < DataPrep.ValPct) "val" else "test"
+      assert(s == expect)
+    }
+  }
+
+  test("q49: tf-idf ranks rare terms above common ones, ties by term") {
+    // common appears in all 3 docs; rare terms only in one
+    val d = tmpDir("tfidf")
+    Seq((1L, "common rare1 common", "en", "s", 1L),
+        (2L, "common rare2", "en", "s", 1L),
+        (3L, "common", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = DataPrep.tfIdfTopTerms(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("score"), r.getAs[Long]("rnk")))
+    // doc 1: rare1 df=1 → idf 3000, score 3000; common tf=2 df=3 → 2000
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("rare1", 3000L, 1L), ("common", 2000L, 2L)))
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("common", 1000L, 1L)))
+  }
+
+  test("q50: stratified sample respects per-stratum rates and is deterministic") {
+    val d = tmpDir("strat")
+    // 200 en + 200 zh docs: en @10% and zh @50% should separate clearly
+    (0L until 400L).map(i =>
+        (i, s"text $i", if (i < 200) "en" else "zh", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val kept = DataPrep.stratifiedSample(spark, d).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val en = byLang.getOrElse("en", 0)
+    val zh = byLang.getOrElse("zh", 0)
+    assert(en > 0 && en < 60, s"en @100/1000 of 200 docs, got $en")
+    assert(zh > 60 && zh < 140, s"zh @500/1000 of 200 docs, got $zh")
+    val rates = DataPrep.StratRates.toMap
+    kept.foreach(r => assert(r.getAs[Long]("bucket") <
+      rates(r.getAs[String]("lang"))))
+    assert(DataPrep.stratifiedSample(spark, d).collect().toSeq == kept.toSeq)
+  }
+
+  test("q51: decile bins are balanced within each event_type and ordered by value") {
+    val d = tmpDir("bins")
+    val rows = (1L to 100L).map(i => (i, java.sql.Timestamp.valueOf(
+        "2026-01-01 00:00:00"), i % 7, "click", i.toDouble / 4, "{}")) ++
+      (101L to 130L).map(i => (i, java.sql.Timestamp.valueOf(
+        "2026-01-01 00:00:00"), i % 7, "view", -i.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = DataPrep.featureBins(spark, d).collect()
+    val clicks = got.filter(_.getAs[String]("event_type") == "click")
+    // 100 rows → exactly 10 per decile
+    assert(clicks.groupBy(_.getAs[Long]("bin")).forall(_._2.length == 10))
+    // bin is monotone in value
+    val sorted = clicks.sortBy(_.getAs[Long]("value_cents"))
+    assert(sorted.map(_.getAs[Long]("bin")).toSeq == sorted.map(_.getAs[Long]("bin")).toSeq.sorted)
+    // 30 views → ntile: bins 1..10 of size 3
+    val views = got.filter(_.getAs[String]("event_type") == "view")
+    assert(views.groupBy(_.getAs[Long]("bin")).forall(_._2.length == 3))
+  }
+}
