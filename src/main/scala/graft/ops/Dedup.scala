@@ -215,6 +215,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------- q52: transitive near-dup clusters (connected components) ----------
+
+  /** Iteration cap: min-label propagation needs (component diameter)
+    * rounds; near-dup clusters are dense blobs of chained variants with
+    * tiny diameters, so 20 is generous. A component still unconverged
+    * at the cap fails loudly rather than emitting wrong labels. */
+  val MaxCcIterations = 20
+
+  /** Connected components over the verified q28 pair graph (q52):
+    * every document gets `cluster` = min doc_id transitively reachable
+    * through near-dup pairs (singletons label themselves).
+    *
+    * q29's keep-min anti-join treats each pair independently — for
+    * A~B, B~C (but A≁C) it keeps only A, which is the cheap
+    * one-pass answer. The cluster view is the complete one: it makes
+    * "keep one representative per transitive cluster" exact, at the
+    * price of an iterative algorithm.
+    *
+    * Implementation is distributed min-label propagation: each round,
+    * every node takes the min of its own label and its neighbors'
+    * labels — a join + partial-agg min + outer join, all hash-shuffled
+    * on node id, nothing driver-side except the O(diameter) loop and
+    * its scalar convergence count (the same driver loop every Pregel
+    * implementation runs; each round's data path is fully parallel).
+    * Labels are persisted per round and the previous round unpersisted,
+    * so lineage stays bounded. For adversarial million-hop chain graphs
+    * the round count, not the data path, is the limit — the standard
+    * fix (large-star/small-star pointer doubling, O(log n) rounds)
+    * drops into the same loop; near-dup graphs never need it. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+    // undirected: propagate both ways
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Every round references the previous labels TWICE (own label +
+    // neighbor side), so an unpersisted lineage recomputes 2^rounds
+    // times — each round must be persisted while the loop runs, and the
+    // final result lineage-truncated before those persists are dropped.
+    val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += labels
+    var converged = false
+    var it = 0
+    while (!converged && it < MaxCcIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy("u").agg(min("vlbl").as("nlbl"))
+      val joined = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches += joined
+      converged = joined.filter(col("nl") < col("lbl")).isEmpty
+      labels = joined.select(col("u"), col("nl").as("lbl"))
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge in $MaxCcIterations rounds — " +
+        "component diameter exceeds the cap; switch to pointer doubling")
+    // Materialize the fixpoint and cut the iterative lineage, then
+    // release every round's cache — nothing stays registered with the
+    // cache manager after the operator returns. (Single-process
+    // checkpoint; a multi-node deployment points this at a reliable
+    // checkpoint dir instead.)
+    val fixed = labels.localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(blocking = false))
+    fixed
+      .select(col("u").as("doc_id"), col("lbl").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
   // ---------- q44: exact dedup (hash-groupBy) ----------
 
   /** Exact-duplicate collapse — the first (and cheapest) pass of any
@@ -320,7 +396,8 @@ object Dedup {
     "q30_simhash" -> (simhashDocs _),
     "q31_simhash_pairs" -> (simhashPairs _),
     "q32_ngram_anchor_jaccard" -> (anchorJaccard _),
-    "q44_exact_dedup" -> (exactDedup _)
+    "q44_exact_dedup" -> (exactDedup _),
+    "q52_dedup_clusters" -> (dedupClusters _)
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -337,7 +414,9 @@ object Dedup {
     val sigList = Perms.map { case (a, b) =>
       s"list_min(list_transform(h, x -> ($a*x + $b) % $P))"
     }.mkString(",\n   ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    // RECURSIVE is inert for q28/q29 (no self-referencing CTE there);
+    // q52 appends its recursive reachability CTE to this same chain.
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |   generate_series(1, greatest(len(ws)-2, 0)),
        |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
@@ -427,6 +506,21 @@ object Dedup {
          |   CAST(round(1000.0 * inter_g / union_g) AS BIGINT) AS j4_milli
          |FROM p WHERE CAST(round(1000.0 * inter_g / union_g) AS BIGINT) >= $J4MilliMin
          |ORDER BY doc_a, doc_b""".stripMargin
-    }
+    },
+    // Transitive reachability as a recursive CTE: UNION (not UNION ALL)
+    // dedupes (node, label) states, so the fixpoint is finite; the min
+    // per node is the component label — the oracle states WHAT a
+    // connected component is, the Spark side is the HOW at scale.
+    "q52_dedup_clusters" ->
+      s"""$minhashCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
+         |   UNION
+         |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u)
+         |SELECT doc_id, cluster,
+         |   count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin
   )
 }

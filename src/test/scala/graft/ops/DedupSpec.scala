@@ -79,6 +79,43 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q52 labels transitive chains one cluster; q29's pairwise rule cannot") {
+    // A chain A~B~C where A and C differ in TWO words (still near-dup
+    // pairwise neighbors of B, and of each other only transitively).
+    val d = tmpDir("ccdocs")
+    val a = base
+    val b = base.replace("november", "NOVEMBER-X")
+    val c = base.replace("november", "NOVEMBER-X").replace("quebec", "QUEBEC-Y")
+    Seq(
+      (10L, a, "en", "s", 1L), (11L, b, "en", "s", 1L), (12L, c, "en", "s", 1L),
+      (20L, "totally different content with no overlap whatsoever at all " +
+        "nothing shared here believe me not even a little bit of text", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Dedup.dedupClusters(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
+    assert(got(10L) == (10L, 3L) && got(11L) == (10L, 3L) && got(12L) == (10L, 3L),
+      s"chain must collapse to one cluster labeled by its min id, got $got")
+    assert(got(20L) == (20L, 1L), "unrelated doc is a singleton")
+  }
+
+  test("q52 is a fixpoint: every doc labeled, labels are cluster minima, no cache leak") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Dedup.dedupClusters(spark, dir).collect()
+    assert(got.length == 5, "every document gets a label, singletons included")
+    val byCluster = got.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (lbl, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == lbl,
+        "cluster label is the min member id")
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") == members.length))
+    }
+    // docs 0,1,2 are pairwise near-dups → one cluster; 3 and 4 singletons
+    assert(byCluster.keySet == Set(0L, 3L, 4L))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "iteration caches must be released (only the localCheckpoint block row may remain)")
+  }
+
   test("q44 exact dedup keeps the min-id survivor per identical text only") {
     val rows = Dedup.exactDedup(spark, dir).collect()
     assert(rows.length === 4, "5 docs, one exact-copy pair → 4 groups")
