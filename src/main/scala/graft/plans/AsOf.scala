@@ -27,10 +27,17 @@ object AsOf {
 
   /** `direction = "backward"` (default): last right row at-or-before
     * each left timestamp. `direction = "forward"`: first right row
-    * at-or-after (pandas merge_asof's direction vocabulary). */
+    * at-or-after (pandas merge_asof's direction vocabulary).
+    *
+    * `tieBreak`: right-side columns that deterministically order rows
+    * sharing the same (key, ts) — the greatest tiebreak wins backward,
+    * the least forward (a lexicographic extension of the timestamp;
+    * see [[AsOfJoin]]). Without it, ties resolve to an arbitrary
+    * stable-per-run but not run-to-run-stable row. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     val spark = left.sparkSession
@@ -59,7 +66,8 @@ object AsOf {
     require(lt.dataType == rt.dataType,
       s"timestamp type mismatch: ${lt.dataType} vs ${rt.dataType}")
 
+    val tb = tieBreak.map(attr(rPlan.output, _, "right"))
     GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
-      forward = direction == "forward"))
+      forward = direction == "forward", rightTieBreak = tb))
   }
 }

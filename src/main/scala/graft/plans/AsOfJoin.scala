@@ -31,14 +31,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * left timestamp never matches; right rows with null keys or null
   * timestamps are never match candidates. Ties: right rows are
   * consumed in (key, ts ASC) order and the LAST at-or-before row wins,
-  * so among equal right timestamps the one latest in the right sort
-  * order is attached — keep the right side unique per (key, ts) when
-  * that matters (the harness query dedupes).
+  * so among equal right timestamps the winner is whichever the sort
+  * left last — nondeterministic unless the right side is unique per
+  * (key, ts). `rightTieBreak` closes that hole deterministically: the
+  * tiebreak expressions extend the timestamp ordering
+  * lexicographically (sorted in the same direction as ts), so among
+  * equal right timestamps the greatest tiebreak wins backward and the
+  * least wins forward — "closest in compound (ts, tiebreak…) time".
+  * Tiebreak columns never affect WHICH rows qualify, only which tied
+  * row is attached.
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    rightTieBreak: Seq[Expression] = Nil) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key on both sides")
@@ -58,8 +65,8 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * sessions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd, tb) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +78,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    rightTieBreak: Seq[Expression] = Nil) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -83,13 +91,17 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** (key… asc, ts asc|desc) within partitions; the merge relies on it.
-    * Keys always ascend; only the ts direction flips for forward. */
+    * Keys always ascend; only the ts direction flips for forward. The
+    * right side additionally sorts by the tiebreak expressions in the
+    * ts direction, so "last consumed among equal ts" — the row the
+    * merge retains — is the deterministic compound-time winner. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
     val tsDir = if (forward) org.apache.spark.sql.catalyst.expressions.Descending
       else Ascending
     Seq(
       leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
-      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir)) ++
+        rightTieBreak.map(SortOrder(_, tsDir)))
   }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning

@@ -39,9 +39,19 @@ import scala.jdk.CollectionConverters._
   *  - **Exactly-once row ownership**: the API's bbox bounds are
   *    inclusive, so a state sitting exactly on an interior split line
   *    is returned by BOTH adjacent bands. Each band keeps only rows
-  *    with `lat < bandHigh` (the top band keeps its upper edge), and
-  *    rows without a parseable latitude belong to the FIRST band —
+  *    with `lat < bandHigh` (the top band keeps its upper edge) —
   *    no duplicates, no losses, no cross-partition coordination.
+  *    Rows without a parseable latitude are owned by the band
+  *    `hash(stable id) % splits`: a bbox query cannot position-filter
+  *    a position-less state, so the API either omits such rows
+  *    entirely or returns them identically to every band's reply
+  *    (the assumption this scheme — and any coordination-free one —
+  *    rests on); under it each null-lat row is emitted exactly once,
+  *    spread across bands by id rather than hot-spotting band 0. A
+  *    hypothetical reply violating the assumption (a null-lat row in
+  *    ONE band's reply only) surfaces it with probability
+  *    1/`splits` — same bound as any fixed-owner rule without
+  *    cross-partition dedup.
   *  - **One token per scan**: the OAuth2 client-credentials POST runs
   *    once on the driver at batch-planning time (S2 semantics); the
   *    bearer token ships to partitions as part of the read task, not
@@ -125,7 +135,7 @@ private[sources] object StatesPlanner {
       require(splits == 1 || bbox.size == 4,
         "splits > 1 requires a full lamin/lomin/lamax/lomax bbox")
       Array(StatesPartition(0, opts.filter(p => BboxKeys(p._1)), token,
-        keepBelow = None, keepNullLat = true))
+        keepBelow = None, splits = 1))
     } else {
       val (lamin, lamax) = (opts("lamin").toDouble, opts("lamax").toDouble)
       val h = (lamax - lamin) / splits
@@ -139,7 +149,7 @@ private[sources] object StatesPlanner {
           // interior bands disown their inclusive upper edge; the top
           // band keeps it (hi == lamax there)
           keepBelow = if (i == splits - 1) None else Some(hi),
-          keepNullLat = i == 0)
+          splits = splits)
       }.toArray[InputPartition]
     }
   }
@@ -244,10 +254,11 @@ private[sources] class StatesMicroBatchStream(opts: Map[String, String],
 }
 
 /** One latitude band. `params` is the complete bbox query for this
-  * band; `keepBelow`/`keepNullLat` implement boundary row ownership. */
+  * band; `keepBelow` implements boundary row ownership and
+  * `splits` the id-hash ownership of null-lat rows (see class doc). */
 private[sources] final case class StatesPartition(idx: Int,
     params: Map[String, String], token: Option[String],
-    keepBelow: Option[Double], keepNullLat: Boolean) extends InputPartition
+    keepBelow: Option[Double], splits: Int) extends InputPartition
 
 private[sources] class StatesReaderFactory(opts: Map[String, String],
     colIdx: Seq[Int]) extends PartitionReaderFactory {
@@ -256,6 +267,7 @@ private[sources] class StatesReaderFactory(opts: Map[String, String],
     val p = partition.asInstanceOf[StatesPartition]
     new PartitionReader[InternalRow] {
       private val LatIdx = graft.etl.FlightStates.RawColumns.indexOf("latitude")
+      private val IdIdx = graft.etl.FlightStates.RawColumns.indexOf("icao24")
       private lazy val rows: Iterator[InternalRow] = {
         val http = OpenSkyStatesSource.backendFor(opts)
         val url = opts.getOrElse("base_url",
@@ -273,7 +285,16 @@ private[sources] class StatesReaderFactory(opts: Map[String, String],
           .filter { cells =>
             val lat = cells(LatIdx).toDoubleOption
             lat match {
-              case None => p.keepNullLat
+              // position-less state: owned by the id-hash band so every
+              // band that sees the (identical, per the class-doc
+              // assumption) row agrees on a single emitter. icao24 is
+              // the API's stable aircraft id; an id-less row falls back
+              // to hashing the whole row so ownership stays agreed.
+              case None =>
+                val id = cells(IdIdx)
+                val stable = if (id.nonEmpty) id else cells.mkString(" ")
+                math.floorMod(scala.util.hashing.MurmurHash3.stringHash(stable),
+                  p.splits) == p.idx
               case Some(v) => p.keepBelow.forall(v < _)
             }
           }

@@ -69,6 +69,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(Set("first", "second").contains(tag))
   }
 
+  test("tieBreak pins ties: max wins backward, min wins forward, candidates unaffected") {
+    val l = Seq((1L, "K", ts("2026-01-01 00:00:10"))).toDF("id", "k", "lts")
+    // seq breaks the (key, ts) tie; rows arrive in adversarial order
+    val r = Seq(
+      ("K", ts("2026-01-01 00:00:05"), 7L, "v7"),
+      ("K", ts("2026-01-01 00:00:05"), 9L, "v9"),
+      ("K", ts("2026-01-01 00:00:05"), 8L, "v8"),
+      ("K", ts("2026-01-01 00:00:20"), 1L, "after-lo"),
+      ("K", ts("2026-01-01 00:00:20"), 3L, "after-hi"),
+      ("K", ts("2026-01-01 00:00:20"), 2L, "after-mid"))
+      .toDF("k", "rts", "seq", "tag").repartition(4)
+    (1 to 3).foreach { _ =>
+      val back = AsOf.join(l, r, Seq("k"), "lts", "rts", tieBreak = Seq("seq"))
+        .select("tag").head().getString(0)
+      assert(back === "v9", "backward attaches the greatest tiebreak among ties")
+      val fwd = AsOf.join(l, r, Seq("k"), "lts", "rts",
+        direction = "forward", tieBreak = Seq("seq"))
+        .select("tag").head().getString(0)
+      assert(fwd === "after-lo", "forward attaches the least tiebreak among ties")
+    }
+  }
+
   test("q45 (custom operator) ≡ q21 (window formulation) on real data") {
     val dir = "/root/testdata/sf0.001"
     val viaOp = graft.ops.Relational.q45AsOfJoinCustom(spark, dir).collect().toSeq

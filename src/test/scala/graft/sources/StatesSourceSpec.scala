@@ -71,6 +71,17 @@ class StatesSourceSpec extends SparkTestBase {
     assert(bands.head._1 === 40.0 && bands.last._2 === 60.0)
   }
 
+  test("null-lat ownership is exactly-once at every split count") {
+    // FakeApi returns the position-less state to EVERY band's bbox
+    // reply (the documented API assumption); the id-hash owner must be
+    // the single emitter whatever the fan-out.
+    Seq(1, 2, 3, 5).foreach { n =>
+      val ids = read(new FakeApi, n).select("icao24").collect().map(_.getString(0))
+      assert(ids.count(_ == "fff666") === 1,
+        s"splits=$n must emit the null-lat row exactly once")
+    }
+  }
+
   test("schema is the raw 17-string-column CSV schema") {
     val df = read(new FakeApi, 1)
     assert(df.schema === graft.etl.FlightStates.rawSchema)
