@@ -199,12 +199,134 @@ object DataPrep {
         Det.cents(col("value")).cast("long").as("value_cents"))
       .orderBy("event_id")
 
+  // ---- q53: PII / log scrubbing --------------------------------------
+
+  /** Redaction patterns, applied in this order (email before ip before
+    * number, so the generic digit-run rule never eats the structured
+    * matches first). The same literal strings are embedded in the
+    * DuckDB oracle — both engines' regex dialects (java.util.regex /
+    * RE2) agree on this conservative subset. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val NumRe = "\\d+"
+
+  /** PII / identifier scrubbing (q53): renders each event as the log
+    * line `<type> uid=<id> props=<json>` (all real columns — nothing
+    * synthesized) and redacts emails → `<EMAIL>`, IPv4s → `<IP>`, then
+    * any remaining digit run → `<NUM>`, counting each pattern at the
+    * stage it is applied (so digits inside an already-redacted email/ip
+    * are not double-counted).
+    *
+    * Pure per-row regex kernels — shuffle-free, scan-speed at 100 TB,
+    * exactly the shape of a production log-scrubbing pass. Each
+    * intermediate string is its own projection: every stage is
+    * referenced twice (count + replace), and an inlined alias would
+    * re-run the whole upstream regex chain per reference (the
+    * measured 10–30× recompute traps documented in Dedup). */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    // concat semantics differ on NULL across engines (Spark concat is
+    // null-propagating, DuckDB's skips) — coalesce each piece in both.
+    def nz(c: Column): Column = coalesce(c, lit(""))
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(nz(col("event_type")), lit(" uid="),
+          nz(col("user_id").cast("string")), lit(" props="),
+          nz(col("props"))).as("raw"))
+      .select(col("event_id"), col("raw"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_email"))
+      .select(col("event_id"), col("n_email"),
+        regexp_replace(col("raw"), EmailRe, "<EMAIL>").as("r1"))
+      .select(col("event_id"), col("n_email"), col("r1"),
+        regexp_count(col("r1"), lit(Ipv4Re)).cast("long").as("n_ip"))
+      .select(col("event_id"), col("n_email"), col("n_ip"),
+        regexp_replace(col("r1"), Ipv4Re, "<IP>").as("r2"))
+      .select(col("event_id"), col("n_email"), col("n_ip"), col("r2"),
+        regexp_count(col("r2"), lit(NumRe)).cast("long").as("n_num"))
+      .select(col("event_id"),
+        regexp_replace(col("r2"), NumRe, "<NUM>").as("redacted"),
+        col("n_email"), col("n_ip"), col("n_num"))
+      .orderBy("event_id")
+  }
+
+  // ---- q54: eval-set decontamination ---------------------------------
+
+  /** Docs with doc_id % EvalMod == 0 stand in for the held-out
+    * benchmark; everything else is the training corpus. */
+  val EvalMod = 20L
+
+  /** Contamination n-gram width — the standard "13-gram" test-set
+    * overlap check scaled to the harness's ~30-word documents. */
+  val NgramN = 8
+
+  /** Distinct word 8-grams from an already-projected words attribute
+    * (the <N guard dodges Spark's descending `sequence`-style count,
+    * and keeps the slice length non-negative).
+    *
+    * Shape matters here: this feeds `explode`, and
+    * InferFiltersFromGenerate adds `size(gs) > 0 AND isnotnull(gs)`
+    * which PushDownPredicates then substitutes — whole expression —
+    * below the words projection. An `element_at(ws, i+k)` formulation
+    * (Dedup.shingles3's, safe there because nothing infers filters on
+    * the shingle column) re-evaluates the inlined `split` receiver per
+    * lambda element in that filter: measured 36 s vs 1 s on this query
+    * at sf0.1. `arrays_zip` of N shifted slices references `ws` once
+    * per row, so the unavoidable substituted copy costs one extra
+    * row-level eval instead of an N·grams regex storm. */
+  private def grams8(ws: Column): Column = {
+    val nGrams = size(ws) - (NgramN - 1)
+    val zipped = arrays_zip(
+      (0 until NgramN).map(k => slice(ws, lit(k + 1), nGrams)): _*)
+    // coalesce with a non-null literal makes the column provably
+    // non-nullable, so the inferred isnotnull(gs) constant-folds and
+    // only the (single-eval) size(gs) > 0 copy survives pushdown
+    coalesce(
+      when(size(ws) >= NgramN,
+        array_distinct(transform(zipped,
+          st => concat_ws(" ", (0 until NgramN).map(k => st.getField(k.toString)): _*))))
+        .otherwise(array().cast("array<string>")),
+      array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination (q54): flag every training document
+    * sharing at least one word 8-gram with the eval slice, with the
+    * shared-gram count and contamination per-mille.
+    *
+    * Shape for 100 TB: grams are hashed to 60-bit ids so the join
+    * moves 8-byte longs, not ~60-byte strings; the eval side — a
+    * benchmark suite, MBs even in production — aggregates to a
+    * DISTINCT hash set and broadcasts, so the training corpus is
+    * scanned once with a map-side semi-join and the only shuffle is
+    * the final per-doc count. The oracle joins on the same md5-prefix
+    * hashes, so both engines agree even in the (≈ n²/2⁶¹) collision
+    * case. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= NgramN)
+      .select(col("doc_id"), grams8(col("ws")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .select(col("doc_id"), col("n_grams"),
+        graft.functions.ArrayFunctions.md5Prefix(col("gram"), 15).as("gh"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select("gh").distinct()
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        perMille(col("n_shared"), col("n_grams")).as("contam_milli"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_repetition_stats" -> (repetitionStats _),
     "q48_hash_split" -> (hashSplit _),
     "q49_tfidf_topk" -> (tfIdfTopTerms _),
     "q50_stratified_sample" -> (stratifiedSample _),
-    "q51_feature_binning" -> (featureBins _)
+    "q51_feature_binning" -> (featureBins _),
+    "q53_pii_scrub" -> (piiScrub _),
+    "q54_decontaminate" -> (decontaminate _)
   )
 
   private def h8Sql(e: String): String =
@@ -285,6 +407,52 @@ object DataPrep {
          | ntile($NBins) OVER (
          |   PARTITION BY event_type ORDER BY value, event_id) AS bin,
          | CAST(round(value * 100) AS BIGINT) AS value_cents
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q53_pii_scrub" ->
+      s"""WITH raw AS (
+         | SELECT event_id,
+         |  coalesce(event_type, '') || ' uid=' ||
+         |  coalesce(CAST(user_id AS VARCHAR), '') || ' props=' ||
+         |  coalesce(props, '') AS raw
+         | FROM events),
+         |s1 AS (
+         | SELECT event_id,
+         |  len(regexp_extract_all(raw, '$EmailRe')) AS n_email,
+         |  regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g') AS r1
+         | FROM raw),
+         |s2 AS (
+         | SELECT event_id, n_email,
+         |  len(regexp_extract_all(r1, '$Ipv4Re')) AS n_ip,
+         |  regexp_replace(r1, '$Ipv4Re', '<IP>', 'g') AS r2
+         | FROM s1)
+         |SELECT event_id,
+         | regexp_replace(r2, '$NumRe', '<NUM>', 'g') AS redacted,
+         | n_email, n_ip,
+         | len(regexp_extract_all(r2, '$NumRe')) AS n_num
+         |FROM s2 ORDER BY event_id""".stripMargin,
+    "q54_decontaminate" -> {
+      val gramCat = (0 until NgramN)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH d AS (
+         | SELECT doc_id, w FROM (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents)
+         | WHERE len(w) >= $NgramN),
+         |g AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(w) - ${NgramN - 1}),
+         |   i -> $gramCat)) AS gs
+         | FROM d),
+         |th AS (
+         | SELECT doc_id, len(gs) AS n_grams,
+         |  CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS gh
+         | FROM g),
+         |eg AS (SELECT DISTINCT gh FROM th WHERE doc_id % $EvalMod = 0)
+         |SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_shared,
+         | (count(*) * 1000) // any_value(n_grams) AS contam_milli
+         |FROM th JOIN eg USING (gh)
+         |WHERE doc_id % $EvalMod != 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

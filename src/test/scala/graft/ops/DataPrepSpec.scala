@@ -125,4 +125,53 @@ class DataPrepSpec extends SparkTestBase {
     val views = got.filter(_.getAs[String]("event_type") == "view")
     assert(views.groupBy(_.getAs[Long]("bin")).forall(_._2.length == 3))
   }
+
+  test("q53: scrubs emails, ips, then digit runs, counting each at its own stage") {
+    val d = tmpDir("pii")
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq(
+      (1L, ts, 42L, "login", 0.0, """{"mail": "bob.smith+x@corp.example.com"}"""),
+      (2L, ts, 7L, "conn", 0.0, """{"src": "10.0.255.1", "port": 8080}"""),
+      (3L, ts, 5L, "plain", 0.0, """{"k": 9}"""),
+      (4L, ts, 3L, null, 0.0, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = DataPrep.piiScrub(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+
+    val mail = got(1L)
+    assert(mail.getAs[String]("redacted") ===
+      """login uid=<NUM> props={"mail": "<EMAIL>"}""")
+    assert(mail.getAs[Long]("n_email") == 1 && mail.getAs[Long]("n_ip") == 0 &&
+      mail.getAs[Long]("n_num") == 1, "digits inside the email are not re-counted")
+
+    val conn = got(2L)
+    assert(conn.getAs[String]("redacted") ===
+      """conn uid=<NUM> props={"src": "<IP>", "port": <NUM>}""")
+    assert(conn.getAs[Long]("n_ip") == 1 && conn.getAs[Long]("n_num") == 2)
+
+    assert(got(3L).getAs[String]("redacted") === """plain uid=<NUM> props={"k": <NUM>}""")
+    // nulls render as empty, never null-propagate the whole line
+    assert(got(4L).getAs[String]("redacted") === " uid=<NUM> props=")
+  }
+
+  test("q54: flags only train docs sharing an 8-gram with the eval slice") {
+    val d = tmpDir("decon")
+    val eval0 = "one two three four five six seven eight nine ten"
+    // 21: shares the 8-gram window "two … nine" (differs at both ends)
+    val contaminated = "ZZZ two three four five six seven eight nine YYY"
+    val clean = "totally different words with no shared window at all here ok"
+    val short = "one two three" // < 8 words → no grams, never flagged
+    Seq((0L, eval0), (21L, contaminated), (22L, clean), (23L, short))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = DataPrep.decontaminate(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("contam_milli")))
+    // doc 21 has 3 8-grams; exactly one ("two…nine") appears in doc 0
+    assert(rows === Array((21L, 3L, 1L, 333L)),
+      s"only the contaminated train doc is flagged, got ${rows.toSeq}")
+  }
 }
