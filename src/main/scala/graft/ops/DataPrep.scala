@@ -319,6 +319,45 @@ object DataPrep {
       .orderBy("doc_id")
   }
 
+  // ---- q55: sequence packing -----------------------------------------
+
+  /** Context-window length (tokens) and shard fan-out for packing. */
+  val SeqLen = 512L
+  val PackShards = 8L
+
+  /** Greedy sequence packing (q55): concatenate documents in a fixed
+    * order and cut the stream into `SeqLen`-token context windows,
+    * emitting for every doc the window (`seq_id`) and offset where it
+    * starts — the accounting a tokenizer-side packer needs (docs may
+    * straddle a boundary; that is standard pack-with-splitting).
+    *
+    * Packing requires an order, and a single global order means a
+    * single-partition sort — so production packs within shards, and so
+    * does this: docs hash-shard by `md5(doc_id) % PackShards`, the
+    * running token total is a per-shard window cumsum, and shards pack
+    * in parallel. At 100 TB the within-shard sort is the whole cost,
+    * which is exactly the price of deterministic packing; `PackShards`
+    * scales with the cluster. Deterministic: same hash, same order,
+    * same windows on every re-run. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val running = sum("n_tokens").over(
+      Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (h8(concat(lit("pack:"), col("doc_id").cast("string"))) % PackShards)
+          .as("shard"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(words(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", (running - col("n_tokens")).cast("long"))
+      // start_tok ≤ total shard tokens ≪ 2^53: floor(double-div) is
+      // exact, matching DuckDB's integer //
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / lit(SeqLen)).cast("long").as("seq_id"),
+        (col("start_tok") % SeqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_repetition_stats" -> (repetitionStats _),
     "q48_hash_split" -> (hashSplit _),
@@ -326,7 +365,8 @@ object DataPrep {
     "q50_stratified_sample" -> (stratifiedSample _),
     "q51_feature_binning" -> (featureBins _),
     "q53_pii_scrub" -> (piiScrub _),
-    "q54_decontaminate" -> (decontaminate _)
+    "q54_decontaminate" -> (decontaminate _),
+    "q55_sequence_pack" -> (sequencePack _)
   )
 
   private def h8Sql(e: String): String =
@@ -453,6 +493,23 @@ object DataPrep {
          |FROM th JOIN eg USING (gh)
          |WHERE doc_id % $EvalMod != 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q55_sequence_pack" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  ${h8Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % $PackShards AS shard,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |    AS start_tok
+         | FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         | start_tok // $SeqLen AS seq_id,
+         | start_tok % $SeqLen AS seq_offset
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

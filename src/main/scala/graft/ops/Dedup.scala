@@ -291,6 +291,150 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------- q56: connected components, scale-adaptive ----------
+
+  /** Below this many pair edges the component structure is solved in a
+    * SINGLE task (coalesce(1) + union-find) instead of iterated
+    * distributed rounds. LSH pair graphs are sparse — pairs ≪ docs —
+    * so even petabyte corpora often land under a few million edges;
+    * burning 6 shuffle stages per round on a working set one task
+    * chews through in milliseconds is the wrong trade (measured: the
+    * sf0.1 graph is 256 edges and the distributed rounds cost 12 s of
+    * pure stage scheduling). One million 16-byte edges ≈ 50 MB of
+    * hash map — comfortable task memory. */
+  val SmallGraphEdgeCap = 1000000L
+
+  /** Connected components over the q28 pair graph, strategy picked by
+    * graph size (q56). Same output contract and the same recursive-CTE
+    * oracle as q52's label propagation; a differential spec pins all
+    * paths equal.
+    *
+    *  - **Small graphs** (≤ `smallGraphCap` edges, counted by the one
+    *    aggregate the loop needs anyway): min-root union-find inside
+    *    one `mapPartitions` task — the GraphFrames-style fallback.
+    *  - **Large graphs**: alternating large-star/small-star rounds
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond") — large-star connects larger neighbors to the
+    *    neighborhood minimum, small-star re-points the rest; both are
+    *    hash aggregations + hash joins on node id, and the edge set
+    *    provably converges in O(log n) rounds to a star per component.
+    *    This is the path q52's Scaladoc promises for adversarial
+    *    long-chain graphs, where label propagation's O(diameter)
+    *    rounds lose to O(log n). */
+  def dedupClustersLargeStar(s: SparkSession, dir: String,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+
+    def undirect(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    /** (v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u}). */
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = undirect(e)
+      val m = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // the distinct pays for itself: near-dup blobs emit the same
+      // (v, m) once per shared neighbor, and small-star's input size
+      // dominates the round (measured 12 s vs 16 s without it)
+      nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+
+    /** Orient high→low, then point the center and every smaller
+      * neighbor at the minimum neighbor. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val hl = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = hl.groupBy("u").agg(min("v").as("m"))
+      hl.join(m, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // Convergence = the (large, small) round is the identity on the
+    // edge set. Comparing sets with exceptAll costs two full traversal
+    // jobs per round; an order-independent aggregate signature costs
+    // one tiny agg on the freshly-cached round (and doubles as the
+    // materializing action). The signature only *suggests* equality —
+    // the exact exceptAll check runs once, when the signature first
+    // repeats, so correctness never rests on a hash.
+    def sig(e: DataFrame) = e
+      .select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+
+    /** Min-root union-find over the whole edge set in one task. Unions
+      * always point the larger root at the smaller, so every final
+      * root IS its component's minimum member; the output is exactly
+      * the star the distributed rounds converge to. */
+    def unionFindStar(e: DataFrame): DataFrame = {
+      import s.implicits._
+      e.select(col("u").as("_1"), col("v").as("_2")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x0: Long): Long = {
+            var r = x0
+            while (parent(r) != r) r = parent(r)
+            var c = x0 // path compression
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val ra = find(a)
+            val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.toArray.iterator
+            .map(n => (n, find(n))).filter(t => t._1 != t._2)
+        }
+        .toDF("u", "v")
+    }
+
+    val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += edges
+    val nEdges = edges.count()
+    val starEdges =
+      if (nEdges <= smallGraphCap) unionFindStar(edges)
+      else {
+        var edgesSig = sig(edges)
+        var converged = false
+        var it = 0
+        while (!converged && it < MaxCcIterations) {
+          val next = smallStar(largeStar(edges))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          roundCaches += next
+          val nextSig = sig(next)
+          converged = nextSig == edgesSig &&
+            next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+          edges = next
+          edgesSig = nextSig
+          it += 1
+        }
+        require(converged,
+          s"pointer doubling did not converge in $MaxCcIterations rounds")
+        edges
+      }
+    val fixed = starEdges.localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(blocking = false))
+    // star edges point every non-root at its component min; roots and
+    // singletons label themselves
+    val lbls = fixed.groupBy("u").agg(min("v").as("lbl"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(lbls.select(col("u").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
   // ---------- q44: exact dedup (hash-groupBy) ----------
 
   /** Exact-duplicate collapse — the first (and cheapest) pass of any
@@ -397,7 +541,8 @@ object Dedup {
     "q31_simhash_pairs" -> (simhashPairs _),
     "q32_ngram_anchor_jaccard" -> (anchorJaccard _),
     "q44_exact_dedup" -> (exactDedup _),
-    "q52_dedup_clusters" -> (dedupClusters _)
+    "q52_dedup_clusters" -> (dedupClusters _),
+    "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -511,16 +656,21 @@ object Dedup {
     // dedupes (node, label) states, so the fixpoint is finite; the min
     // per node is the component label — the oracle states WHAT a
     // connected component is, the Spark side is the HOW at scale.
-    "q52_dedup_clusters" ->
-      s"""$minhashCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
-         |   UNION
-         |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-         |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u)
-         |SELECT doc_id, cluster,
-         |   count(*) OVER (PARTITION BY cluster) AS cluster_size
-         |FROM comp ORDER BY doc_id""".stripMargin
+    "q52_dedup_clusters" -> clustersOracle,
+    // q56 computes the SAME clusters by pointer doubling — one
+    // definition of correct, two physical strategies under it.
+    "q56_dedup_clusters_ls" -> clustersOracle
   )
+
+  private lazy val clustersOracle: String =
+    s"""$minhashCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
+       |   UNION
+       |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u)
+       |SELECT doc_id, cluster,
+       |   count(*) OVER (PARTITION BY cluster) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 }

@@ -174,4 +174,26 @@ class DataPrepSpec extends SparkTestBase {
     assert(rows === Array((21L, 3L, 1L, 333L)),
       s"only the contaminated train doc is flagged, got ${rows.toSeq}")
   }
+
+  test("q55: packing is a per-shard gapless token stream cut at SeqLen") {
+    val got = DataPrep.sequencePack(spark, docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset")))
+    assert(got.length == 4, "every doc is packed")
+    // within each shard, docs occupy a contiguous token stream in
+    // doc_id order: each start equals the previous start + n_tokens
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      val starts = inOrder.map(d => d._4 * DataPrep.SeqLen + d._5)
+      val expected = inOrder.map(_._3).scanLeft(0L)(_ + _).init
+      assert(starts.toSeq == expected.toSeq,
+        s"gapless stream per shard, got ${inOrder.toSeq}")
+    }
+    // determinism: identical assignment on a re-run
+    val again = DataPrep.sequencePack(spark, docsDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset")))
+    assert(again.toSeq == got.map(r => (r._1, r._4, r._5)).toSeq)
+  }
 }

@@ -116,6 +116,33 @@ class DedupSpec extends SparkTestBase {
       "iteration caches must be released (only the localCheckpoint block row may remain)")
   }
 
+  test("q56 pointer doubling ≡ q52 label propagation, chain and standard graphs") {
+    // the same chain graph as the q52 test — transitivity is the case
+    // that separates CC from pairwise rules
+    val d = tmpDir("lsdocs")
+    val a = base
+    val b = base.replace("november", "NOVEMBER-X")
+    val c = base.replace("november", "NOVEMBER-X").replace("quebec", "QUEBEC-Y")
+    Seq(
+      (10L, a, "en", "s", 1L), (11L, b, "en", "s", 1L), (12L, c, "en", "s", 1L),
+      (20L, "totally different content with no overlap whatsoever at all " +
+        "nothing shared here believe me not even a little bit of text", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    Seq(d, dir).foreach { dd =>
+      val viaUf = Dedup.dedupClustersLargeStar(spark, dd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // cap 0 forces the distributed large/small-star rounds
+      val viaLs = Dedup.dedupClustersLargeStar(spark, dd, smallGraphCap = 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val viaProp = Dedup.dedupClusters(spark, dd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(viaUf === viaProp, s"union-find path must agree on $dd")
+      assert(viaLs === viaProp, s"large/small-star path must agree on $dd")
+    }
+  }
+
   test("q44 exact dedup keeps the min-id survivor per identical text only") {
     val rows = Dedup.exactDedup(spark, dir).collect()
     assert(rows.length === 4, "5 docs, one exact-copy pair → 4 groups")
