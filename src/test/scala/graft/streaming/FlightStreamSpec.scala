@@ -90,4 +90,44 @@ class FlightStreamSpec extends SparkTestBase {
     assert(streamed.join(batch, key, "left_anti").count() === 0,
       "the stream must never emit a window the batch mirror lacks")
   }
+
+  test("stream-static enrichment join ≡ batch join, outer rows kept") {
+    import spark.implicits._
+    val (raw, rawSink, clean, ckpt) = stageDirs()
+    copyFixtures(raw, 4)
+    FlightStream.stageAvailableNow(spark, raw, rawSink, clean, ckpt)
+
+    val cleanBatch = spark.read.parquet(clean)
+    // a dim covering SOME of the observed countries, so the outer path
+    // is genuinely exercised
+    val someCountries = cleanBatch.select("origin_country")
+      .filter(col("origin_country").isNotNull)
+      .distinct().limit(3).as[String].collect().toSeq
+    val dim = someCountries.zipWithIndex
+      .map { case (c, i) => (c, s"region_$i") }
+      .toDF("origin_country", "region")
+
+    val cleanStream = spark.readStream
+      .schema(cleanBatch.schema).parquet(clean)
+    val q = FlightStream.enrichStream(cleanStream, dim).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("enrich-ckpt"))
+      .format("memory").queryName("enriched_stream")
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("enriched_stream")
+      .select("icao24", "time_position", "origin_country", "region")
+    val batch = FlightStream.enrichStream(cleanBatch, dim)
+      .select("icao24", "time_position", "origin_country", "region")
+    assert(streamed.count() === cleanBatch.count(),
+      "left join keeps every streamed row")
+    assert(streamed.filter(col("region").isNull).count() > 0,
+      "unmatched countries pass through with null enrichment")
+    // exceptAll, not anti-join: null cells (outer regions, null
+    // timestamps) must compare EQUAL here, and SQL join keys never do
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      "streamed enrichment must equal the batch join row-for-row")
+  }
 }
