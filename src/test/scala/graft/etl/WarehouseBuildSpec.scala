@@ -46,6 +46,39 @@ class WarehouseBuildSpec extends SparkTestBase {
     assert(expect.count() === rows.length.toLong)
   }
 
+  test("compaction shrinks per-partition file counts without changing content") {
+    val d = tmpDir("wh-compact")
+    // three appends of a deliberately over-partitioned frame → many
+    // small files in every date partition
+    val clean = FlightStates.cleanFromDir(spark, fixturesDir)
+    (1 to 3).foreach(_ => WarehouseBuild.load(clean.repartition(8), d))
+    def filesPerPartition(): Map[String, Int] =
+      new java.io.File(d).listFiles().filter(_.getName.startsWith("event_date="))
+        .map(p => p.getName ->
+          p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerPartition()
+    assert(before.values.exists(_ >= 3), s"precondition: small files, got $before")
+    val content = WarehouseBuild.table(spark, d).collect()
+
+    val written = WarehouseBuild.compact(spark, d) // default target ≫ data
+    val after = filesPerPartition()
+    assert(after.keySet === before.keySet, "partition layout preserved")
+    assert(after.values.forall(_ === 1),
+      s"tiny partitions compact to one file each, got $after")
+    assert(written === after.size.toLong)
+    val recontent = WarehouseBuild.table(spark, d).collect()
+    assert(recontent.length === content.length)
+    // cell-exact content preservation, null-safe
+    val k = content.map(_.toString).sorted.toSeq
+    assert(recontent.map(_.toString).sorted.toSeq === k)
+
+    // a small target splits the biggest partition into multiple files
+    val tiny = WarehouseBuild.compact(spark, d, targetBytes = 4096)
+    assert(tiny > after.size.toLong, "smaller target → more files planned")
+    assert(filesPerPartition().values.exists(_ > 1))
+    assert(WarehouseBuild.table(spark, d).count() === content.length.toLong)
+  }
+
   test("SQL views expose every harness table to spark.sql") {
     Views.register(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
