@@ -162,6 +162,87 @@ object Similarity {
       cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro")))
   }
 
+  // ---------- q57: product-quantization ANN (ADC + exact rerank) ----------
+
+  /** PQ geometry: 64 dims → M=4 subspaces × 16 dims, 16-entry codebook
+    * per subspace (codes are 4×4 bits per vector), top-`PqRerank`
+    * shortlist by ADC then exact rerank. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqKSub = 16
+  val PqRerank = 50
+
+  /** PQ-style ANN (q57) — the third axis of the family: q33 scans
+    * everything exactly, q34 scans LESS (IVF buckets), PQ scans
+    * everything but COMPARES compressed — each base vector is M
+    * codebook ids (here 2 bytes), and a query-vs-vector distance is M
+    * table lookups + adds instead of a 64-dim dot product. At 100 TB
+    * the codes table is ~1/128th the vector table and typically
+    * memory-resident; the full vectors are touched only for the
+    * shortlist rerank. IVF∘PQ composes — bucket first, ADC within the
+    * bucket — exactly as in production ANN systems.
+    *
+    * Determinism: codebooks are the sub-vectors of the same
+    * hash-chosen rows IVF uses; encode/ADC distances are exact 64-bit
+    * ints (‖a−b‖² = n2a + n2b − 2⟨a,b⟩ on quantized components);
+    * every ranking tie-breaks on an id. The oracle replays all of it
+    * cell-for-cell, so the PQ approximation itself — not a float
+    * haze — is what both engines agree on. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+
+    def subSlices(q: Column): Column =
+      array((0 until PqM).map(m => slice(q, m * PqSubDim + 1, PqSubDim)): _*)
+
+    // (cid, m, cq, cn2): one 16-dim codebook entry per (subspace,
+    // chosen row). Same deterministic row choice as the IVF centroids.
+    val cb = v
+      .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(PqKSub)
+      .select(col("vec_id").as("cid"), posexplode(subSlices(col("q"))))
+      .select(col("cid"), col("pos").as("m"), col("col").as("cq"))
+      .withColumn("cn2", dot(col("cq"), col("cq")))
+
+    // (vec_id, m, sub, sn2) for an arbitrary vector set
+    def subVectors(vs: DataFrame): DataFrame = vs
+      .select(col("vec_id"), posexplode(subSlices(col("q"))))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
+
+    def l2(sn2: Column, cn2: Column, d: Column): Column =
+      sn2 + cn2 - lit(2L) * d
+
+    // encode: nearest sub-centroid by exact L2 per (vector, subspace) —
+    // N×M×K map-side work against the broadcast codebook
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d").asc, col("cid").asc)
+    val codes = subVectors(v).join(broadcast(cb), Seq("m"))
+      .withColumn("d", l2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))))
+      .withColumn("ern", row_number().over(wEnc))
+      .filter(col("ern") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+
+    // ADC distance table: per query, the Q×M×K lookup grid (tiny —
+    // broadcast), then approx dist = Σ_m table[m][code[m]]
+    val dtable = subVectors(v.filter(col("vec_id") < NQueries))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cid"),
+        l2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))).as("d"))
+    val approx = codes.join(broadcast(dtable), Seq("m", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id").agg(sum("d").as("adc"))
+
+    // shortlist by ADC, exact cosine rerank of only the shortlist
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRerank).select("q_id", "vec_id")
+    val cand = shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(queriesDf(s, dir)), Seq("q_id"))
+    rerank(cand.select(col("q_id"), col("vec_id"),
+      cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro")))
+  }
+
   // ---------- q35: hyperplane-LSH near-dup pairs ----------
 
   /** Flattened constant plane matrix for the native bucket kernel. */
@@ -227,7 +308,8 @@ object Similarity {
     "q33_ann_bruteforce" -> (annBruteForce _),
     "q34_ann_ivf" -> (annIvf _),
     "q35_emb_neardup" -> (embNearDup _),
-    "q42_emb_near_dedup" -> (embNearDedup _)
+    "q42_emb_near_dedup" -> (embNearDedup _),
+    "q57_ann_pq" -> (annPq _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -297,7 +379,45 @@ object Similarity {
       s"""$nearDupCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT vec_b FROM v WHERE cos_micro >= $NearDupMicroMin)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q57_ann_pq" ->
+      s"""WITH $qCte,
+         |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+         |picks AS (SELECT vec_id AS cid, q FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT $PqKSub),
+         |cb AS (SELECT cid, m, q[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cq
+         |   FROM picks CROSS JOIN ms),
+         |cbn AS (SELECT cid, m, cq, ${dotSql("cq", "cq")} AS cn2 FROM cb),
+         |subs AS (SELECT vec_id, m,
+         |   q[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub FROM nv CROSS JOIN ms),
+         |subn AS (SELECT vec_id, m, sub, ${dotSql("sub", "sub")} AS sn2 FROM subs),
+         |enc AS (SELECT vec_id, m, cid,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY
+         |     sn2 + cn2 - 2 * ${dotSql("sub", "cq")}, cid) AS ern
+         |   FROM subn JOIN cbn USING (m)),
+         |codes AS (SELECT vec_id, m, cid FROM enc WHERE ern = 1),
+         |dt AS (SELECT vec_id AS q_id, m, cid,
+         |   sn2 + cn2 - 2 * ${dotSql("sub", "cq")} AS d
+         |   FROM subn JOIN cbn USING (m) WHERE vec_id < $NQueries),
+         |approx AS (SELECT q_id, vec_id, sum(d) AS adc
+         |   FROM codes JOIN dt USING (m, cid) WHERE q_id != vec_id
+         |   GROUP BY q_id, vec_id),
+         |short AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+         |   FROM approx),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
+         |c AS (SELECT short.q_id, short.vec_id,
+         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
+         |   FROM short
+         |   JOIN nv b ON b.vec_id = short.vec_id
+         |   JOIN qs ON qs.q_id = short.q_id
+         |   WHERE arn <= $PqRerank),
+         |r AS (SELECT q_id, vec_id, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM c)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Shared LSH-candidate + verify CTEs for q35/q42. */

@@ -66,6 +66,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQ.nonEmpty)
   }
 
+  test("q57 PQ reranks with exact scores and finds the parallel vector for the axis query") {
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("q_id", "vec_id", "cos_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pq = Similarity.annPq(spark, dir)
+      .select("q_id", "rnk", "vec_id", "cos_micro").collect()
+    assert(pq.nonEmpty)
+    // the rerank is exact: every surfaced pair carries the brute-force
+    // cosine, never an ADC approximation
+    pq.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(2))) === r.getLong(3))
+      assert(r.getLong(0) !== r.getLong(2), "self never returned")
+    }
+    // vec 20 (parallel to query 0) survives quantization + ADC: its
+    // codes equal the query's codes, so ADC distance is minimal and
+    // the exact rerank puts it first
+    val q0top = pq.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(q0top.getLong(2) === 20L && q0top.getLong(3) === 1000000L)
+    // ranks dense 1..n per query
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("q35 LSH near-dup finds the parallel pair (identical hyperplane signs)") {
     val pairs = Similarity.embNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
