@@ -188,59 +188,104 @@ object Similarity {
     * every ranking tie-breaks on an id. The oracle replays all of it
     * cell-for-cell, so the PQ approximation itself — not a float
     * haze — is what both engines agree on. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir)
+  private def pqSubSlices(q: Column): Column =
+    array((0 until PqM).map(m => slice(q, m * PqSubDim + 1, PqSubDim)): _*)
 
-    def subSlices(q: Column): Column =
-      array((0 until PqM).map(m => slice(q, m * PqSubDim + 1, PqSubDim)): _*)
+  /** (pcid, m, cq, cn2): one 16-dim codebook entry per (subspace,
+    * chosen row). Same deterministic row choice as the IVF centroids;
+    * `pcid` so the PQ code id never collides with IVF's bucket `cid`. */
+  private def pqCodebook(v: DataFrame): DataFrame = v
+    .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
+    .orderBy("h", "vec_id").limit(PqKSub)
+    .select(col("vec_id").as("pcid"), posexplode(pqSubSlices(col("q"))))
+    .select(col("pcid"), col("pos").as("m"), col("col").as("cq"))
+    .withColumn("cn2", dot(col("cq"), col("cq")))
 
-    // (cid, m, cq, cn2): one 16-dim codebook entry per (subspace,
-    // chosen row). Same deterministic row choice as the IVF centroids.
-    val cb = v
-      .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(PqKSub)
-      .select(col("vec_id").as("cid"), posexplode(subSlices(col("q"))))
-      .select(col("cid"), col("pos").as("m"), col("col").as("cq"))
-      .withColumn("cn2", dot(col("cq"), col("cq")))
+  /** (vec_id, m, sub, sn2) for an arbitrary quantized vector set. */
+  private def pqSubVectors(vs: DataFrame): DataFrame = vs
+    .select(col("vec_id"), posexplode(pqSubSlices(col("q"))))
+    .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
+    .withColumn("sn2", dot(col("sub"), col("sub")))
 
-    // (vec_id, m, sub, sn2) for an arbitrary vector set
-    def subVectors(vs: DataFrame): DataFrame = vs
-      .select(col("vec_id"), posexplode(subSlices(col("q"))))
-      .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
-      .withColumn("sn2", dot(col("sub"), col("sub")))
+  /** ‖a−b‖² = n2a + n2b − 2⟨a,b⟩ — exact in 64-bit on quantized ints. */
+  private def pqL2(sn2: Column, cn2: Column, d: Column): Column =
+    sn2 + cn2 - lit(2L) * d
 
-    def l2(sn2: Column, cn2: Column, d: Column): Column =
-      sn2 + cn2 - lit(2L) * d
-
-    // encode: nearest sub-centroid by exact L2 per (vector, subspace) —
-    // N×M×K map-side work against the broadcast codebook
+  /** encode: nearest sub-centroid by exact L2 per (vector, subspace) —
+    * N×M×K map-side work against the broadcast codebook. */
+  private def pqEncode(v: DataFrame, cb: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy("vec_id", "m")
-      .orderBy(col("d").asc, col("cid").asc)
-    val codes = subVectors(v).join(broadcast(cb), Seq("m"))
-      .withColumn("d", l2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))))
+      .orderBy(col("d").asc, col("pcid").asc)
+    pqSubVectors(v).join(broadcast(cb), Seq("m"))
+      .withColumn("d", pqL2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))))
       .withColumn("ern", row_number().over(wEnc))
       .filter(col("ern") === 1)
-      .select(col("vec_id"), col("m"), col("cid"))
+      .select(col("vec_id"), col("m"), col("pcid"))
+  }
 
-    // ADC distance table: per query, the Q×M×K lookup grid (tiny —
-    // broadcast), then approx dist = Σ_m table[m][code[m]]
-    val dtable = subVectors(v.filter(col("vec_id") < NQueries))
+  /** Per-query ADC lookup grid (Q×M×K — tiny, broadcast). */
+  private def pqDistTable(v: DataFrame, cb: DataFrame): DataFrame =
+    pqSubVectors(v.filter(col("vec_id") < NQueries))
       .join(broadcast(cb), Seq("m"))
-      .select(col("vec_id").as("q_id"), col("m"), col("cid"),
-        l2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))).as("d"))
-    val approx = codes.join(broadcast(dtable), Seq("m", "cid"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id").agg(sum("d").as("adc"))
+      .select(col("vec_id").as("q_id"), col("m"), col("pcid"),
+        pqL2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))).as("d"))
 
-    // shortlist by ADC, exact cosine rerank of only the shortlist
+  /** ADC shortlist (top `PqRerank` by approx distance) over a
+    * (q_id, vec_id) candidate-scoped code set, then exact rerank. */
+  private def pqShortlistRerank(s: SparkSession, dir: String, v: DataFrame,
+      adcScored: DataFrame): DataFrame = {
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
-    val shortlist = approx.withColumn("arn", row_number().over(wAdc))
+    val shortlist = adcScored.withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= PqRerank).select("q_id", "vec_id")
     val cand = shortlist
       .join(v, Seq("vec_id"))
       .join(broadcast(queriesDf(s, dir)), Seq("q_id"))
     rerank(cand.select(col("q_id"), col("vec_id"),
       cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro")))
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val cb = pqCodebook(v)
+    val codes = pqEncode(v, cb)
+    val dtable = pqDistTable(v, cb)
+    // ADC over ALL codes: approx dist = Σ_m table[m][code[m]]
+    val approx = codes.join(broadcast(dtable), Seq("m", "pcid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id").agg(sum("d").as("adc"))
+    pqShortlistRerank(s, dir, v, approx)
+  }
+
+  // ---------- q58: IVF∘PQ — bucket first, ADC within the bucket ----------
+
+  /** The production composition (q58): IVF prunes WHICH vectors are
+    * considered (nprobe centroid buckets per query), PQ prunes WHAT a
+    * comparison costs inside those buckets (M table lookups on 2-byte
+    * codes), and full vectors surface only for the exact rerank of the
+    * shortlist. Per query this reads ~N·nprobe/K code rows instead of
+    * N vector rows — the two pruning axes multiply, which is why
+    * IVF-PQ is the default layout of real ANN services at the 100 TB
+    * scale this engine targets. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val cent = centroids(s, dir)
+    val assign = centroidRanks(v, cent).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = centroidRanks(v.filter(col("vec_id") < NQueries), cent)
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cb = pqCodebook(v)
+    val codes = pqEncode(v, cb)
+    val dtable = pqDistTable(v, cb)
+    // bucket join scopes the candidates, codes join expands to the M
+    // code rows, the broadcast grid turns each into a lookup distance
+    val adc = probes.join(assign, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("q_id", "m", "pcid"))
+      .groupBy("q_id", "vec_id").agg(sum("d").as("adc"))
+    pqShortlistRerank(s, dir, v, adc)
   }
 
   // ---------- q35: hyperplane-LSH near-dup pairs ----------
@@ -309,7 +354,8 @@ object Similarity {
     "q34_ann_ivf" -> (annIvf _),
     "q35_emb_neardup" -> (embNearDup _),
     "q42_emb_near_dedup" -> (embNearDedup _),
-    "q57_ann_pq" -> (annPq _)
+    "q57_ann_pq" -> (annPq _),
+    "q58_ann_ivfpq" -> (annIvfPq _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -403,6 +449,60 @@ object Similarity {
          |approx AS (SELECT q_id, vec_id, sum(d) AS adc
          |   FROM codes JOIN dt USING (m, cid) WHERE q_id != vec_id
          |   GROUP BY q_id, vec_id),
+         |short AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+         |   FROM approx),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
+         |c AS (SELECT short.q_id, short.vec_id,
+         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
+         |   FROM short
+         |   JOIN nv b ON b.vec_id = short.vec_id
+         |   JOIN qs ON qs.q_id = short.q_id
+         |   WHERE arn <= $PqRerank),
+         |r AS (SELECT q_id, vec_id, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM c)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q58_ann_ivfpq" ->
+      s"""WITH $qCte,
+         |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
+         |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
+         |ranks AS (SELECT v.vec_id, cent.cid,
+         |   row_number() OVER (PARTITION BY v.vec_id
+         |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
+         |   FROM nv v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid FROM ranks WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid FROM ranks
+         |   WHERE crn <= $NProbe AND vec_id < $NQueries),
+         |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+         |picks AS (SELECT vec_id AS pcid, q FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT $PqKSub),
+         |cb AS (SELECT pcid, m, q[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cq
+         |   FROM picks CROSS JOIN ms),
+         |cbn AS (SELECT pcid, m, cq, ${dotSql("cq", "cq")} AS cn2 FROM cb),
+         |subs AS (SELECT vec_id, m,
+         |   q[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub FROM nv CROSS JOIN ms),
+         |subn AS (SELECT vec_id, m, sub, ${dotSql("sub", "sub")} AS sn2 FROM subs),
+         |enc AS (SELECT vec_id, m, pcid,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY
+         |     sn2 + cn2 - 2 * ${dotSql("sub", "cq")}, pcid) AS ern
+         |   FROM subn JOIN cbn USING (m)),
+         |codes AS (SELECT vec_id, m, pcid FROM enc WHERE ern = 1),
+         |dt AS (SELECT vec_id AS q_id, m, pcid,
+         |   sn2 + cn2 - 2 * ${dotSql("sub", "cq")} AS d
+         |   FROM subn JOIN cbn USING (m) WHERE vec_id < $NQueries),
+         |bucketed AS (SELECT probes.q_id, assign.vec_id
+         |   FROM probes JOIN assign USING (cid)
+         |   WHERE probes.q_id != assign.vec_id),
+         |approx AS (SELECT b.q_id, b.vec_id, sum(dt.d) AS adc
+         |   FROM bucketed b
+         |   JOIN codes USING (vec_id)
+         |   JOIN dt ON dt.q_id = b.q_id AND dt.m = codes.m AND dt.pcid = codes.pcid
+         |   GROUP BY b.q_id, b.vec_id),
          |short AS (SELECT q_id, vec_id,
          |   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
          |   FROM approx),

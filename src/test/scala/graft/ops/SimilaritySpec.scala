@@ -90,6 +90,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q58 IVF∘PQ: exact scores, self excluded, candidates within probed buckets") {
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("q_id", "vec_id", "cos_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Similarity.annIvf(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.annIvfPq(spark, dir)
+      .select("q_id", "rnk", "vec_id", "cos_micro").collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(2))) === r.getLong(3),
+        "rerank scores are the exact cosines")
+      assert(r.getLong(0) !== r.getLong(2))
+    }
+    // IVF returns the exact top-k of the probed buckets; IVF∘PQ ranks
+    // the same bucket population through the ADC shortlist, so any
+    // composed hit that IVF also kept must carry the same exact score
+    // (subset is not required — ADC may shortlist bucket members that
+    // exact-IVF's top-k cut — but disjoint results would mean the
+    // bucket scoping is broken)
+    val composedPairs = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(composedPairs.intersect(ivf).nonEmpty,
+      "composed results must overlap the IVF top-k of the same buckets")
+  }
+
   test("q35 LSH near-dup finds the parallel pair (identical hyperplane signs)") {
     val pairs = Similarity.embNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
