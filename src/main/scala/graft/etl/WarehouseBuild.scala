@@ -131,4 +131,49 @@ object WarehouseBuild {
       .parquet(martDir)
     obs.get("rows").asInstanceOf[Long]
   }
+
+  /** Stage 6 against a real RDBMS mart (the reference declared a
+    * Postgres mart schema and never built it): dynamic-partition-
+    * overwrite semantics translated to JDBC as delete-then-append —
+    * one driver-side DELETE naming the aggregate's event_dates
+    * (control-plane scale: a date list, not data), then the
+    * distributed `JdbcSinks.appendTable` append. Re-running a range
+    * converges exactly like the parquet mart; dates outside the
+    * aggregate are untouched. The delete and append are not one
+    * transaction — a crash between them leaves the named dates empty
+    * until the (idempotent) re-run, the standard warehouse-load
+    * contract. */
+  def loadMartJdbc(spark: SparkSession, aggregateDir: String,
+      url: String, table: String, props: java.util.Properties,
+      numPartitions: Int = 8): Long = {
+    val agg = spark.read.parquet(aggregateDir)
+      .withColumn("event_date", col("event_date").cast("date"))
+    val dates = agg.select("event_date").distinct()
+      .collect().map(_.getDate(0)).sorted
+    if (dates.isEmpty) return 0L
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // Match Spark's JDBC writer exactly: it passes the TABLE name
+      // through verbatim (dialects case-normalize it) but QUOTES every
+      // column (so the column is "event_date", not EVENT_DATE). The
+      // existence probe is a zero-row SELECT through the same name
+      // resolution as the writer's CREATE — metadata lookups would
+      // need per-dialect case games; on the first load the table
+      // simply isn't there yet and there is nothing to delete.
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
+      if (exists) {
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "event_date" = ?""")
+        try dates.foreach { d => st.setDate(1, d); st.executeUpdate() }
+        finally st.close()
+      }
+    } finally conn.close()
+    JdbcSinks.appendTable(agg, url, table, props, numPartitions)
+    agg.count()
+  }
 }

@@ -29,4 +29,31 @@ class JdbcSinksSpec extends SparkTestBase {
     JdbcSinks.appendTable(clean, url, "raw_flight_states", props, numPartitions = 2)
     assert(spark.read.jdbc(url, "raw_flight_states", props).count() === 2 * n)
   }
+
+  test("stage 6 JDBC mart load is idempotent per event_date") {
+    val wh = tmpDir("wh-jdbc")
+    val agg = tmpDir("agg-jdbc")
+    WarehouseBuild.load(FlightStates.cleanFromDir(spark, fixturesDir), wh)
+    val n = WarehouseBuild.aggregate(spark, wh, agg, "2025-11-01", "2025-12-31")
+    assert(n > 0)
+
+    val loaded = WarehouseBuild.loadMartJdbc(spark, agg, url, "mart_daily", props,
+      numPartitions = 2)
+    assert(loaded === n)
+    val mart = spark.read.jdbc(url, "mart_daily", props)
+    assert(mart.count() === n)
+
+    // re-running the SAME range converges instead of duplicating
+    val reloaded = WarehouseBuild.loadMartJdbc(spark, agg, url, "mart_daily", props,
+      numPartitions = 2)
+    assert(reloaded === n)
+    val after = spark.read.jdbc(url, "mart_daily", props)
+    assert(after.count() === n, "per-date delete-then-append is idempotent")
+    // content equals the parquet aggregate cell-for-cell
+    val aggDf = spark.read.parquet(agg)
+      .select("event_date", "origin_country", "n_aircraft", "n_states")
+    val martDf = after
+      .select("event_date", "origin_country", "n_aircraft", "n_states")
+    assert(aggDf.exceptAll(martDf).isEmpty && martDf.exceptAll(aggDf).isEmpty)
+  }
 }
