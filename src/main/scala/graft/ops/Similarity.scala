@@ -86,6 +86,10 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.ArrayFunctions.dotProductLong(a, b)
 
+  /** The quantized (vec_id, q) frame, exposed for differential tests. */
+  private[ops] def quantizedForTest(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).select("vec_id", "q")
+
   /** round(1e6·dot / sqrt(n2a·n2b)) — IEEE-deterministic on exact ints. */
   private def cosMicro(d: Column, n2a: Column, n2b: Column): Column =
     round(lit(1000000.0) * d /
@@ -288,6 +292,77 @@ object Similarity {
     pqShortlistRerank(s, dir, v, adc)
   }
 
+  // ---------- q59: k-means clustering (fixed Lloyd iterations) ----------
+
+  /** k-means geometry: K clusters, a FIXED number of Lloyd rounds.
+    * Fixed rounds (not convergence-tested) because the oracle unrolls
+    * the same rounds in SQL — and because production corpus-clustering
+    * runs are budgeted in passes, not ε-thresholds. */
+  val KmK = 8
+  val KmIters = 3
+
+  /** Lloyd's k-means over the embeddings (q59): deterministic
+    * hash-picked seeds (the IVF/PQ row choice), then `KmIters` rounds
+    * of assign (exact integer L2 against K broadcast centroids,
+    * tie-break on cluster id) + update (element-wise
+    * floor(mean) per dimension — integers stay integers, so every
+    * round is engine-exact; floor-of-double-division, because DuckDB's
+    * `//` truncates toward zero on negatives while floor rounds down).
+    * Empty clusters keep their previous centroid.
+    *
+    * Per round: one N×K map-side assign against a broadcast K-row
+    * frame, one (cluster, dim) hash agg — K·64 rows out. Nothing is
+    * collected; the centroid frame stays a (tiny, broadcast) DataFrame
+    * end-to-end, so the same loop runs unchanged on a cluster. Output
+    * is the final assignment with its exact squared distance. */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    // TakeOrderedAndProject keeps seed selection linear; the numbering
+    // window then runs over K rows, never N
+    val init = v
+      .withColumn("h", TextAnalysis.wordHash(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(KmK)
+      .withColumn("k", (row_number().over(
+        Window.orderBy(col("h").asc, col("vec_id").asc)) - 1).cast("long"))
+      .select(col("k"), col("q").as("cq"))
+
+    def withN2(c: DataFrame): DataFrame =
+      c.withColumn("cn2", dot(col("cq"), col("cq")))
+
+    // nearest centroid per vector: d = n2 + cn2 − 2⟨q,cq⟩, ties → min k
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("d").asc, col("k").asc)
+      v.crossJoin(broadcast(withN2(cent)))
+        .select(col("vec_id"), col("q"), col("k"),
+          (col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq"))).as("d"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("k"), col("d"))
+    }
+
+    // element-wise floor(mean); clusters that lost every member keep
+    // their previous centroid (deterministic, mirrored by the oracle)
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("k"), posexplode(col("q")))
+        .groupBy("k", "pos")
+        .agg(floor(sum("col") / count(lit(1))).cast("long").as("m"))
+        .groupBy("k")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cq"))
+      prev.select(col("k"), col("cq").as("prev_cq"))
+        .join(means, Seq("k"), "left")
+        .select(col("k"), coalesce(col("cq"), col("prev_cq")).as("cq"))
+    }
+
+    val finalCent = (1 to KmIters).foldLeft(init) { (cent, _) =>
+      update(assign(cent), cent)
+    }
+    assign(finalCent)
+      .select(col("vec_id"), col("k").as("cluster"), col("d").as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
   // ---------- q35: hyperplane-LSH near-dup pairs ----------
 
   /** Flattened constant plane matrix for the native bucket kernel. */
@@ -355,7 +430,8 @@ object Similarity {
     "q35_emb_neardup" -> (embNearDup _),
     "q42_emb_near_dedup" -> (embNearDedup _),
     "q57_ann_pq" -> (annPq _),
-    "q58_ann_ivfpq" -> (annIvfPq _)
+    "q58_ann_ivfpq" -> (annIvfPq _),
+    "q59_kmeans" -> (kmeans _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -517,8 +593,44 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
          |   FROM c)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
-         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q59_kmeans" -> kmeansOracle
   )
+
+  /** q59's oracle: the same fixed Lloyd rounds unrolled as CTE chains
+    * (assign{i} / cent{i}), generated from the same constants. */
+  private lazy val kmeansOracle: String = {
+    def assignCte(i: Int, cent: String): String =
+      s"""a$i AS (SELECT vec_id, q, k, d FROM (
+         |  SELECT v.vec_id, v.q, c.k,
+         |    v.n2 + ${dotSql("c.cq", "c.cq")} - 2 * ${dotSql("v.q", "c.cq")} AS d,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.n2 + ${dotSql("c.cq", "c.cq")} - 2 * ${dotSql("v.q", "c.cq")}, c.k) AS rn
+         |  FROM nv v CROSS JOIN $cent c)
+         | WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int, prev: String): String =
+      s"""m$i AS (SELECT k, pos,
+         |   CAST(floor(sum(comp) * 1.0 / count(*)) AS BIGINT) AS m
+         |  FROM (SELECT k, unnest(q) AS comp, generate_subscripts(q, 1) AS pos
+         |        FROM a$i)
+         |  GROUP BY k, pos),
+         |mc$i AS (SELECT k, list(m ORDER BY pos) AS cq FROM m$i GROUP BY k),
+         |cent$i AS (SELECT p.k, coalesce(mc$i.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN mc$i ON mc$i.k = p.k)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+      assignCte(i, prev) + ",\n" + updateCte(i, prev)
+    }.mkString(",\n")
+    s"""WITH $qCte,
+       |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS k, q AS cq
+       |  FROM (SELECT vec_id, q,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |    FROM nv ORDER BY h, vec_id LIMIT $KmK)),
+       |$rounds,
+       |${assignCte(KmIters + 1, s"cent$KmIters")}
+       |SELECT vec_id, k AS cluster, d AS l2_dist
+       |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared LSH-candidate + verify CTEs for q35/q42. */
   private lazy val nearDupCtes: String = {

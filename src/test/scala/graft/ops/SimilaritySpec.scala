@@ -116,6 +116,42 @@ class SimilaritySpec extends SparkTestBase {
       "composed results must overlap the IVF top-k of the same buckets")
   }
 
+  test("q59 k-means matches a plain-Scala Lloyd reference exactly") {
+    // replicate: quantize, hash-pick K seeds, KmIters rounds of
+    // assign (L2, tie → min k) + floor-mean update, final assign
+    val vecs = Similarity.quantizedForTest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def h8(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cent: Seq[(Long, Array[Long])] = vecs.toSeq
+      .sortBy { case (id, _) => (h8(id.toString), id) }
+      .take(Similarity.KmK).zipWithIndex
+      .map { case ((_, q), k) => (k.toLong, q) }
+    def assign(): Map[Long, (Long, Long)] = vecs.map { case (id, q) =>
+      val (k, d) = cent.map { case (k, cq) => (k, l2(q, cq)) }
+        .minBy { case (k, d) => (d, k) }
+      id -> (k, d)
+    }
+    (1 to Similarity.KmIters).foreach { _ =>
+      val byK = assign().toSeq.groupBy(_._2._1)
+      cent = cent.map { case (k, old) =>
+        byK.get(k).fold((k, old)) { members =>
+          val qs = members.map(m => vecs(m._1))
+          (k, (0 until 64).map(j =>
+            math.floor(qs.map(_(j)).sum.toDouble / qs.length).toLong).toArray)
+        }
+      }
+    }
+    val want = assign()
+    val got = Similarity.kmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want, "Spark Lloyd must equal the Scala reference run")
+    assert(got.values.map(_._1).toSet.subsetOf((0L until Similarity.KmK).toSet))
+  }
+
   test("q35 LSH near-dup finds the parallel pair (identical hyperplane signs)") {
     val pairs = Similarity.embNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
