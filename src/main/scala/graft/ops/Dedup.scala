@@ -144,6 +144,40 @@ object Dedup {
       .select(col("doc_id"), hashSet(col("s")).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
 
+  /** Stateless per-row band projection over an arbitrary (doc_id,
+    * text, extra…) frame — the q28 signature pipeline up to banding,
+    * with the shingle HASH SET carried on every band row. Every step
+    * is a projection, so it runs on a STREAMING frame unchanged (the
+    * streaming near-dup operator keys state on (band, key) and needs
+    * hs/n in the row to verify inside the state function). The batch
+    * q28 deliberately does the opposite — narrow band rows, arrays
+    * joined back after candidate generation — because its shuffle is
+    * a self-join over all N, not per-bucket state. */
+  private[graft] def bandRows(docs: DataFrame, extra: Seq[String]): DataFrame = {
+    val ex = extra.map(col)
+    val withSets = docs
+      .select(col("doc_id") +: wordsCol(col("text")).as("ws") +: ex: _*)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id") +: shingles3(col("ws")).as("s") +: ex: _*)
+      .select(col("doc_id") +: hashSet(col("s")).as("hs") +: ex: _*)
+      .select(col("doc_id") +: col("hs") +:
+        size(col("hs")).cast("long").as("n") +: ex: _*)
+    val sigCol = array(Perms.map { case (a, b) =>
+      array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))
+    }: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1) * BandW(r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), nn(key).as("key"))
+    }
+    withSets.withColumn("sig", sigCol)
+      .select(col("doc_id") +: col("hs") +: col("n") +:
+        explode(array(bandStructs: _*)).as("bk") +: ex: _*)
+      .select(col("doc_id") +: col("bk.band").as("band") +:
+        col("bk.key").as("key") +: col("hs") +: col("n") +: ex: _*)
+  }
+
   /** Verified pairs are memoized per session/dir when the opt-in
     * [[PipelineCache]] is on, so q29 (defined over these pairs) reads
     * them instead of re-running the whole signature pipeline. */
