@@ -38,8 +38,8 @@ object StreamingNearDup {
 
   /** Exact |A∩B| over ascending-sorted int arrays — the plain-Scala
     * twin of the codegen'd SortedIntersectCount kernel (pinned equal
-    * by the streamed-vs-batch differential in the spec). */
-  private def sortedIntersect(a: Array[Int], b: Array[Int]): Long = {
+    * by a ScalaCheck differential and the streamed-vs-batch spec). */
+  private[streaming] def sortedIntersect(a: Array[Int], b: Array[Int]): Long = {
     var i = 0; var j = 0; var c = 0L
     while (i < a.length && j < b.length) {
       if (a(i) < b(j)) i += 1

@@ -83,6 +83,19 @@ class StreamingNearDupSpec extends SparkTestBase {
       "unrelated docs never pair")
   }
 
+  test("in-state sortedIntersect == the codegen'd SortedIntersectCount kernel") {
+    val rnd = new scala.util.Random(7L)
+    val cases = (1 to 300).map { _ =>
+      def set() = Array.fill(rnd.nextInt(40))(rnd.nextInt(400)).distinct.sorted
+      (set(), set())
+    } :+ ((Array.empty[Int], Array(1, 2, 3))) :+ ((Array.empty[Int], Array.empty[Int]))
+    val viaKernel = cases.toDF("a", "b").select(
+      graft.functions.ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val viaScala = cases.map { case (a, b) => StreamingNearDup.sortedIntersect(a, b) }
+    assert(viaKernel.toSeq === viaScala)
+  }
+
   test("exact duplicates in one batch pair once per colliding band, deduped to one") {
     val d = tmpDir("sneardup-dup-in")
     Seq((10L, base, ts("2026-01-01 10:00:00")),
