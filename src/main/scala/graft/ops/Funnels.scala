@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-analytics operators over the `events` table: ordered
+  * funnel progression (q60) and cohort retention (q61) — the two
+  * warehouse workloads every product-analytics stack runs beside plain
+  * aggregation and sessionization (q18/q20).
+  *
+  * Scale shape: both are chains of hash aggregations and equi-joins on
+  * `user_id` — every stage shuffles on the SAME key, so Spark reuses
+  * one partitioning end-to-end (and co-partitioned bucketing would
+  * remove the exchanges entirely, see ScaleJoins). Timestamps surface
+  * as epoch micros (`unix_micros` / DuckDB `epoch_us`), the engines'
+  * one bit-identical meeting point for nanos-born event times. */
+object Funnels {
+
+  /** Funnel step order: each step counts only events strictly AFTER
+    * the user's previous step time — progression, not co-occurrence. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered funnel (q60): per user, the first time each step was
+    * reached given the previous step had been reached before it;
+    * NULL once the chain breaks. One filtered min-agg per step joined
+    * against the previous frontier — each stage is a hash agg + hash
+    * join on user_id, never a per-user event sort. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val first = e.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val steps = FunnelSteps.zipWithIndex.drop(1)
+      .foldLeft(List(first)) { case (acc, (typ, i)) =>
+        val prevCol = s"t$i"
+        val frontier = acc.head.select(col("user_id"), col(prevCol))
+        val next = e.filter(col("event_type") === typ)
+          .join(frontier, "user_id")
+          .filter(col("us") > col(prevCol))
+          .groupBy("user_id").agg(min("us").as(s"t${i + 1}"))
+        next :: acc
+      }.reverse
+    // each step frame is exactly (user_id, tN); assemble left-to-right
+    steps.tail.foldLeft(steps.head) { (out, st) =>
+      out.join(st, Seq("user_id"), "left")
+    }.orderBy("user_id")
+  }
+
+  /** Cohort retention (q61): users bucketed by the week they were
+    * first seen; for every (cohort week, weeks-since) cell, how many
+    * distinct cohort members were active. First-seen is one min-agg;
+    * activity is a distinct projection; the cell counts are one
+    * distinct-agg — three shuffles, all on user/cohort keys. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cohort = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = e.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    active.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        // week-truncated dates differ by exact multiples of 7 days
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_funnel" -> (funnel _),
+    "q61_cohort_retention" -> (cohortRetention _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_funnel" -> {
+      val stepCtes = FunnelSteps.zipWithIndex.drop(1).map { case (typ, i) =>
+        s"""s${i + 1} AS (SELECT e.user_id, min(us) AS t${i + 1}
+           |  FROM e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$typ' AND us > t$i GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = (2 to FunnelSteps.size)
+        .map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+         |  WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id),
+         |$stepCtes
+         |SELECT user_id, ${FunnelSteps.indices.map(i => s"t${i + 1}").mkString(", ")}
+         |FROM s1 $joins ORDER BY user_id""".stripMargin
+    },
+    "q61_cohort_retention" ->
+      """WITH cohort AS (
+        | SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        | FROM events GROUP BY user_id),
+        |active AS (
+        | SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        | FROM events)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
+  )
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Funnel and cohort semantics on handcrafted event sequences: order
+  * matters, chain breaks stay NULL, cohorts pin to first-seen weeks. */
+class FunnelsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def us(s: String) = ts(s).getTime * 1000L
+
+  /** u1 completes the funnel in order; u2 clicks BEFORE viewing (the
+    * click must not count — only a later one would); u3 signs up only;
+    * u4 never signs up (excluded entirely). */
+  private lazy val dir: String = {
+    val d = tmpDir("funnel")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-10 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "signup", 0.0, "{}"),
+      (6L, ts("2024-01-01 09:30:00"), 2L, "click", 0.0, "{}"), // before any view
+      (7L, ts("2024-01-01 11:00:00"), 2L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-05 00:00:00"), 3L, "signup", 0.0, "{}"),
+      (9L, ts("2024-01-01 08:00:00"), 4L, "view", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q60: steps count only in order; broken chains stay NULL; no signup, no row") {
+    val got = Funnels.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i =>
+        Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "only signed-up users enter the funnel")
+    assert(got(1L) === Seq(Some(us("2024-01-01 10:00:00")),
+      Some(us("2024-01-02 10:00:00")), Some(us("2024-01-03 10:00:00")),
+      Some(us("2024-01-10 10:00:00"))))
+    // u2's 09:30 click precedes its 11:00 view → click step unreached
+    assert(got(2L) === Seq(Some(us("2024-01-01 09:00:00")),
+      Some(us("2024-01-01 11:00:00")), None, None))
+    assert(got(3L) === Seq(Some(us("2024-01-05 00:00:00")), None, None, None))
+  }
+
+  test("q61: cohorts pin to first-seen week and count distinct actives per offset") {
+    val got = Funnels.cohortRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    // 2024-01-01 is a Monday: u1/u2/u4 cohort 2024-01-01 (u3 first seen
+    // 2024-01-05 → same week). u1 is also active in week offset 1
+    // (Jan 10 → week of Jan 8).
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 4L,
+      ("2024-01-01", 1L) -> 1L))
+  }
+}
