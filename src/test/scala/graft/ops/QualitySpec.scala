@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Quality ops on constructed dirty data: every rule must fire on the
+  * row built to break it and only that row; the profile must count
+  * nulls/distincts exactly. */
+class QualitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = tmpDir("quality")
+    Seq(
+      (1L, 10L, "O", 100.50, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"),
+      (2L, 11L, "F", 200.00, java.sql.Date.valueOf("2024-02-01"), "5-LOW"),
+      (3L, 10L, null, 300.25, null, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    Seq(
+      // clean row
+      (1L, 1L, 1L, 1L, 10.0, 100.0, 0.05, 0.02, "N", "O", "2024-01-05"),
+      // quantity out of range
+      (1L, 2L, 2L, 2L, 99.0, 100.0, 0.05, 0.02, "N", "O", "2024-01-06"),
+      // discount out of range
+      (2L, 3L, 3L, 1L, 10.0, 100.0, 0.90, 0.02, "N", "O", "2024-02-05"),
+      // non-positive price
+      (2L, 4L, 4L, 2L, 10.0, 0.0, 0.05, 0.02, "N", "O", "2024-02-06"),
+      // orphan orderkey
+      (999L, 5L, 5L, 1L, 10.0, 100.0, 0.05, 0.02, "N", "O", "2024-03-01"))
+      .map { case (ok, pk, sk, ln, q, p, disc, tax, rf, ls, sd) =>
+        (ok, pk, sk, ln, q, p, disc, tax, rf, ls, java.sql.Date.valueOf(sd))
+      }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("q62 profiles nulls, distincts, and canonical min/max per column") {
+    val got = Quality.profile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet.size === 6)
+    got.values.foreach(r => assert(r.getAs[Long]("n_rows") === 3L))
+    val status = got("o_orderstatus")
+    assert(status.getAs[Long]("n_nulls") === 1L)
+    assert(status.getAs[Long]("n_distinct") === 2L)
+    assert(status.getAs[String]("min_repr") === "F" &&
+      status.getAs[String]("max_repr") === "O")
+    val price = got("o_totalprice")
+    assert(price.getAs[String]("min_repr") === "10050" &&
+      price.getAs[String]("max_repr") === "30025", "doubles profile as exact cents")
+    val date = got("o_orderdate")
+    assert(date.getAs[Long]("n_nulls") === 1L)
+    assert(date.getAs[String]("min_repr") === "2024-01-01")
+    assert(got("o_custkey").getAs[Long]("n_distinct") === 2L)
+  }
+
+  test("q63 counts exactly one violation per dirty row, per rule") {
+    val got = Quality.constraints(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "quantity_range" -> 1L,
+      "discount_range" -> 1L,
+      "price_positive" -> 1L,
+      "orderkey_exists" -> 1L))
+  }
+}
