@@ -411,6 +411,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Time-series resampling with forward fill: an hourly tick grid per
+    * user (one global span, generated — no data shuffle to build it),
+    * each tick carrying the user's last event at-or-before it via the
+    * custom as-of operator. The classic gap-filling query every
+    * time-series warehouse runs, and the second independent workload
+    * planning through [[graft.plans.AsOfJoin]] — with `tieBreak` on
+    * event_id so equal-timestamp events (impossible in this data,
+    * enforced deterministic anyway) can never make a re-run differ.
+    * Oracle: DuckDB's native ASOF LEFT JOIN against its own
+    * generate_series grid. */
+  def q66Resample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Det.cents(col("value")).cast("long").as("value_cents"))
+    val bounds = Tables.events(s, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = Tables.events(s, dir).select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("tick"))
+    graft.plans.AsOf.join(grid, e, keys = Seq("user_id"),
+        leftTs = "tick", rightTs = "ts", tieBreak = Seq("event_id"))
+      .toDF("user_id", "tick", "r_user_id", "ts", "event_id", "value_cents")
+      .select(col("user_id"), unix_micros(col("tick")).as("tick_us"),
+        unix_micros(col("ts")).as("event_us"), col("value_cents"))
+      .orderBy("user_id", "tick_us")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Union + exact dedup: two overlapping slices, distinct, aggregate. */
   def q22UnionDedup(s: SparkSession, dir: String): DataFrame = {
@@ -447,7 +478,8 @@ object Relational {
     "q21_asof_last_signup" -> (q21AsOfLastSignup _),
     "q22_union_dedup" -> (q22UnionDedup _),
     "q45_asof_custom" -> (q45AsOfJoinCustom _),
-    "q46_asof_forward" -> (q46AsOfForward _)
+    "q46_asof_forward" -> (q46AsOfForward _),
+    "q66_resample_ffill" -> (q66Resample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -629,6 +661,20 @@ object Relational {
         | (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') s
         | ON e.user_id = s.user_id AND s.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q66_resample_ffill" ->
+      """WITH b AS (
+        | SELECT date_trunc('hour', min(ts)) AS lo,
+        |        date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (
+        | SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick
+        | FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN b),
+        |e AS (SELECT user_id, ts, event_id,
+        |      CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)
+        |SELECT g.user_id, epoch_us(g.tick) AS tick_us,
+        | epoch_us(e.ts) AS event_us, e.value_cents
+        |FROM grid g ASOF LEFT JOIN e
+        | ON g.user_id = e.user_id AND e.ts <= g.tick
+        |ORDER BY g.user_id, tick_us""".stripMargin,
     "q22_union_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT * FROM events WHERE value > 100
