@@ -131,15 +131,19 @@ object FlightQueries {
   def q65GeoClosePairs(s: SparkSession, dir: String): DataFrame = {
     val w = 2 * CloseEpsMicro
     val p = positioned(s)
-    val cells = p.select(col("file_source"), col("icao24"),
-      explode(array((for (gx <- 0 to 1; gy <- 0 to 1) yield
-        struct(lit(gx * 2 + gy).as("g"),
-          floor((col("ulat") + lit(gx * CloseEpsMicro)) / lit(w.toDouble))
-            .cast("long").as("cx"),
-          floor((col("ulon") + lit(gy * CloseEpsMicro)) / lit(w.toDouble))
-            .cast("long").as("cy"))): _*)).as("c"))
-      .select(col("file_source"), col("icao24"), col("c.g").as("g"),
-        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    // a hot cell (airport holding stacks at 100 TB) is the same hazard
+    // as a hot LSH bucket; the same cap + surfaced metric guards it
+    val cells = LshSkew.capBuckets(
+      p.select(col("file_source"), col("icao24"),
+        explode(array((for (gx <- 0 to 1; gy <- 0 to 1) yield
+          struct(lit(gx * 2 + gy).as("g"),
+            floor((col("ulat") + lit(gx * CloseEpsMicro)) / lit(w.toDouble))
+              .cast("long").as("cx"),
+            floor((col("ulon") + lit(gy * CloseEpsMicro)) / lit(w.toDouble))
+              .cast("long").as("cy"))): _*)).as("c"))
+        .select(col("file_source"), col("icao24"), col("c.g").as("g"),
+          col("c.cx").as("cx"), col("c.cy").as("cy")),
+      Seq("file_source", "g", "cx", "cy"), "geo")
     val cand = cells.as("x")
       .join(cells.as("y"), Seq("file_source", "g", "cx", "cy"))
       .where(col("x.icao24") < col("y.icao24"))
