@@ -61,9 +61,16 @@ object RangeJoin {
     * sessions via `spark.sql.extensions=graft.plans.GraftExtensions` —
     * rewrites it to the binned hash join automatically, so this query
     * proves the optimizer rule itself against the DuckDB oracle (the
-    * oracle states the direct unbinned theta-join). Without the rule
-    * installed the results are identical, just O(N·M) slower. */
+    * oracle states the direct unbinned theta-join). The rule also
+    * SELF-INSTALLS into the session here (idempotent, the same
+    * pattern as `AsOf.join`'s strategy), so a plain session gets the
+    * binned hash join too instead of silently degrading to the
+    * nested loop — `PlanInvariantsSpec` pins that no session plans
+    * this query as a BNLJ. */
   def attributionNatural(s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
     val e = Tables.events(s, dir)
     val views = e.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("vts"))

@@ -32,12 +32,24 @@ class BinnedRangeJoinRuleSpec extends SparkTestBase {
     try body finally spark.experimental.extraOptimizations = Nil
   }
 
+  /** The control plan needs a session WITHOUT the rule — other suites
+    * (q43 self-installs, PlanInvariantsSpec plans everything) may have
+    * left it installed on the shared session. */
+  private def withoutRule[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == BinnedRangeJoinRule)
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rewrites the nested-loop interval join to a binned hash join, losslessly") {
     // control: without the rule this is a nested-loop plan
-    val control = naturalJoin()
-    assert(control.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"))
-    val expected = control.collect().map(_.toSeq).toSet
+    val expected = withoutRule {
+      val c = naturalJoin()
+      assert(c.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      c.collect().map(_.toSeq).toSet
+    }
 
     withRule {
       val rewritten = naturalJoin()
