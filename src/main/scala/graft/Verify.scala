@@ -30,6 +30,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // The skew counters arrive via an async QueryExecutionListener;
+    // drain the listener bus first or this read races the delivery and
+    // can report "none" over a truncation that DID happen.
+    org.apache.spark.sql.graftbridge.GraftBridge
+      .waitListenerBusEmpty(spark, 30000L)
     // Surface the LSH bucket-cap counters: a truncating cap means the
     // dumped q28/q31/q32/q35 (and derived q29/q42) results are weaker
     // than the documented semantics — that must be a loud, machine-

@@ -74,9 +74,13 @@ object WarehouseBuild {
     * Mechanics: per-partition file sizes come from the driver-side
     * file listing (O(files) metadata — the same scale class as the
     * control plane); each row gets a salt in `[0, nFiles(date))` and
-    * the frame is repartitioned by (date, salt), so every output task
-    * holds exactly one (partition, salt) slice ≈ one target-sized
-    * file. The rewrite reads through `localCheckpoint` — the
+    * the frame is repartitioned by (date, salt), so each output task
+    * holds approximately one (partition, salt) slice ≈ one target-sized
+    * file — hash partitioning can collide two slices into one task, so
+    * occasional files run up to ~2× target and the file count is a
+    * ceiling, not exact; good enough for the goal (thousands of small
+    * files → a handful of large ones). The rewrite reads through
+    * `localCheckpoint` — the
     * materialized working set, not the input files — so dynamic
     * partition overwrite of the SAME directory is safe from the
     * read-overwrite race; a production deployment writes to a new

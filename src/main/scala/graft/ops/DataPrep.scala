@@ -503,9 +503,9 @@ object DataPrep {
          | FROM documents),
          |r AS (
          | SELECT doc_id, shard, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-         |    AS start_tok
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_tokens AS start_tok
          | FROM t)
          |SELECT doc_id, shard, n_tokens,
          | start_tok // $SeqLen AS seq_id,

@@ -91,7 +91,14 @@ object StreamingNearDup {
               if (cur.size < maxBucketDocs) cur = cur :+ nd
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.map(_.tsMs).max + horizonMs + 1)
+            // Clamp above the current watermark: an at-cap bucket never
+            // appends, so its residents' max(ts)+horizon can be <= the
+            // watermark by the time fresh data lands in the same trigger
+            // — an un-clamped setTimeoutTimestamp then throws
+            // IllegalArgumentException and poison-pills every restart.
+            state.setTimeoutTimestamp(math.max(
+              cur.map(_.tsMs).max + horizonMs + 1,
+              state.getCurrentWatermarkMs() + 1))
             hits.result().iterator
           }
       }

@@ -26,6 +26,15 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until the Spark listener bus has drained (`listenerBus` is
+    * `private[spark]`). QueryExecutionListeners — LshSkew's skew
+    * counters among them — are fed asynchronously through this bus, so
+    * a caller that reads their state right after an action races the
+    * delivery; draining first makes the read exact. */
+  def waitListenerBusEmpty(s: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Stable, never-reused per-session identity (`sessionUUID` is
     * `private[sql]` on the classic session). None for non-classic
     * implementations. */
