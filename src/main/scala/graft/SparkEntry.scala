@@ -21,12 +21,14 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.MultiModal.queries ++
       ops.Sketches.queries ++ ops.RangeJoin.queries ++
-      ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries
+      ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries ++
+      ops.Graphs.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
       ops.TextAnalysis.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.MultiModal.oracles ++
       ops.Sketches.oracles ++ ops.RangeJoin.oracles ++
-      ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles
+      ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles ++
+      ops.Graphs.oracles
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph (q67/q68) — the
+  * relational-engine graph workloads that complement the connected
+  * components family (q52/q56): fixed-round PageRank and triangle
+  * counting / clustering coefficient.
+  *
+  * The graph: parts are nodes; an undirected edge (a, b) exists when
+  * some order contains both parts (the classic co-occurrence /
+  * market-basket graph — the same construction a training-data
+  * pipeline uses for co-citation or link graphs). Edge generation is a
+  * self-equi-join of the distinct (order, part) projection on the
+  * order key: output is bounded by Σ_orders |parts|², and both sides
+  * share one exchange (ReusedExchange). A degenerate mega-basket is
+  * the quadratic hazard, so the generator runs through the same
+  * bucket-cap guard as the LSH families ([[LshSkew.capBuckets]],
+  * family "copurchase") — truncation is surfaced, never silent.
+  *
+  * Determinism: every number here is 64-bit integer arithmetic
+  * (rank mass in parts-per-million, `div` flooring on non-negative
+  * operands ≡ DuckDB `//` truncation), so both engines agree
+  * cell-for-cell with zero float haze — PageRank included, which is
+  * why ranks are integer ppm rather than doubles (see Det's rationale:
+  * at 100 TB fixed-point is also the fast path).
+  */
+object Graphs {
+
+  /** PageRank: damping 0.85 (as 85/100), `PrIters` synchronous rounds,
+    * every node seeded with `PrMass` ppm. Fixed rounds, not an
+    * ε-threshold, for the same reason as q59 kmeans: the oracle
+    * unrolls the rounds as CTEs, and production link-analysis passes
+    * are budgeted in rounds. */
+  val PrIters = 3
+  val PrMass = 1000000L
+
+  /** Distinct (order, part) incidence, cap-guarded on the order key so
+    * a degenerate giant basket cannot go quadratic in [[edges]]. */
+  private def incidence(s: SparkSession, dir: String): DataFrame =
+    LshSkew.capBuckets(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(),
+      Seq("ok"), "copurchase")
+
+  /** Canonical undirected edge set: (a < b), distinct. One self-join
+    * on the order key — both sides are the same frame, so the physical
+    * plan shuffles the incidence ONCE and reuses the exchange. */
+  private[ops] def edges(s: SparkSession, dir: String): DataFrame = {
+    val li = incidence(s, dir)
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Directed both ways: PageRank and degree counting want the
+    * symmetric adjacency view of the undirected edge set. */
+  private def adjacency(e: DataFrame): DataFrame =
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+
+  /** q67: fixed-round integer PageRank over the co-purchase graph.
+    *
+    * Per round: one equi-join of the (src, dst, deg) adjacency against
+    * the current (node, rank) frame on the source key and one hash
+    * aggregation on the destination key — the textbook distributed
+    * PageRank shape, Σ shuffles = 2·rounds, all on node keys, no
+    * driver-side iteration state (the loop only builds the plan).
+    * Every node of the symmetric graph has in-edges, so no rank rows
+    * drop between rounds; isolated parts (never co-purchased) are not
+    * graph nodes by construction.
+    *
+    * new_rank = 0.15·mass + 0.85·Σ_in (rank_src div deg_src), all in
+    * integer ppm: `div` on non-negative longs matches DuckDB `//`
+    * exactly, and integer sums are order-independent — the oracle
+    * replays the identical three rounds cell-for-cell. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val adj = adjacency(edges(s, dir))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, "src")
+    val r0 = deg.select(col("src").as("node"), lit(PrMass).as("r"))
+    val rn = (1 to PrIters).foldLeft(r0) { (r, _) =>
+      adjd.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst")
+        .agg((lit(15L * PrMass / 100) +
+          expr("85 * sum(c) div 100").cast("long")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    rn.join(deg, col("node") === col("src"))
+      .select(col("node").as("part_id"), col("r").as("rank_ppm"),
+        col("deg").as("degree"))
+      .orderBy(col("rank_ppm").desc, col("part_id"))
+  }
+
+  /** q68: triangle count + global clustering coefficient.
+    *
+    * Degree-ordered node-iterator: every undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one — the
+    * orientation is a total order, so it is acyclic and each triangle
+    * is counted EXACTLY once as e1=(u→v), e2=(v→w), e3=(u→w). The
+    * ordering is the standard O(m^1.5) bound: a hub of degree d sits
+    * on the RECEIVING side of its edges, so wedge enumeration pairs
+    * each node's out-neighbors only — out-degree is O(√m) after
+    * orientation — instead of squaring the hub. Two equi-joins (one on
+    * the shared middle node, one on the closing (u, w) pair) and one
+    * count: no cartesian anywhere.
+    *
+    * Output is one row of exact integers: nodes, edges, triangles,
+    * wedges (Σ deg·(deg−1)/2 — integer-exact since deg·(deg−1) is
+    * even) and the global clustering coefficient 3·triangles/wedges in
+    * per-mille. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = adjacency(e).groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val e3 = oriented.select(col("src").as("u"), col("dst").as("w"))
+    val tri = e1.join(e2, "v").join(e3, Seq("u", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum("deg") / 2).cast("long").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    stats.crossJoin(broadcast(tri)) // 1×1 scalar frames, declared BNLJ
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        expr("3000 * n_triangles div n_wedges").as("gcc_milli"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_pagerank" -> (pagerank _),
+    "q68_triangles" -> (triangles _)
+  )
+
+  private val edgeCtes =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |adj AS (SELECT a AS src, b AS dst FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q67_pagerank" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""r$i AS (
+           | SELECT dst AS node, CAST(${15L * PrMass / 100}
+           |   + (85 * sum(r // deg)) // 100 AS BIGINT) AS r
+           | FROM adj JOIN deg ON deg.node = adj.src
+           | JOIN r${i - 1} USING (node) -- r of the SOURCE node
+           | GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |r0 AS (SELECT node, CAST($PrMass AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT node AS part_id, r AS rank_ppm, deg AS degree
+         |FROM r$PrIters JOIN deg USING (node)
+         |ORDER BY rank_ppm DESC, part_id""".stripMargin
+    },
+    "q68_triangles" ->
+      s"""WITH $edgeCtes,
+         |o AS (
+         | SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |             THEN a ELSE b END AS src,
+         |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |             THEN b ELSE a END AS dst
+         | FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+         |tri AS (
+         | SELECT count(*) AS n_triangles
+         | FROM o e1 JOIN o e2 ON e2.src = e1.dst
+         |           JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |st AS (
+         | SELECT count(*) AS n_nodes,
+         |  CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         | FROM deg)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         | CAST((3000 * n_triangles) // n_wedges AS BIGINT) AS gcc_milli
+         |FROM st, tri""".stripMargin
+  )
+}

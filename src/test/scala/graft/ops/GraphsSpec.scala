@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Differential tests for the graph family (q67/q68): the Spark
+  * results must equal a plain-Scala reference computation over the
+  * SAME collected edge list — exact integer equality, no tolerance,
+  * since both sides are pure 64-bit arithmetic. */
+class GraphsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val edgeList: Seq[(Long, Long)] =
+    Graphs.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private lazy val adj: Map[Long, Seq[Long]] = {
+    val sym = edgeList.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    sym.groupMap(_._1)(_._2)
+  }
+
+  test("q67 pagerank equals a plain-Scala fixed-round integer PageRank") {
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> Graphs.PrMass).toMap
+    (1 to Graphs.PrIters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      adj.foreach { case (src, dsts) =>
+        val c = r(src) / deg(src) // both positive: / == div == //
+        dsts.foreach(d => contrib(d) += c)
+      }
+      r = deg.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    val got = Graphs.pagerank(spark, dir).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(got.length == r.size)
+    got.foreach { case (node, rank, degree) =>
+      assert(rank == r(node), s"rank mismatch at node $node")
+      assert(degree == deg(node))
+    }
+    // ordering contract: rank desc, id asc
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == got.toSeq)
+  }
+
+  test("q68 triangles equals a plain-Scala neighborhood-intersection count") {
+    val nbr = adj.view.mapValues(_.toSet).toMap
+    // each triangle counted 3 times as (edge, common neighbor), then /3
+    val tri3 = edgeList.iterator
+      .map { case (a, b) => (nbr(a) & nbr(b)).size.toLong }.sum
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = Graphs.triangles(spark, dir).collect().head
+    assert(row.getLong(0) == deg.size) // n_nodes
+    assert(row.getLong(1) == edgeList.size) // n_edges
+    assert(row.getLong(2) == tri3 / 3, "triangle count")
+    assert(row.getLong(3) == wedges)
+    assert(row.getLong(4) == 3000L * (tri3 / 3) / wedges)
+  }
+}
