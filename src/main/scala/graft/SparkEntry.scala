@@ -22,7 +22,7 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.MultiModal.queries ++
       ops.Sketches.queries ++ ops.RangeJoin.queries ++
       ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries ++
-      ops.Graphs.queries
+      ops.Graphs.queries ++ ops.Search.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -30,5 +30,5 @@ object SparkEntry {
       ops.Similarity.oracles ++ ops.MultiModal.oracles ++
       ops.Sketches.oracles ++ ops.RangeJoin.oracles ++
       ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles ++
-      ops.Graphs.oracles
+      ops.Graphs.oracles ++ ops.Search.oracles
 }

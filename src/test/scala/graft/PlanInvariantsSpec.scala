@@ -21,7 +21,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q34_ann_ivf", "q57_ann_pq", "q58_ann_ivfpq", "q59_kmeans", // K-row centroids/codebooks
     "q49_tfidf_topk", // 1-row corpus count
     "q66_resample_ffill", // 1-row grid bounds
-    "q68_triangles" // 1-row stats × 1-row triangle count
+    "q68_triangles", // 1-row stats × 1-row triangle count
+    "q70_bm25" // 1-row corpus stats
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
