@@ -19,11 +19,19 @@ import graft.Tables
   */
 object Search {
 
-  /** Whitespace tokens, empties dropped — `split(trim(x), "\\s+")` on
-    * an empty string yields [""] in BOTH engines, so the `!= ''`
-    * filter keeps the two tokenizers identical. */
-  private def tokens(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+  /** The whitespace definition, pinned as an explicit character class
+    * rather than `\s`: Java regex `\s` includes vertical tab \x0B while
+    * DuckDB's RE2 `\s` does not, so inheriting `\s` from two regex
+    * engines would tokenize \x0B-bearing text differently. With the
+    * explicit class both engines split on exactly these five chars. */
+  private[ops] val WsClass = "[ \\t\\n\\f\\r]"
+
+  /** Whitespace tokens, empties dropped — splitting an empty string
+    * yields [""] in BOTH engines, and a leading separator yields a ""
+    * first token, so the `!= ''` filter keeps the two tokenizers
+    * identical. */
+  private[ops] def tokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(trim(col("text")), WsClass + "+")).as("term"))
     .filter(col("term") =!= "")
 
   // ---- q69: inverted-index posting statistics -------------------------
@@ -63,20 +71,27 @@ object Search {
     * agree bit-for-bit, and a float log differs in the last ulp
     * between libm implementations (production swaps the idf for
     * ln((N−df+0.5)/(df+0.5)+1) — a one-line change; the plan is
-    * identical). With avgdl = T/N the classic per-term score
+    * identical). The classic per-term score
     *
     *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *
-    * multiplies through to the all-integer rational
+    * is evaluated with every intermediate BOUNDED: first avgdl =
+    * T div N (≥ 1, every dl row has ≥ 1 token), then the milli-scale
+    * denominator den_m = 1000·tf + 300 + (900·dl) div avgdl, then the
+    * tf-saturation factor sat_m = 2200000·tf div den_m — which lives
+    * in [0, 2200] because den_m ≥ 1000·tf — and only THEN the idf
+    * product, term_score = idf_pm · sat_m (micro units). Per-doc sum
+    * over |Bm25Terms| ≤ 4 terms tops out at 4·2200·1000·N, inside
+    * Int64 for N up to ~10¹² docs — a corpus bound documented here
+    * because non-ANSI Spark wraps silently where DuckDB raises; the
+    * earlier single-rational form (idf·22·tf·T div …) overflowed at
+    * ~10⁸ docs via the tf·T product.
     *
-    *   idf_pm · 22·tf·T div (10·tf·T + 3·T + 9·dl·N)
-    *
-    * — one integer division per (doc, term), summed per doc (integer
-    * sums are order-independent), global top-k by (score, doc_id).
-    *
-    * Shape: tf and dl are the indexer aggregations; df is a
-    * vocabulary-sized frame (broadcast); N/T a 1-row broadcast; the
-    * final top-k is TakeOrderedAndProject — no global sort. */
+    * Integer sums are order-independent; global top-k by
+    * (score, doc_id). Shape: tf and dl are the indexer aggregations;
+    * df is a vocabulary-sized frame (broadcast); N/T a 1-row
+    * broadcast; the final top-k is TakeOrderedAndProject — no global
+    * sort. */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = tokens(docs)
@@ -89,13 +104,14 @@ object Search {
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("idf_pm", expr("n_docs * 1000 div df"))
-      .withColumn("term_score", expr(
-        "idf_pm * 22 * tf * t_tokens div " +
-          "(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)"))
+      .withColumn("avgdl", expr("t_tokens div n_docs"))
+      .withColumn("den_m", expr("1000 * tf + 300 + (900 * dl) div avgdl"))
+      .withColumn("sat_m", expr("2200000 * tf div den_m"))
+      .withColumn("term_score", expr("idf_pm * sat_m"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_terms"),
-        sum("term_score").cast("long").as("score_milli"))
-      .orderBy(col("score_milli").desc, col("doc_id"))
+        sum("term_score").cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(Bm25TopK)
   }
 
@@ -106,7 +122,7 @@ object Search {
 
   private val tokCte =
     """tok AS (
-      | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS term
       | FROM documents),
       |tk AS (SELECT doc_id, term FROM tok WHERE term <> '')""".stripMargin
 
@@ -130,13 +146,14 @@ object Search {
          |           FROM dl),
          |scored AS (
          | SELECT doc_id,
-         |  ((n_docs * 1000) // df) * 22 * tf * t_tokens //
-         |    (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) AS term_score
+         |  ((n_docs * 1000) // df) *
+         |    (2200000 * tf // (1000 * tf + 300 + (900 * dl) // (t_tokens // n_docs)))
+         |    AS term_score
          | FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
          |SELECT doc_id, count(*) AS n_terms,
-         | CAST(sum(term_score) AS BIGINT) AS score_milli
+         | CAST(sum(term_score) AS BIGINT) AS score_micro
          |FROM scored GROUP BY doc_id
-         |ORDER BY score_milli DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+         |ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     }
   )
 }

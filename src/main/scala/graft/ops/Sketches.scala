@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -11,46 +12,106 @@ import graft.Tables
   * form, so map-side combine applies and executor memory stays
   * O(sketch), never O(distinct values)).
   *
-  * No DuckDB oracle: both engines implement DIFFERENT sketch
-  * algorithms, so cross-engine hash parity is impossible by
-  * construction — the driver records the rows-only check, and
-  * `SketchesSpec` pins the error bounds against exact computations
-  * (HLL++ at rsd=0.02 must sit within ±5 %; the quantile sketch within
-  * the documented rank tolerance). Each query also carries the exact
-  * value next to the estimate so the bound is auditable in the output
-  * itself.
+  * Cross-engine verification: the two engines implement DIFFERENT
+  * sketch algorithms, so the raw estimate can never hash-match a
+  * DuckDB run. The checked query output therefore carries (a) the
+  * EXACT value, computed in pure integer arithmetic so DuckDB
+  * reproduces it cell-for-cell, and (b) an integer `within_bound`
+  * flag asserting the sketch estimate sits inside its documented
+  * error bound of that exact value. The oracle recomputes the exact
+  * side and pins `within_bound = 1` — so a sketch drifting out of its
+  * bound fails the hash compare loudly, while the estimate's
+  * engine-specific bits stay out of the hash. The raw estimates
+  * remain available via the `*Detail` methods, which `SketchesSpec`
+  * uses for direct error-bound and determinism tests.
   */
 object Sketches {
 
-  /** q39: per-nation distinct customers — HLL++ estimate beside the
-    * exact count (the exact side is what a user replaces at scale). */
-  def sketchDistinct(s: SparkSession, dir: String): DataFrame =
+  /** q39 detail: per-nation HLL++ estimate beside the exact distinct
+    * count, with the bound flag (±5 % — rsd 0.02, so 2.5 standard
+    * errors; at harness scales the sparse-mode estimate is exact). */
+  def sketchDistinctDetail(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(
         approx_count_distinct(col("c_custkey"), rsd = 0.02).as("approx_customers"),
         countDistinct(col("c_custkey")).as("exact_customers"))
+      // |approx − exact| · 20 ≤ exact  ⇔  relative error ≤ 5 %, in
+      // integer arithmetic (no float haze in the flag itself).
+      .withColumn("within_bound",
+        when(abs(col("approx_customers") - col("exact_customers")) * 20
+          <= col("exact_customers"), lit(1)).otherwise(lit(0)))
+
+  /** q39: the driver-checked projection — exact count + bound flag
+    * (see class doc for why the raw estimate is not hashed). */
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame =
+    sketchDistinctDetail(s, dir)
+      .select(col("nationkey"), col("exact_customers"), col("within_bound"))
       .orderBy("nationkey")
 
-  /** q40: order-price quantiles per status — GK sketch at accuracy
-    * 10000 beside the exact interpolated percentile. Output is four
-    * scalar DOUBLE columns (not arrays): the driver's rows-only check
-    * sorts the parquet in pandas, and array cells are unhashable there. */
+  /** Exact integer percentile interpolation, shared by the Spark query
+    * and mirrored in the oracle SQL: prices in rounded cents, rank
+    * position in centi-index pos = (n−1)·p, and the interpolated value
+    * emitted ×10⁴ (cents × centi-fraction) so it stays a BIGINT —
+    * value_e4 = cents[lo]·(100−frac) + cents[lo+1]·frac with
+    * lo = pos div 100, frac = pos mod 100. Both engines floor-divide
+    * non-negative integers identically; no double is ever compared. */
+  private def exactContrib(p: Int) = expr(
+    s"""case when rn = ((n - 1) * $p) div 100
+       |     then cents * (100 - ((n - 1) * $p) % 100) else 0L end +
+       |case when rn = ((n - 1) * $p) div 100 + 1
+       |     then cents * (((n - 1) * $p) % 100) else 0L end""".stripMargin)
+
+  /** q40 detail: order-price p50/p95 — GK sketch at accuracy 10000
+    * beside the exact integer-interpolated percentile (×10⁴), plus the
+    * rank-bound flag. The sketch's contract is a RANK guarantee
+    * (returned element's rank within ε·n of the target), so the flag
+    * checks rank, not value: the count of rows ≤/< the estimate must
+    * bracket the target rank within tol = n div 1000 + 2 (10× the
+    * configured ε = 1/10000, plus interpolation slop). */
+  def quantileSketchDetail(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir).select(
+      col("o_orderstatus").as("orderstatus"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val wOrd = Window.partitionBy("orderstatus").orderBy("cents")
+    val wAll = Window.partitionBy("orderstatus")
+    val ranked = cents
+      .withColumn("rn", row_number().over(wOrd) - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+    val exact = ranked.groupBy("orderstatus").agg(
+      count(lit(1)).as("n_orders"),
+      sum(exactContrib(50)).cast("long").as("exact_p50_e4"),
+      sum(exactContrib(95)).cast("long").as("exact_p95_e4"))
+    // GK returns actual data elements (cents are longs in, longs out).
+    val approx = cents.groupBy("orderstatus")
+      .agg(percentile_approx(col("cents"), array(lit(0.5), lit(0.95)),
+        lit(10000)).as("ap"))
+      .select(col("orderstatus"),
+        col("ap").getItem(0).as("approx_p50_cents"),
+        col("ap").getItem(1).as("approx_p95_cents"))
+    // Rank the two estimates against the data in one conditional pass
+    // (approx is a 3-row broadcast — statuses — never a shuffle).
+    val ranks = cents.join(broadcast(approx), "orderstatus")
+      .groupBy("orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") <= col("approx_p50_cents"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("cents") < col("approx_p50_cents"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("cents") <= col("approx_p95_cents"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("cents") < col("approx_p95_cents"), 1L).otherwise(0L)).as("lt95"))
+      .withColumn("tol", expr("n div 1000 + 2"))
+      .withColumn("within_bound", expr(
+        """cast(le50 >= (50 * n) div 100 - tol and lt50 <= (50 * n) div 100 + tol
+          |  and le95 >= (95 * n) div 100 - tol and lt95 <= (95 * n) div 100 + tol
+          |  as int)""".stripMargin))
+    exact.join(approx, "orderstatus")
+      .join(ranks.select("orderstatus", "within_bound"), "orderstatus")
+  }
+
+  /** q40: the driver-checked projection (exact integers + bound flag). */
   def quantileSketch(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderstatus").as("orderstatus"))
-      .agg(
-        percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("ap"),
-        expr("percentile(o_totalprice, array(0.5, 0.95))").as("ep"),
-        count(lit(1)).as("n_orders"))
-      .select(
-        col("orderstatus"),
-        col("ap").getItem(0).as("approx_p50"),
-        col("ap").getItem(1).as("approx_p95"),
-        col("ep").getItem(0).as("exact_p50"),
-        col("ep").getItem(1).as("exact_p95"),
-        col("n_orders"))
+    quantileSketchDetail(s, dir)
+      .select(col("orderstatus"), col("n_orders"),
+        col("exact_p50_e4"), col("exact_p95_e4"), col("within_bound"))
       .orderBy("orderstatus")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,7 +119,34 @@ object Sketches {
     "q40_quantile_sketch" -> (quantileSketch _)
   )
 
-  /** Intentionally empty: sketch algorithms are engine-specific; the
-    * driver's rows-only check applies (see class doc). */
-  val oracles: Map[String, String] = Map.empty
+  /** Exact sides recomputed in DuckDB; `within_bound` pinned to 1 —
+    * the estimate participates via its bound, not its bits. */
+  val oracles: Map[String, String] = Map(
+    "q39_sketch_distinct" ->
+      """SELECT c_nationkey AS nationkey,
+        | count(DISTINCT c_custkey) AS exact_customers,
+        | 1 AS within_bound
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_quantile_sketch" -> {
+      def contrib(p: Int) =
+        s"""CAST(sum(CASE WHEN rn = ((n - 1) * $p) // 100
+           |  THEN cents * (100 - ((n - 1) * $p) % 100) ELSE 0 END
+           | + CASE WHEN rn = ((n - 1) * $p) // 100 + 1
+           |  THEN cents * (((n - 1) * $p) % 100) ELSE 0 END) AS BIGINT)""".stripMargin
+      s"""WITH c AS (
+         | SELECT o_orderstatus AS orderstatus,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         | FROM orders),
+         |r AS (
+         | SELECT orderstatus, cents,
+         |  row_number() OVER (PARTITION BY orderstatus ORDER BY cents) - 1 AS rn,
+         |  count(*) OVER (PARTITION BY orderstatus) AS n
+         | FROM c)
+         |SELECT orderstatus, count(*) AS n_orders,
+         | ${contrib(50)} AS exact_p50_e4,
+         | ${contrib(95)} AS exact_p95_e4,
+         | 1 AS within_bound
+         |FROM r GROUP BY orderstatus ORDER BY orderstatus""".stripMargin
+    }
+  )
 }

@@ -2,41 +2,70 @@ package graft.ops
 
 import graft.SparkTestBase
 
-/** Error-bound verification for the sketch aggregates (no cross-engine
-  * oracle exists by construction — see Sketches). */
+/** Error-bound verification for the sketch aggregates. The driver's
+  * oracle hash-checks the exact integer side plus the `within_bound`
+  * flag (see Sketches); these tests check the RAW estimates the hash
+  * deliberately excludes, via the `*Detail` methods. */
 class SketchesSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("q39 HLL++ distinct estimates sit within ±5% of exact") {
-    val rows = Sketches.sketchDistinct(spark, dir).collect()
+  test("q39 HLL++ distinct estimates sit within ±5% of exact, flag = 1") {
+    val rows = Sketches.sketchDistinctDetail(spark, dir).collect()
     assert(rows.length === 25)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_customers").toDouble
       val exact = r.getAs[Long]("exact_customers").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"nation ${r.get(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Int]("within_bound") === 1)
     }
   }
 
-  test("q40 GK quantiles bracket the exact percentiles") {
-    val rows = Sketches.quantileSketch(spark, dir).collect()
+  test("q40 GK quantiles bracket the exact percentiles, flag = 1") {
+    val rows = Sketches.quantileSketchDetail(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = Seq(r.getAs[Double]("approx_p50"), r.getAs[Double]("approx_p95"))
-      val exact = Seq(r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p95"))
-      // GK at accuracy 1e4 over <=15k rows per group: rank error <= 1
-      // rank; translate to a loose 2% value tolerance on this data
+      // exact_*_e4 is price ×10⁴ (cents × centi-fraction); approx is
+      // an actual data element in cents. GK at accuracy 1e4 over <=15k
+      // rows per group: rank error <= ~1 rank; translate to a loose 2%
+      // value tolerance on this data.
+      val approx = Seq(r.getAs[Long]("approx_p50_cents") * 100.0,
+        r.getAs[Long]("approx_p95_cents") * 100.0)
+      val exact = Seq(r.getAs[Long]("exact_p50_e4").toDouble,
+        r.getAs[Long]("exact_p95_e4").toDouble)
       approx.zip(exact).foreach { case (a, e) =>
         assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
       }
       assert(approx.head <= approx(1)) // p50 <= p95
+      assert(r.getAs[Int]("within_bound") === 1)
+    }
+  }
+
+  test("q40 exact integer interpolation matches a plain-Scala percentile") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), expr("cast(round(o_totalprice*100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def interpE4(xs: Array[Long], p: Int): Long = {
+      val pos = (xs.length - 1).toLong * p
+      val lo = (pos / 100).toInt; val frac = pos % 100
+      xs(lo) * (100 - frac) +
+        (if (frac > 0) xs(lo + 1) * frac else 0L)
+    }
+    val got = Sketches.quantileSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("exact_p50_e4"),
+        r.getAs[Long]("exact_p95_e4"))).toMap
+    cents.foreach { case (status, xs) =>
+      assert(got(status) === ((interpE4(xs, 50), interpE4(xs, 95))),
+        s"status $status")
     }
   }
 
   test("sketch queries stay deterministic across runs") {
-    val a = Sketches.sketchDistinct(spark, dir).collect().toSeq
-    val b = Sketches.sketchDistinct(spark, dir).collect().toSeq
+    val a = Sketches.sketchDistinctDetail(spark, dir).collect().toSeq
+    val b = Sketches.sketchDistinctDetail(spark, dir).collect().toSeq
     assert(a === b)
   }
 }
