@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.MultiModal.queries ++
       ops.Sketches.queries ++ ops.RangeJoin.queries ++
       ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries ++
-      ops.Graphs.queries ++ ops.Search.queries
+      ops.Graphs.queries ++ ops.Search.queries ++ ops.HeavyHitters.queries ++
+      ops.Mixing.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -30,5 +31,6 @@ object SparkEntry {
       ops.Similarity.oracles ++ ops.MultiModal.oracles ++
       ops.Sketches.oracles ++ ops.RangeJoin.oracles ++
       ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles ++
-      ops.Graphs.oracles ++ ops.Search.oracles
+      ops.Graphs.oracles ++ ops.Search.oracles ++ ops.HeavyHitters.oracles ++
+      ops.Mixing.oracles
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -36,6 +36,15 @@ object ArrayFunctions {
   def dotProductLong(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Count-min sketch aggregate over a non-negative BIGINT key: one
+    * `depth × width` counter grid per group, flattened row-major to
+    * `array<bigint>` — constant-size, mergeable (partial aggregation
+    * applies), deterministic (integer multiply-mod hash family). */
+  def countMinSketch(key: Column, depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CountMinAgg(GraftBridge.expression(key), depth, width)
+        .toAggregateExpression())
 
   /** Per-table random-hyperplane LSH bucket ids for a quantized vector
     * (`array<long>`), planes baked in as codegen constants. */

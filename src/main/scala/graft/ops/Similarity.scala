@@ -292,6 +292,62 @@ object Similarity {
     pqShortlistRerank(s, dir, v, adc)
   }
 
+  // ---------- q72: residual IVF-PQ (quantize v − centroid) ----------
+
+  /** Residual IVF-PQ (q72) — the production refinement of q58: PQ
+    * codes quantize the RESIDUAL r = v − centroid(v) instead of the
+    * raw vector. Within an IVF cell the residuals are centered near
+    * zero and span a far smaller ball than the raw vectors, so the
+    * same 4×16 codebook budget spends its resolution on the
+    * information the coarse quantizer didn't already capture — which
+    * is why FAISS-style `IVFxx,PQyy` indexes encode residuals by
+    * default. Correspondingly the ADC tables become per-(query,
+    * probed-cell): the query's residual differs per probed centroid,
+    * so the lookup grid is Q × nprobe × M × K — still tiny, still
+    * broadcast.
+    *
+    * Everything stays exact 64-bit integer arithmetic: residual
+    * components are differences of quantized components, the codebook
+    * is the residuals of the same hash-picked rows (each vs its own
+    * assigned centroid), and L2 encode/ADC distances are integer sums —
+    * so the DuckDB oracle replays the whole construction
+    * cell-for-cell, approximation included. Exact cosine rerank of the
+    * shortlist is identical to q57/q58. */
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val cent = centroids(s, dir)
+    val ranksAll = centroidRanks(v, cent)
+    val assign = ranksAll.filter(col("crn") === 1)
+      .select(col("vec_id"), col("q"), col("cid"))
+    // residual per vector vs its assigned centroid
+    val res = assign.join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("q"), col("cq"), (x, y) => x - y).as("q"))
+    val cb = pqCodebook(res)
+    val codes = pqEncode(res, cb)
+    // query residual PER PROBED CELL: rq = q − centroid(cell)
+    val probes = centroidRanks(v.filter(col("vec_id") < NQueries), cent)
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id"), col("q"), col("cid"))
+    val qres = probes.join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id").as("q_id"), col("cid"),
+        zip_with(col("q"), col("cq"), (x, y) => x - y).as("q"))
+    val qsub = qres
+      .select(col("q_id"), col("cid"), posexplode(pqSubSlices(col("q"))))
+      .select(col("q_id"), col("cid"), col("pos").as("m"), col("col").as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
+    val dtable = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("cid"), col("m"), col("pcid"),
+        pqL2(col("sn2"), col("cn2"), dot(col("sub"), col("cq"))).as("d"))
+    val adc = probes.select(col("vec_id").as("q_id"), col("cid"))
+      .join(assign.select("vec_id", "cid"), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("q_id", "cid", "m", "pcid"))
+      .groupBy("q_id", "vec_id").agg(sum("d").as("adc"))
+    pqShortlistRerank(s, dir, v, adc)
+  }
+
   // ---------- q59: k-means clustering (fixed Lloyd iterations) ----------
 
   /** k-means geometry: K clusters, a FIXED number of Lloyd rounds.
@@ -431,7 +487,8 @@ object Similarity {
     "q42_emb_near_dedup" -> (embNearDedup _),
     "q57_ann_pq" -> (annPq _),
     "q58_ann_ivfpq" -> (annIvfPq _),
-    "q59_kmeans" -> (kmeans _)
+    "q59_kmeans" -> (kmeans _),
+    "q72_ann_ivfpq_residual" -> (annIvfPqResidual _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -594,7 +651,72 @@ object Similarity {
          |   FROM c)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
          |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
-    "q59_kmeans" -> kmeansOracle
+    "q59_kmeans" -> kmeansOracle,
+    "q72_ann_ivfpq_residual" -> {
+      def rsub(v: String) =
+        s"$v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim]"
+      def ssd(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      s"""WITH $qCte,
+         |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
+         |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
+         |ranks AS (SELECT v.vec_id, cent.cid,
+         |   row_number() OVER (PARTITION BY v.vec_id
+         |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
+         |   FROM nv v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cid FROM ranks WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid FROM ranks
+         |   WHERE crn <= $NProbe AND vec_id < $NQueries),
+         |res AS (SELECT v.vec_id,
+         |   list_transform(generate_series(1, len(v.q)), i -> v.q[i] - c.cq[i]) AS r
+         |   FROM nv v JOIN assign a ON a.vec_id = v.vec_id
+         |             JOIN cent c ON c.cid = a.cid),
+         |ms AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+         |picks AS (SELECT vec_id AS pcid, r FROM res
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT $PqKSub),
+         |cb AS (SELECT pcid, m, ${rsub("r")} AS cq FROM picks CROSS JOIN ms),
+         |cbn AS (SELECT pcid, m, cq, ${dotSql("cq", "cq")} AS cn2 FROM cb),
+         |subs AS (SELECT vec_id, m, ${rsub("r")} AS sub FROM res CROSS JOIN ms),
+         |enc AS (SELECT vec_id, m, pcid,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY
+         |     ${ssd("sub", "cq")}, pcid) AS ern
+         |   FROM subs JOIN cbn USING (m)),
+         |codes AS (SELECT vec_id, m, pcid FROM enc WHERE ern = 1),
+         |qres AS (SELECT p.q_id, p.cid,
+         |   list_transform(generate_series(1, len(v.q)), i -> v.q[i] - c.cq[i]) AS rq
+         |   FROM probes p JOIN nv v ON v.vec_id = p.q_id
+         |                 JOIN cent c ON c.cid = p.cid),
+         |dt AS (SELECT q_id, cid, m, pcid,
+         |   ${ssd(s"(${rsub("rq")})", "cq")} AS d
+         |   FROM qres CROSS JOIN ms JOIN cbn USING (m)),
+         |bucketed AS (SELECT probes.q_id, probes.cid, assign.vec_id
+         |   FROM probes JOIN assign USING (cid)
+         |   WHERE probes.q_id != assign.vec_id),
+         |approx AS (SELECT b.q_id, b.vec_id, sum(dt.d) AS adc
+         |   FROM bucketed b
+         |   JOIN codes USING (vec_id)
+         |   JOIN dt ON dt.q_id = b.q_id AND dt.cid = b.cid
+         |          AND dt.m = codes.m AND dt.pcid = codes.pcid
+         |   GROUP BY b.q_id, b.vec_id),
+         |short AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+         |   FROM approx),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
+         |c AS (SELECT short.q_id, short.vec_id,
+         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
+         |   FROM short
+         |   JOIN nv b ON b.vec_id = short.vec_id
+         |   JOIN qs ON qs.q_id = short.q_id
+         |   WHERE arn <= $PqRerank),
+         |r AS (SELECT q_id, vec_id, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM c)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+    }
   )
 
   /** q59's oracle: the same fixed Lloyd rounds unrolled as CTE chains

@@ -19,10 +19,12 @@ class PlanInvariantsSpec extends SparkTestBase {
   private val bnlAllowed = Set(
     "q33_ann_bruteforce", // declared exact baseline
     "q34_ann_ivf", "q57_ann_pq", "q58_ann_ivfpq", "q59_kmeans", // K-row centroids/codebooks
+    "q72_ann_ivfpq_residual", // K-row centroids/codebooks
     "q49_tfidf_topk", // 1-row corpus count
     "q66_resample_ffill", // 1-row grid bounds
     "q68_triangles", // 1-row stats × 1-row triangle count
-    "q70_bm25" // 1-row corpus stats
+    "q70_bm25", // 1-row corpus stats
+    "q71_heavy_hitters" // 1-row totals × 1-row sketch
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.graftbridge.Md5PrefixLong
+import graft.SparkTestBase
+
+/** Differential tests for dataset mixing (q73): copy counts, mixture
+  * composition, and interleave keys must equal a plain-Scala replay of
+  * the same hash arithmetic. */
+class MixingSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def h8(s: String): Long =
+    Md5PrefixLong.prefix(s.getBytes(StandardCharsets.UTF_8), 8)
+
+  private lazy val docs: Seq[(Long, String)] =
+    graft.Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def refCopies(docId: Long, source: String): Long = {
+    val w = Mixing.MixWeights.toMap.getOrElse(source, 0L)
+    w / 1000 + (if (h8(s"mix:$docId") % 1000 < w % 1000) 1L else 0L)
+  }
+
+  test("q73 rows equal the plain-Scala expansion, in order") {
+    val expected = docs.sortBy(_._1).flatMap { case (id, src) =>
+      val w = Mixing.MixWeights.toMap.getOrElse(src, 0L)
+      (1L to refCopies(id, src)).map { c =>
+        (id, c, src, w, h8(s"ord:$id:$c") % Mixing.OrdBuckets)
+      }
+    }
+    val got = Mixing.mixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("mixture composition matches the declared weights in expectation") {
+    val bySource = docs.groupBy(_._2).view
+      .mapValues(ds => ds.map { case (id, src) => refCopies(id, src) }.sum)
+    // every source with weight ≥ 1000 emits at least one copy per doc;
+    // expected totals are docs·w/1000 — check the integer floor/ceil
+    // envelope (the fractional copy is hash-selected per doc)
+    bySource.foreach { case (src, total) =>
+      val w = Mixing.MixWeights.toMap.getOrElse(src, 0L)
+      val nDocs = docs.count(_._2 == src).toLong
+      assert(total >= nDocs * (w / 1000), s"$src under floor")
+      assert(total <= nDocs * (w / 1000 + (if (w % 1000 > 0) 1 else 0)),
+        s"$src over ceil")
+    }
+    // up-sampled sources must actually exceed one copy per doc
+    val up = Mixing.MixWeights.filter(_._2 > 1000).map(_._1).toSet
+    assert(up.forall(src => docs.exists(_._2 == src) ==>
+      (bySource(src) > docs.count(_._2 == src))), "no up-sampling observed")
+  }
+
+  private implicit class BoolOps(a: Boolean) {
+    def ==>(b: => Boolean): Boolean = !a || b
+  }
+}

@@ -116,6 +116,42 @@ class SimilaritySpec extends SparkTestBase {
       "composed results must overlap the IVF top-k of the same buckets")
   }
 
+  test("q72 residual IVF-PQ: exact scores, self excluded, recall not below raw-PQ composition") {
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("q_id", "rnk", "vec_id", "cos_micro").collect()
+    val bfScores = bf.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = Similarity.annIvfPqResidual(spark, dir)
+      .select("q_id", "rnk", "vec_id", "cos_micro").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getLong(3),
+        "rerank scores are the exact cosines")
+      assert(r.getLong(0) !== r.getLong(2), "self never returned")
+      // parallel vector survives: its residual equals the query's
+      // residual in the shared cell, so ADC keeps it for the rerank
+    }
+    val q0top = got.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(q0top.getLong(2) === 20L && q0top.getLong(3) === 1000000L)
+    // recall@10 vs brute-force ground truth: residual quantization must
+    // not degrade the composition below the raw-vector q58 variant on
+    // the same cells/probes (it centers codebook resolution, so ≥)
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val truth = bf.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      val byQ = rows.groupBy(_.getLong(0))
+      val rs = truth.keys.toSeq.map { q =>
+        val hit = byQ.getOrElse(q, Array.empty)
+          .map(_.getLong(2)).toSet.intersect(truth(q)).size
+        hit.toDouble / truth(q).size
+      }
+      rs.sum / rs.size
+    }
+    val raw = Similarity.annIvfPq(spark, dir)
+      .select("q_id", "rnk", "vec_id", "cos_micro").collect()
+    assert(recall(got) >= recall(raw) - 1e-9,
+      s"residual recall ${recall(got)} below raw-PQ recall ${recall(raw)}")
+  }
+
   test("q59 k-means matches a plain-Scala Lloyd reference exactly") {
     // replicate: quantize, hash-pick K seeds, KmIters rounds of
     // assign (L2, tie → min k) + floor-mean update, final assign
