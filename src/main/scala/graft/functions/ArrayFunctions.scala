@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -17,6 +17,12 @@ object ArrayFunctions {
     * Union size follows as `size(a) + size(b) - sortedIntersectCount`. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** [[sortedIntersectCount]] over `array<bigint>` — for 64-bit id
+    * spaces (graph adjacency at 100 TB key widths). */
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountLong(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** 60-bit SimHash of pre-hashed words (`array<long>`) — one pass,

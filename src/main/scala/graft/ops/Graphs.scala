@@ -50,19 +50,21 @@ object Graphs {
     * on the order key — both sides are the same frame, so the physical
     * plan shuffles the incidence ONCE and reuses the exchange.
     *
-    * Memoized per session/dir under the opt-in [[PipelineCache]] (the
-    * q28→q29 pattern): q67 and q68 analyze the SAME graph, and a
-    * session running both builds the edge set once instead of twice.
-    * The entry is keyed as a sub-pipeline of q67, so a benchmark
-    * invalidating q67 recomputes the build honestly while q68 reads
-    * the persisted edges — the production write-once/read-many shape.
-    * Stand-alone (cache off) each query still derives its own edges. */
-  private[ops] def edges(s: SparkSession, dir: String): DataFrame =
-    PipelineCache.getOrPersist(s, dir, "q67_pagerank/edges") {
-      edgesUncached(s, dir)
-    }
-
-  private def edgesUncached(s: SparkSession, dir: String): DataFrame = {
+    * Deliberately NOT routed through [[PipelineCache]] even though q67
+    * and q68 analyze the same graph (the q28→q29 pattern was tried and
+    * MEASURED WORSE at sf0.1, warm best-of-3: q67 4.7 s → 14.3 s when
+    * each benchmarked run re-persists the edge set, q68 10.8 s →
+    * 16.6 s reading it back). Unlike the verified near-dup pairs the
+    * cache exists for (~1e-3 selectivity — tiny vs their recompute),
+    * the edge set is LARGER than its lineitem input, so the persist
+    * write costs more than the build, and the `InMemoryTableScan`
+    * read breaks whole-stage codegen that the parquet recompute keeps —
+    * the double-distinct's exchanges are already deduped by
+    * ReusedExchange within each query (pinned by PlanInvariantsSpec).
+    * Same conclusion as Similarity.embNearDupUncached's quantization
+    * note: cache outputs that are small relative to their recompute,
+    * never ones that are as wide as their input. */
+  private[ops] def edges(s: SparkSession, dir: String): DataFrame = {
     val li = incidence(s, dir)
     li.select(col("ok"), col("pk").as("a"))
       .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
@@ -112,16 +114,26 @@ object Graphs {
 
   /** q68: triangle count + global clustering coefficient.
     *
-    * Degree-ordered node-iterator: every undirected edge is oriented
+    * Degree-ordered edge-iterator: every undirected edge is oriented
     * from its lower-(degree, id) endpoint to the higher one — the
     * orientation is a total order, so it is acyclic and each triangle
-    * is counted EXACTLY once as e1=(u→v), e2=(v→w), e3=(u→w). The
-    * ordering is the standard O(m^1.5) bound: a hub of degree d sits
-    * on the RECEIVING side of its edges, so wedge enumeration pairs
-    * each node's out-neighbors only — out-degree is O(√m) after
-    * orientation — instead of squaring the hub. Two equi-joins (one on
-    * the shared middle node, one on the closing (u, w) pair) and one
-    * count: no cartesian anywhere.
+    * {x, y, z} (x ≺ y ≺ z) is counted EXACTLY once, at its base edge
+    * (x→y), as a member of N⁺(x) ∩ N⁺(y). The ordering is the standard
+    * O(m^1.5) bound: a hub of degree d sits on the RECEIVING side of
+    * its edges, so out-degree is O(√m) after orientation.
+    *
+    * The intersections run as a codegen'd sorted-merge kernel
+    * ([[graft.functions.ArrayFunctions.sortedIntersectCountLong]])
+    * over per-node sorted out-neighbor arrays, NOT as the textbook
+    * wedge self-join: the wedge enumeration materializes
+    * Σ od·(od−1)/2 rows through a shuffle (41 M at sf0.1 — 34× the
+    * edge count) before the closing join can cut it down, while the
+    * array form shuffles only 2·m edge-with-array rows and does the
+    * same wedge work inside the merge loop at memory bandwidth — the
+    * identical trade the dedup family's verify stage measured at 75 s
+    * → 1 s. Arrays are out-neighborhoods, so orientation bounds every
+    * array at O(√m) elements — collect_list over a hub is safe HERE
+    * (and only here) because the hub's edges point INTO it.
     *
     * Output is one row of exact integers: nodes, edges, triangles,
     * wedges (Σ deg·(deg−1)/2 — integer-exact since deg·(deg−1) is
@@ -141,11 +153,20 @@ object Graphs {
         .otherwise(struct(col("b").as("src"), col("a").as("dst")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
-    val e2 = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val e3 = oriented.select(col("src").as("u"), col("dst").as("w"))
-    val tri = e1.join(e2, "v").join(e3, Seq("u", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // sorted out-neighbor array per node (≤ O(√m) elements each);
+    // edges whose endpoint has no out-neighbors contribute 0 and drop
+    // at the inner join. shuffle_hash: both sides are key-skew-free
+    // and a sort of the edge list buys nothing for a one-pass probe.
+    val nbrs = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val tri = oriented
+      .join(nbrs.hint("shuffle_hash").select(col("src"), col("ns").as("nu")),
+        Seq("src"))
+      .join(nbrs.hint("shuffle_hash").select(col("src").as("dst"),
+        col("ns").as("nv")), Seq("dst"))
+      .agg(coalesce(sum(graft.functions.ArrayFunctions
+        .sortedIntersectCountLong(col("nu"), col("nv"))), lit(0L))
+        .as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       // Integer division: total degree is always even (each edge adds

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Executable architecture invariant: NO query in the whole surface may
@@ -51,5 +52,84 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
     assert(offenders.isEmpty,
       s"plan invariant violations:\n${offenders.mkString("\n")}")
+  }
+
+  /** Declared shuffle budget per query: the static ShuffleExchange
+    * count of the plan each operator's Scaladoc argues for, measured
+    * with AQE off (AQE hides exchanges until stage materialization).
+    * A future edit that adds an exchange fails HERE, with a named
+    * query, instead of surfacing rounds later as a bench regression —
+    * raise a budget only with a plan-shape justification in the
+    * operator's doc. Counts are static plan properties (sf0.001 reads
+    * the same schemas; exchange structure is data-independent). */
+  private val shuffleBudgets = Map(
+    "q01_pricing_summary" -> 2, "q02_selective_scan" -> 1,
+    "q03_revenue_by_nation" -> 2, "q04_top_urgent_orders" -> 1,
+    "q05_semi_join" -> 1, "q06_anti_join" -> 1,
+    "q07_top_per_customer" -> 2, "q08_running_totals" -> 2,
+    "q09_global_topk" -> 0, "q10_distinct_agg" -> 3,
+    "q11_set_ops" -> 2, "q12_rollup" -> 2, "q13_cube" -> 2,
+    "q14_promo_share" -> 2, "q15_string_funcs" -> 1,
+    "q16_small_qty_revenue" -> 2, "q17_order_count_distribution" -> 3,
+    "q18_events_daily" -> 3, "q19_json_extract" -> 2,
+    "q20_sessionize" -> 2, "q21_asof_last_signup" -> 2,
+    "q22_union_dedup" -> 3, "q23_flight_clean" -> 1,
+    "q24_flight_airborne" -> 2, "q25_doc_stats" -> 1,
+    "q26_doc_langid" -> 1, "q27_doc_fingerprint" -> 1,
+    "q28_minhash_lsh_pairs" -> 3, "q29_near_dedup" -> 5,
+    "q30_simhash" -> 1, "q31_simhash_pairs" -> 3,
+    "q32_ngram_anchor_jaccard" -> 2, "q33_ann_bruteforce" -> 2,
+    "q34_ann_ivf" -> 6, "q35_emb_neardup" -> 3,
+    "q36_mm_metadata" -> 1, "q37_mm_features" -> 1,
+    "q38_mm_frames" -> 1, "q39_sketch_distinct" -> 3,
+    "q40_quantile_sketch" -> 5, "q41_range_join_attribution" -> 2,
+    "q42_emb_near_dedup" -> 5, "q43_range_join_natural" -> 2,
+    "q44_exact_dedup" -> 2, "q45_asof_custom" -> 4,
+    "q46_asof_forward" -> 4, "q47_repetition_stats" -> 5,
+    "q48_hash_split" -> 1, "q49_tfidf_topk" -> 6,
+    "q50_stratified_sample" -> 1, "q51_feature_binning" -> 2,
+    "q52_dedup_clusters" -> 2, "q53_pii_scrub" -> 1,
+    "q54_decontaminate" -> 3, "q55_sequence_pack" -> 2,
+    "q56_dedup_clusters_ls" -> 2, "q57_ann_pq" -> 4,
+    "q58_ann_ivfpq" -> 9, "q59_kmeans" -> 12,
+    "q60_funnel" -> 4, "q61_cohort_retention" -> 5,
+    "q62_data_profile" -> 2, "q63_constraints" -> 2,
+    "q64_geo_density" -> 3, "q65_geo_close_pairs" -> 3,
+    "q66_resample_ffill" -> 4, "q67_pagerank" -> 10,
+    "q68_triangles" -> 11, "q69_inverted_index" -> 3,
+    "q70_bm25" -> 7, "q71_heavy_hitters" -> 5,
+    "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1
+  )
+
+  /** Queries whose plans must statically reuse an exchange — the
+    * self-join families where both sides are the same frame, so the
+    * physical plan should shuffle ONCE (ReuseExchange applies even
+    * before AQE's runtime stage reuse). */
+  private val mustReuseExchange = Seq(
+    "q28_minhash_lsh_pairs", // band self-join
+    "q35_emb_neardup", // bucket self-join
+    "q67_pagerank", "q68_triangles" // shared co-purchase edge build
+  )
+
+  test("no query exceeds its declared shuffle budget; self-join families reuse exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val queries = SparkEntry.queries
+      val missing = queries.keySet.diff(shuffleBudgets.keySet)
+      assert(missing.isEmpty,
+        s"queries without a declared shuffle budget: ${missing.toSeq.sorted}")
+      val over = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+        val ops = operators(queries(name)(spark, dir).queryExecution.executedPlan)
+        val n = ops.count(_.isInstanceOf[ShuffleExchangeLike])
+        if (n > budget) Seq(s"$name: $n shuffles > budget $budget") else Nil
+      }
+      assert(over.isEmpty, s"shuffle budget violations:\n${over.mkString("\n")}")
+      mustReuseExchange.foreach { name =>
+        val ops = operators(queries(name)(spark, dir).queryExecution.executedPlan)
+        assert(ops.exists(_.isInstanceOf[ReusedExchangeExec]),
+          s"$name: expected a ReusedExchange (self-join shuffling once)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
