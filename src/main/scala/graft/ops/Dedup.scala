@@ -568,6 +568,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- q74
+  /** Token n-gram window for the duplicated-substring pass. */
+  val DupGramN = 5
+
+  /** q74: cross-document duplicated-n-gram coverage — the substring-
+    * level dedup signal (the suffix-array pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as the shape that distributes): a token 5-gram is
+    * *duplicated* when it occurs in ≥2 distinct documents, and each
+    * document reports how many of its 5-gram positions are covered by
+    * duplicated grams (plus the integer-milli coverage ratio the
+    * filter threshold would apply to).
+    *
+    * Scale design: grams explode to (len−4) rows per doc — linear in
+    * corpus size, never quadratic; the per-(doc, gram) pre-aggregate
+    * makes the gram-keyed shuffle carry DISTINCT grams per doc, so a
+    * pathological doc repeating one gram a million times contributes
+    * ONE row to the hot-gram key, and the duplicated-gram set is
+    * joined back by the same gram key (hash join; hot grams aggregate
+    * on the build side, they never fan out). Whitespace class is the
+    * pinned `[ \t\n\f\r]` (round-5 ADVICE: Java \s ⊃ RE2 \s). */
+  def dupGramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ts = split(trim(col("text")), "[ \t\n\f\r]+")
+    val toks = d.select(col("doc_id"), ts.as("ts"))
+    // sequence(0, size-5) would run DESCENDING for short docs (Spark
+    // picks step −1 when start > stop) — guard to an empty gram list.
+    val grams = toks.select(col("doc_id"),
+      explode(when(size(col("ts")) >= DupGramN,
+        transform(sequence(lit(0), size(col("ts")) - lit(DupGramN)),
+          i => array_join(slice(col("ts"), i + lit(1), lit(DupGramN)), " ")))
+        .otherwise(array())).as("g"))
+    val perDoc = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("pos_cnt"))
+    // perDoc is unique on (doc_id, g), so count(*) per g = doc freq.
+    val dupSet = perDoc.groupBy("g").agg(count(lit(1)).as("docs"))
+      .where(col("docs") >= 2).select("g")
+    val dupPerDoc = perDoc.join(dupSet, "g").groupBy("doc_id")
+      .agg(sum("pos_cnt").as("dp"), count(lit(1)).as("dg"))
+    toks.select(col("doc_id"),
+        greatest(size(col("ts")) - lit(DupGramN - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dp"), lit(0L)).as("dup_positions"),
+        coalesce(col("dg"), lit(0L)).as("dup_distinct_grams"))
+      .withColumn("dup_milli", when(col("n_grams") > 0,
+        expr("dup_positions * 1000 div n_grams")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_minhash_lsh_pairs" -> (minhashPairs _),
     "q29_near_dedup" -> (nearDedup _),
@@ -576,7 +627,8 @@ object Dedup {
     "q32_ngram_anchor_jaccard" -> (anchorJaccard _),
     "q44_exact_dedup" -> (exactDedup _),
     "q52_dedup_clusters" -> (dedupClusters _),
-    "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d))
+    "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d)),
+    "q74_dup_gram_coverage" -> (dupGramCoverage _)
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -662,6 +714,31 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q74_dup_gram_coverage" ->
+      s"""WITH toks AS (
+         | SELECT doc_id,
+         |  string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+         | FROM documents),
+         |grams AS (
+         | SELECT doc_id, array_to_string(ts[i:i+${DupGramN - 1}], ' ') AS g
+         | FROM toks, UNNEST(range(1, len(ts) - ${DupGramN - 2})) AS t(i)),
+         |perdoc AS (
+         | SELECT doc_id, g, count(*) AS pos_cnt FROM grams GROUP BY 1, 2),
+         |dup AS (SELECT g FROM perdoc GROUP BY g HAVING count(*) >= 2),
+         |dpd AS (
+         | SELECT doc_id, CAST(sum(pos_cnt) AS BIGINT) AS dp, count(*) AS dg
+         | FROM perdoc JOIN dup USING (g) GROUP BY 1),
+         |tot AS (
+         | SELECT doc_id,
+         |  CAST(greatest(len(ts) - ${DupGramN - 1}, 0) AS BIGINT) AS n_grams
+         | FROM toks)
+         |SELECT doc_id, n_grams,
+         | COALESCE(dp, 0) AS dup_positions,
+         | COALESCE(dg, 0) AS dup_distinct_grams,
+         | CASE WHEN n_grams > 0 THEN COALESCE(dp, 0) * 1000 // n_grams
+         |      ELSE 0 END AS dup_milli
+         |FROM tot LEFT JOIN dpd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q32_ngram_anchor_jaccard" -> {
       val (a1, b1) = Perms(0)
       val (a2, b2) = Perms(1)

@@ -117,10 +117,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Vocabulary cap for the co-occurrence pass. */
+  val PmiVocab = 1024
+
+  /** q75: document-level token co-occurrence with PMI-style lift —
+    * the association-mining pass (collocations, topic seeds, taxonomy
+    * bootstrapping) of a text pipeline. A pair (a, b), a < b, counts
+    * once per document containing both; `lift_ppm` is the integer-ppm
+    * observed/expected ratio `1e6 · c_ab · n_docs / (df_a · df_b)`
+    * (PMI without the log — same ranking, integer-exact oracle).
+    *
+    * Scale design: the quadratic step (within-doc token pairing) is
+    * bounded by the TOP-[[PmiVocab]] vocabulary — per-doc pair fan-out
+    * is ≤ min(distinct, V)²/2 regardless of document length, the
+    * standard cap for corpus-scale PMI. The vocab (V rows) rides a
+    * broadcast; the pairing is a self-equi-join on doc_id whose two
+    * sides are the same frame (ReusedExchange collapses the shuffle);
+    * pair counts hash-aggregate on the (a, b) key. Top-k is
+    * TakeOrderedAndProject, never a global sort. The ppm product is
+    * computed in ONE double expression (each IEEE op is correctly
+    * rounded, so both engines agree bit-for-bit) — exact while
+    * c_ab·n_docs ≤ 2^53/1e6; beyond that emit log-space PMI instead. */
+  def pmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tokens = d.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "[ \t\n\f\r]+")))
+          .as("tok"))
+      .where(length(col("tok")) > 0)
+    val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
+    val tv = tokens.join(broadcast(vocab), "tok")
+    val pairs = tv.select(col("doc_id"), col("tok").as("a"), col("df").as("df_a"))
+      .join(tv.select(col("doc_id"), col("tok").as("b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b", "df_a", "df_b").agg(count(lit(1)).as("c_ab"))
+    val tot = d.agg(count(lit(1)).as("n_docs"))
+    pairs.crossJoin(broadcast(tot))
+      .withColumn("lift_ppm",
+        round(lit(1000000.0) * col("c_ab") * col("n_docs") /
+          (col("df_a") * col("df_b"))).cast("long"))
+      .select("a", "b", "c_ab", "df_a", "df_b", "lift_ppm")
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
     "q26_doc_langid" -> (langId _),
-    "q27_doc_fingerprint" -> (fingerprint _)
+    "q27_doc_fingerprint" -> (fingerprint _),
+    "q75_pmi_pairs" -> (pmiPairs _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -173,6 +220,28 @@ object TextAnalysis {
          |  unnest(string_split_regex(trim(text), '\\s+')) AS w,
          |  generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
          | FROM documents)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q75_pmi_pairs" ->
+      s"""WITH toks AS (
+         | SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id,
+         |   unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS tok
+         |  FROM documents) WHERE length(tok) > 0),
+         |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+         |vocab AS (SELECT tok, df FROM dfreq
+         |          ORDER BY df DESC, tok LIMIT $PmiVocab),
+         |tv AS (SELECT t.doc_id, t.tok, v.df
+         |       FROM toks t JOIN vocab v USING (tok)),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         | SELECT x.tok AS a, y.tok AS b, x.df AS df_a, y.df AS df_b,
+         |  count(*) AS c_ab
+         | FROM tv x JOIN tv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+         | GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, c_ab, df_a, df_b,
+         | CAST(round(1000000.0 * c_ab * n_docs / (df_a * df_b)) AS BIGINT)
+         |   AS lift_ppm
+         |FROM pairs CROSS JOIN tot
+         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin
   )
 }

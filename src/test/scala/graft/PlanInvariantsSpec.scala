@@ -25,7 +25,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q66_resample_ffill", // 1-row grid bounds
     "q68_triangles", // 1-row stats × 1-row triangle count
     "q70_bm25", // 1-row corpus stats
-    "q71_heavy_hitters" // 1-row totals × 1-row sketch
+    "q71_heavy_hitters", // 1-row totals × 1-row sketch
+    "q75_pmi_pairs" // 1-row corpus count
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -98,7 +99,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q66_resample_ffill" -> 4, "q67_pagerank" -> 10,
     "q68_triangles" -> 11, "q69_inverted_index" -> 3,
     "q70_bm25" -> 7, "q71_heavy_hitters" -> 5,
-    "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1
+    "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1,
+    "q74_dup_gram_coverage" -> 5, "q75_pmi_pairs" -> 3,
+    "q76_scd2_history" -> 2
   )
 
   /** Queries whose plans must statically reuse an exchange — the

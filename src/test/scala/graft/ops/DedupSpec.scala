@@ -173,4 +173,36 @@ class DedupSpec extends SparkTestBase {
     assert(df.select(ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
       .head().isNullAt(0))
   }
+
+  test("q74 dup-gram coverage equals a plain-Scala 5-gram build") {
+    val rows = Dedup.dupGramCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // reference: sliding 5-grams per doc, dup = present in >= 2 docs
+    val texts = Seq(0L -> base, 1L -> base,
+      2L -> base.replace("november", "NOVEMBER-CHANGED"),
+      3L -> ("totally different content with no overlap whatsoever at all " +
+        "nothing shared here believe me not even a little bit of text"),
+      4L -> base.split(" ").reverse.mkString(" "))
+    val grams: Map[Long, Seq[String]] = texts.map { case (id, t) =>
+      id -> t.trim.split("[ \t\n\f\r]+").toSeq.sliding(Dedup.DupGramN)
+        .filter(_.size == Dedup.DupGramN).map(_.mkString(" ")).toSeq
+    }.toMap
+    val docFreq = grams.toSeq.flatMap { case (id, gs) =>
+      gs.distinct.map(g => (g, id)) }.groupBy(_._1).view
+      .mapValues(_.size).toMap
+    val expected = texts.map(_._1).sorted.map { id =>
+      val gs = grams(id)
+      val dupPos = gs.count(g => docFreq(g) >= 2).toLong
+      val dupDistinct = gs.distinct.count(g => docFreq(g) >= 2).toLong
+      val n = gs.size.toLong
+      (id, n, dupPos, dupDistinct, if (n > 0) dupPos * 1000 / n else 0L)
+    }
+    assert(rows === expected)
+    // docs 0/1 are exact copies: full coverage; doc 3 shares nothing
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(0L)._5 === 1000L)
+    assert(byId(1L)._5 === 1000L)
+    assert(byId(3L)._3 === 0L)
+  }
 }
