@@ -86,9 +86,53 @@ object Quality {
     rowRules.unionByName(orphan).orderBy("rule")
   }
 
+  // ---------------------------------------------------------------- q78
+  /** q78: rank-exact IQR outlier detection per group — the robust-
+    * stats screen (Tukey fences) a pipeline runs on numeric columns
+    * before trusting them. Quartiles are defined by RANK, not
+    * interpolation: q1 = the value at rank ⌈n/4⌉, q3 at ⌈3n/4⌉ in the
+    * cents-integer sort order — a value the sorted multiset determines
+    * exactly, so both engines agree bit-for-bit (interpolated
+    * `percentile`/`quantile_cont` would race doubles in the last ulp).
+    * Fences at ±3·IQR/2; all arithmetic on non-negative integers, so
+    * truncating div ≡ floor div across engines.
+    *
+    * Scale shape: the rank pass is one window shuffle on the group
+    * key; group counts and the quartile pick reuse that exchange
+    * (same key); the fence count is a second scan joined to the
+    * K-group quartile frame — broadcast-sized by construction (one
+    * row per group). No global sort anywhere. */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents")
+    val quart = e.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .groupBy("event_type", "n")
+      .agg(
+        max(when(col("r") === expr("(n + 3) div 4"), col("cents")))
+          .as("q1_cents"),
+        max(when(col("r") === expr("(3 * n + 3) div 4"), col("cents")))
+          .as("q3_cents"))
+      .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+    e.join(broadcast(quart), "event_type")
+      .groupBy("event_type", "n", "q1_cents", "q3_cents", "iqr_cents")
+      .agg(
+        sum((col("cents") < col("q1_cents") - expr("(3 * iqr_cents) div 2"))
+          .cast("long")).as("n_low"),
+        sum((col("cents") > col("q3_cents") + expr("(3 * iqr_cents) div 2"))
+          .cast("long")).as("n_high"))
+      .select("event_type", "n", "q1_cents", "q3_cents", "iqr_cents",
+        "n_low", "n_high")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_data_profile" -> (profile _),
-    "q63_constraints" -> (constraints _)
+    "q63_constraints" -> (constraints _),
+    "q78_iqr_outliers" -> (iqrOutliers _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +173,31 @@ object Quality {
          | SELECT 'orderkey_exists',
          |  (SELECT count(*) FROM lineitem l
          |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
-         |ORDER BY rule""".stripMargin
+         |ORDER BY rule""".stripMargin,
+    "q78_iqr_outliers" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM e),
+        |q AS (
+        | SELECT event_type, n,
+        |  max(CASE WHEN r = (n + 3) // 4 THEN cents END) AS q1_cents,
+        |  max(CASE WHEN r = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+        | FROM r GROUP BY 1, 2)
+        |SELECT e.event_type, q.n, q.q1_cents, q.q3_cents,
+        | q.q3_cents - q.q1_cents AS iqr_cents,
+        | CAST(sum(CAST(e.cents <
+        |   q.q1_cents - (3 * (q.q3_cents - q.q1_cents)) // 2
+        |   AS BIGINT)) AS BIGINT) AS n_low,
+        | CAST(sum(CAST(e.cents >
+        |   q.q3_cents + (3 * (q.q3_cents - q.q1_cents)) // 2
+        |   AS BIGINT)) AS BIGINT) AS n_high
+        |FROM e JOIN q USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY e.event_type""".stripMargin
   )
 }

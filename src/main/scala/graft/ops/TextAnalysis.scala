@@ -163,11 +163,45 @@ object TextAnalysis {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q77
+  /** q77: bigram language-model counts — the n-gram-LM estimation pass
+    * (and the first instrument of corpus inspection before training):
+    * adjacent token pairs with their context count and the integer-ppm
+    * conditional probability `P(b|a) ≈ c_ab·1e6 / c_a`, top-k by pair
+    * frequency. All-integer, so the oracle matches cell-for-cell.
+    *
+    * Scale design: bigrams explode linearly (len−1 rows per doc) and
+    * hash-aggregate on the (a, b) key; the context counts c_a are a
+    * SECOND aggregate over the already-reduced pair table (never over
+    * raw bigrams — |pairs| ≤ V², orders of magnitude below corpus
+    * token count), joined back on the context key. Top-k is
+    * TakeOrderedAndProject. Hot contexts aggregate; they never fan
+    * out. Higher-order n-grams are the same plan with a wider key. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ts = split(trim(col("text")), "[ \t\n\f\r]+")
+    val bi = d.select(col("doc_id"), ts.as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - lit(1)),
+          i => struct(element_at(col("ts"), i).as("a"),
+            element_at(col("ts"), i + lit(1)).as("b"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+    cab.join(ca, "a")
+      .withColumn("cond_ppm", expr("c_ab * 1000000 div c_a"))
+      .select("a", "b", "c_ab", "c_a", "cond_ppm")
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
     "q26_doc_langid" -> (langId _),
     "q27_doc_fingerprint" -> (fingerprint _),
-    "q75_pmi_pairs" -> (pmiPairs _)
+    "q75_pmi_pairs" -> (pmiPairs _),
+    "q77_bigram_lm" -> (bigramLm _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -242,6 +276,20 @@ object TextAnalysis {
          | CAST(round(1000000.0 * c_ab * n_docs / (df_a * df_b)) AS BIGINT)
          |   AS lift_ppm
          |FROM pairs CROSS JOIN tot
-         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin
+         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
+    "q77_bigram_lm" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS ts
+        | FROM documents),
+        |bi AS (
+        | SELECT ts[i] AS a, ts[i+1] AS b
+        | FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+        |       FROM cab GROUP BY 1)
+        |SELECT a, b, c_ab, c_a, c_ab * 1000000 // c_a AS cond_ppm
+        |FROM cab JOIN ca USING (a)
+        |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin
   )
 }

@@ -101,7 +101,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q70_bm25" -> 7, "q71_heavy_hitters" -> 5,
     "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1,
     "q74_dup_gram_coverage" -> 5, "q75_pmi_pairs" -> 3,
-    "q76_scd2_history" -> 2
+    "q76_scd2_history" -> 2, "q77_bigram_lm" -> 2,
+    "q78_iqr_outliers" -> 3
   )
 
   /** Queries whose plans must statically reuse an exchange — the

@@ -68,4 +68,29 @@ class QualitySpec extends SparkTestBase {
       "price_positive" -> 1L,
       "orderkey_exists" -> 1L))
   }
+
+  test("q78 IQR fences: rank-exact quartiles, zero-IQR group, negative values") {
+    val d = tmpDir("iqr")
+    // type a: n=8, sorted cents 10..70 + 10000 → q1 = rank 2 (20),
+    //   q3 = rank 6 (60), iqr 40, high fence 120 → exactly one high.
+    // type b: n=5 with iqr 0 → fences collapse to the median value;
+    //   the -500 row sits below → one low outlier, none high.
+    val rows =
+      Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 10000L).zipWithIndex.map {
+        case (c, i) => (i.toLong, 1000000L + i, "a", c / 100.0)
+      } ++ Seq(-500L, 100L, 100L, 100L, 100L).zipWithIndex.map {
+        case (c, i) => (100L + i, 2000000L + i, "b", c / 100.0)
+      }
+    rows.toDF("event_id", "us", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.parquet(s"$d/events.parquet")
+    val got = Quality.iqrOutliers(spark, d).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("a", 8L, 20L, 60L, 40L, 0L, 1L),
+      ("b", 5L, 100L, 100L, 0L, 1L, 0L)))
+  }
 }

@@ -42,4 +42,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q77 bigram LM equals a plain-Scala bigram count build") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val cab: Map[(String, String), Long] = corpus
+      .flatMap { case (_, t) =>
+        val ts = refTokens(t)
+        ts.zip(ts.drop(1))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca: Map[String, Long] = cab.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expected = cab.toSeq.map { case ((a, b), c) =>
+      (a, b, c, ca(a), c * 1000000L / ca(a))
+    }.sortBy { case (a, b, c, _, _) => (-c, a, b) }.take(100)
+    val got = TextAnalysis.bigramLm(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
