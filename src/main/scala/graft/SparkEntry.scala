@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Sketches.queries ++ ops.RangeJoin.queries ++
       ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries ++
       ops.Graphs.queries ++ ops.Search.queries ++ ops.HeavyHitters.queries ++
-      ops.Mixing.queries ++ ops.Scd.queries
+      ops.Mixing.queries ++ ops.Scd.queries ++ ops.Reshape.queries ++
+      ops.CorpusPrep.queries ++ ops.Pruning.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       ops.Sketches.oracles ++ ops.RangeJoin.oracles ++
       ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles ++
       ops.Graphs.oracles ++ ops.Search.oracles ++ ops.HeavyHitters.oracles ++
-      ops.Mixing.oracles ++ ops.Scd.oracles
+      ops.Mixing.oracles ++ ops.Scd.oracles ++ ops.Reshape.oracles ++
+      ops.CorpusPrep.oracles ++ ops.Pruning.oracles
 }

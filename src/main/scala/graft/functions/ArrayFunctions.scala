@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{BloomAgg, CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -51,6 +52,34 @@ object ArrayFunctions {
     GraftBridge.column(
       CountMinAgg(GraftBridge.expression(key), depth, width)
         .toAggregateExpression())
+
+  /** Bloom-filter aggregate over a non-negative BIGINT key: a
+    * `words×64`-bit set as `array<bigint>`, mergeable by word-wise OR
+    * (partial aggregation applies), hash family shared with
+    * [[bloomMightContain]]. */
+  def bloomFilterAgg(key: Column, words: Int, k: Int): Column =
+    GraftBridge.column(
+      BloomAgg(GraftBridge.expression(key), words, k)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] bitset — built from
+    * codegen'd built-ins only (multiply-mod positions, word index via
+    * exact floor-division, bit test), so the probe inlines into
+    * whole-stage codegen on the FACT side of a join with no custom
+    * expression in the hot path. False positives possible, false
+    * negatives impossible (same hash constants as the aggregate). */
+  def bloomMightContain(bits: Column, key: Column, words: Int, k: Int): Column = {
+    val mBits = words.toLong * 64L
+    (0 until k).map { j =>
+      val pos = (lit(CountMinAgg.A(j)) * key + lit(CountMinAgg.B(j))) %
+        lit(CountMinAgg.P) % lit(mBits)
+      // pos < 2^31: floor(pos/64) is exact in double; bit test via
+      // shiftleft(1L, pos mod 64) — both codegen'd built-ins
+      val word = element_at(bits, floor(pos / lit(64L)).cast("int") + lit(1))
+      (word.bitwiseAND(call_function("shiftleft", lit(1L),
+        (pos % lit(64L)).cast("int")))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
 
   /** Per-table random-hyperplane LSH bucket ids for a quantized vector
     * (`array<long>`), planes baked in as codegen constants. */

@@ -180,9 +180,94 @@ object Graphs {
         expr("3000 * n_triangles div n_wedges").as("gcc_milli"))
   }
 
+  /** q87: k-core peeling, `CoreRounds` synchronous rounds of "drop
+    * nodes with degree < CoreK, recompute degrees on the induced
+    * subgraph". Fixed rounds, not a fixpoint — same budget rationale
+    * as q67/q59 (the oracle unrolls rounds as CTEs; production core
+    * decompositions are round-budgeted too, converging in O(√m)
+    * rounds worst-case but a handful in practice). Output: the nodes
+    * still alive after the budget with their induced degree — the
+    * "dense backbone" a sampler keeps when pruning a link graph.
+    *
+    * Per round: one hash agg (degrees) + two semi-joins of the edge
+    * list against surviving nodes — all shuffles on node keys, no
+    * driver state. The edge list SHRINKS monotonically, so later
+    * rounds are cheaper; at 100 TB each round is a bounded map-reduce
+    * over the surviving subgraph (the q52-style localCheckpoint note
+    * applies if the budget grows past ~6 rounds: unrolled semi-join
+    * plans deepen linearly). */
+  val CoreK = 3
+  val CoreRounds = 4
+
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Each round references the previous adjacency THREE times (degree
+    // agg + two semi-join probes); unpersisted, the lineage re-derives
+    // the edge build 3^rounds times (measured: never finishes at
+    // sf0.1). Same per-round persist + final localCheckpoint shape as
+    // q52 — on a cluster the persist is the natural per-round shuffle
+    // materialization.
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var adj = adjacency(edges(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    caches += adj
+    (1 to CoreRounds).foreach { _ =>
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK).select("src")
+      adj = adj.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += adj
+    }
+    val out = adj.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("part_id"), col("core_deg"))
+      .localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out.orderBy(col("part_id"))
+  }
+
+  /** q88: multi-source BFS — min-hop distance from a deterministic
+    * seed set (part_id ≡ 0 mod SeedMod) within `BfsRounds` hops.
+    *
+    * The frontier-relax round is min-aggregation, not frontier set
+    * difference: dist_i = min(dist_{i−1}, 1 + dist of any in-neighbor)
+    * — one equi-join + one hash agg per round, the Bellman-Ford-style
+    * shape whose shuffles all key on node ids. Monotone (min) and
+    * integer, so rounds unroll as oracle CTEs. Unreached nodes carry
+    * no row (no sentinel ∞ to disagree on). */
+  val BfsRounds = 3
+  val SeedMod = 100
+
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // adj is probed every round and each d_i references d_{i−1} twice
+    // (union + relax join) — persist both, as in kcore/q52.
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val adj = adjacency(edges(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    caches += adj
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var d = nodes.filter(col("node") % SeedMod === 0)
+      .select(col("node"), lit(0L).as("hop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    caches += d
+    (1 to BfsRounds).foreach { _ =>
+      val relaxed = adj.join(d, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      d = d.unionAll(relaxed).groupBy("node").agg(min("hop").as("hop"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += d
+    }
+    val out = d.select(col("node").as("part_id"), col("hop"))
+      .localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out.orderBy("part_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pagerank" -> (pagerank _),
-    "q68_triangles" -> (triangles _)
+    "q68_triangles" -> (triangles _),
+    "q87_kcore" -> (kcore _),
+    "q88_bfs_hops" -> (bfsHops _)
   )
 
   /** The oracle mirrors the Spark-side [[LshSkew.capBuckets]] guard
@@ -238,6 +323,37 @@ object Graphs {
          | FROM deg)
          |SELECT n_nodes, n_edges, n_triangles, n_wedges,
          | CAST((3000 * n_triangles) // n_wedges AS BIGINT) AS gcc_milli
-         |FROM st, tri""".stripMargin
+         |FROM st, tri""".stripMargin,
+    "q87_kcore" -> {
+      val rounds = (1 to CoreRounds).map { i =>
+        s"""k$i AS (SELECT src FROM a${i - 1} GROUP BY src
+           |  HAVING count(*) >= $CoreK),
+           |a$i AS (SELECT src, dst FROM a${i - 1}
+           |  WHERE src IN (SELECT src FROM k$i)
+           |    AND dst IN (SELECT src FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |a0 AS (SELECT src, dst FROM adj),
+         |$rounds
+         |SELECT src AS part_id, count(*) AS core_deg
+         |FROM a$CoreRounds GROUP BY src ORDER BY part_id""".stripMargin
+    },
+    "q88_bfs_hops" -> {
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS (
+           | SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM (
+           |  SELECT node, hop FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT adj.dst AS node, d${i - 1}.hop + 1 AS hop
+           |  FROM adj JOIN d${i - 1} ON adj.src = d${i - 1}.node)
+           | GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop
+         |       FROM adj WHERE src % $SeedMod = 0),
+         |$rounds
+         |SELECT node AS part_id, hop FROM d$BfsRounds
+         |ORDER BY part_id""".stripMargin
+    }
   )
 }

@@ -129,10 +129,46 @@ object Quality {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q90
+  /** q90: per-user rolling weighted mean (EWMA with a 4-tap integer
+    * kernel) over the event stream — the smoothing pass a metrics
+    * pipeline runs before anomaly thresholds. True EWMA is a
+    * recurrence (not windowable); the standard distributed form is a
+    * finite kernel: weights 8/4/2/1 over the last 4 events, weighted
+    * mean in milli-cents by integer division. Missing lags (stream
+    * head) drop out of numerator AND denominator, so the first events
+    * are exact short-kernel means, not zero-padded.
+    *
+    * Scale shape: ONE shuffle on user_id serves all four lag()
+    * columns (same window partitioning+sort); arithmetic is per-row.
+    * All operands non-negative (cents of a non-negative metric), so
+    * Spark `div` ≡ DuckDB `//`. */
+  private val WavgWeights = Seq(8L, 4L, 2L, 1L)
+
+  def rollingWavg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+      Det.cents(col("value")).cast("long").as("cents"))
+    val lags = WavgWeights.zipWithIndex.map { case (wt, i) =>
+      (if (i == 0) col("cents") else lag(col("cents"), i).over(w), wt)
+    }
+    val num = lags.map { case (c, wt) => coalesce(c * wt, lit(0L)) }
+      .reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    e.withColumn("wnum", num * 1000L).withColumn("wden", den)
+      .withColumn("wavg_milli", expr("wnum div wden"))
+      .select("user_id", "event_id", "us", "cents", "wavg_milli")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_data_profile" -> (profile _),
     "q63_constraints" -> (constraints _),
-    "q78_iqr_outliers" -> (iqrOutliers _)
+    "q78_iqr_outliers" -> (iqrOutliers _),
+    "q90_rolling_wavg" -> (rollingWavg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +234,25 @@ object Quality {
         |   AS BIGINT)) AS BIGINT) AS n_high
         |FROM e JOIN q USING (event_type)
         |GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+    "q90_rolling_wavg" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |l AS (
+        | SELECT user_id, event_id, us, cents,
+        |  lag(cents, 1) OVER w AS c1,
+        |  lag(cents, 2) OVER w AS c2,
+        |  lag(cents, 3) OVER w AS c3
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id, us, cents,
+        | CAST(((cents * 8 + coalesce(c1 * 4, 0) + coalesce(c2 * 2, 0)
+        |        + coalesce(c3, 0)) * 1000)
+        |  // (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
+        |  AS BIGINT) AS wavg_milli
+        |FROM l ORDER BY user_id, us, event_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -196,12 +197,45 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** q89: vocabulary-growth (Heaps'-law) curve — cumulative distinct
+    * tokens as the corpus is consumed in doc_id order, bucketed every
+    * `VocabBucket` docs. The scalable construction avoids any
+    * "distinct over a growing prefix": each token's FIRST document
+    * (min doc_id per token — one hash agg) fully determines the curve,
+    * because a token adds to the cumulative count exactly at its first
+    * bucket. Shuffles: explode→agg on token, agg on bucket, then a
+    * running sum over the bucket rows (the single-partition window is
+    * on the bucket SUMMARY — at most |vocab| non-empty rows — never
+    * the data). Bucket width 1 (per-doc marginal vocabulary): the
+    * harness corpus has a ~31-token synthetic vocabulary, so wider
+    * buckets degenerate to one row; a real crawl would set ~10⁴. */
+  val VocabBucket = 1L
+
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(words(col("text"))))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val buckets = firstDoc
+      .groupBy(expr(s"first_doc div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    buckets
+      .withColumn("cum_tokens",
+        sum("new_tokens").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("new_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
     "q26_doc_langid" -> (langId _),
     "q27_doc_fingerprint" -> (fingerprint _),
     "q75_pmi_pairs" -> (pmiPairs _),
-    "q77_bigram_lm" -> (bigramLm _)
+    "q77_bigram_lm" -> (bigramLm _),
+    "q89_vocab_growth" -> (vocabGrowth _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -290,6 +324,20 @@ object TextAnalysis {
         |       FROM cab GROUP BY 1)
         |SELECT a, b, c_ab, c_a, c_ab * 1000000 // c_a AS cond_ppm
         |FROM cab JOIN ca USING (a)
-        |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin
+        |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
+    "q89_vocab_growth" ->
+      s"""WITH ft AS (
+         | SELECT tok, min(doc_id) AS first_doc FROM (
+         |  SELECT doc_id,
+         |   unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+         |     AS tok
+         |  FROM documents) t
+         | WHERE len(tok) > 0 GROUP BY tok),
+         |b AS (SELECT first_doc // $VocabBucket AS bucket,
+         |      count(*) AS new_tokens FROM ft GROUP BY 1)
+         |SELECT bucket, new_tokens,
+         | CAST(sum(new_tokens) OVER (ORDER BY bucket
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM b ORDER BY bucket""".stripMargin
   )
 }

@@ -26,7 +26,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q68_triangles", // 1-row stats × 1-row triangle count
     "q70_bm25", // 1-row corpus stats
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
-    "q75_pmi_pairs" // 1-row corpus count
+    "q75_pmi_pairs", // 1-row corpus count
+    "q85_bloom_semi_join" // 1-row bloom bitset
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -102,7 +103,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1,
     "q74_dup_gram_coverage" -> 5, "q75_pmi_pairs" -> 3,
     "q76_scd2_history" -> 2, "q77_bigram_lm" -> 2,
-    "q78_iqr_outliers" -> 3
+    "q78_iqr_outliers" -> 3,
+    "q79_unpivot" -> 2, "q80_pivot" -> 3, "q81_grouping_sets" -> 2,
+    "q82_quality_rules" -> 2, "q83_cdc_chunk_dedup" -> 6,
+    "q84_source_sample" -> 2,
+    "q85_bloom_semi_join" -> 5, "q86_zorder_stats" -> 2,
+    "q87_kcore" -> 12, "q88_bfs_hops" -> 10,
+    "q89_vocab_growth" -> 4, "q90_rolling_wavg" -> 2
   )
 
   /** Queries whose plans must statically reuse an exchange — the

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Behavioral tests for the corpus-prep family (q82–q84) against a
+  * plain-Scala reference implementation on constructed documents —
+  * one source per doc so the per-source rollup exposes per-doc flags. */
+class CorpusPrepSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** (doc_id, text) fixtures that exercise each rule edge. */
+  private val fixtures = Seq(
+    // passes everything: long enough, stopwords, varied tokens
+    1L -> ("the quick brown fox jumps over a lazy dog near the key " +
+      "value store and the wide table scan path"),
+    // too short → v_len (and v_stop can't fire 2 hits? "the" once)
+    2L -> "tiny doc the end",
+    // massive repetition of one token → v_maxrun + v_distinct
+    3L -> ("the a key value " + Seq.fill(40)("spam").mkString(" ")),
+    // long words → v_wordlen (mean word length > 10)
+    4L -> ("the a key value " +
+      Seq.fill(20)("supercalifragilistic internationalization").mkString(" ")),
+    // empty text → v_len, v_stop
+    5L -> "")
+
+  private lazy val dir: String = {
+    val d = tmpDir("corpus")
+    fixtures.map { case (id, t) =>
+      (id, t, "en", s"src$id", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  // ---- plain-Scala reference kernels --------------------------------
+  private def toks(t: String): Seq[String] =
+    t.trim.split("\\s+").toSeq // "" → Seq("") like Spark's split
+
+  private def refMaxRun(ts: Seq[String]): Long =
+    if (ts.isEmpty) 0L
+    else ts.foldLeft((0L, "", 0L)) { case ((best, prev, run), w) =>
+      val r = if (w == prev) run + 1 else 1L
+      (math.max(best, r), w, r)
+    }._1
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).take(8), 16)
+
+  private def refChunks(ts: Seq[String]): Seq[String] = {
+    if (ts.isEmpty) return Seq.empty
+    val bpos = ts.indices.filter(i => i == 0 || h32(ts(i)) % 8 == 0)
+    bpos.zipAll(bpos.drop(1), -1, ts.length).map { case (a, b) =>
+      ts.slice(a, b).mkString(" ")
+    }
+  }
+
+  test("q82 per-doc rule flags match the plain-Scala reference") {
+    val got = CorpusPrep.qualityRules(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    fixtures.foreach { case (id, t) =>
+      val ts = toks(t)
+      val nTok = if (t.trim.isEmpty) 0L else ts.length.toLong
+      val tokChars = t.replaceAll("\\s", "").length.toLong
+      val stops = Set("the", "a", "key", "value")
+      val vLen = if (nTok < 10 || nTok > 100000) 1L else 0L
+      val vWl = if (tokChars < 3 * nTok || tokChars > 10 * nTok) 1L else 0L
+      val vStop = if (ts.count(stops) < 2) 1L else 0L
+      val vDis = if (ts.distinct.length * 5L < nTok) 1L else 0L
+      val vRun = if (refMaxRun(ts) > 3) 1L else 0L
+      val pass = if (vLen + vWl + vStop + vDis + vRun == 0) 1L else 0L
+      assert(got(s"src$id") === ((pass, vLen, vWl, vStop, vDis, vRun)),
+        s"doc $id flags")
+    }
+  }
+
+  test("q83 chunking matches the reference and reconstructs each doc") {
+    val got = CorpusPrep.cdcChunkDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // whole-corpus chunk multiset from the reference
+    val all = fixtures.flatMap { case (id, t) =>
+      (if (t.trim.isEmpty) Seq.empty else refChunks(toks(t)))
+        .map(c => (s"src$id", md5Hex(c)))
+    }
+    val global = all.groupBy(_._2).view.mapValues(_.size).toMap
+    fixtures.foreach { case (id, t) =>
+      val src = s"src$id"
+      if (t.trim.isEmpty) assert(!got.contains(src), s"doc $id empty")
+      else {
+        val mine = all.filter(_._1 == src).map(_._2)
+        val expect = (mine.size.toLong, mine.distinct.size.toLong,
+          mine.count(h => global(h) >= 2).toLong)
+        assert(got(src) === expect, s"doc $id chunk stats")
+        // chunks partition the token stream: token counts reconstruct
+        val nTokens = refChunks(toks(t)).map(_.split(" ").length).sum
+        assert(nTokens === toks(t).length, s"doc $id reconstruction")
+      }
+    }
+  }
+
+  test("q84 sample is deterministic with ≤ k rows per source") {
+    val sf = "/root/testdata/sf0.001"
+    val a = CorpusPrep.perSourceSample(spark, sf).collect()
+    val b = CorpusPrep.perSourceSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    val perSrc = a.groupBy(_.getString(0))
+    val sizes = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, rows) =>
+      assert(rows.length === math.min(5L, sizes(src)),
+        s"$src sample size")
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"$src ranks dense")
+    }
+  }
+}

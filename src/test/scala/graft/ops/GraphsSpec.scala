@@ -56,4 +56,40 @@ class GraphsSpec extends SparkTestBase {
     assert(row.getLong(3) == wedges)
     assert(row.getLong(4) == 3000L * (tri3 / 3) / wedges)
   }
+
+  test("q87 kcore equals a plain-Scala fixed-round peel") {
+    var live: Map[Long, Seq[Long]] = adj
+    (1 to Graphs.CoreRounds).foreach { _ =>
+      val keep = live.collect {
+        case (n, ds) if ds.size >= Graphs.CoreK => n
+      }.toSet
+      live = live.collect {
+        case (n, ds) if keep(n) =>
+          n -> ds.filter(keep)
+      }.filter(_._2.nonEmpty)
+    }
+    val expect = live.view.mapValues(_.size.toLong).toMap
+    val got = Graphs.kcore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("q88 bfs hops equals a plain-Scala Bellman-Ford relax") {
+    var d: Map[Long, Long] = adj.keys
+      .filter(_ % Graphs.SeedMod == 0).map(_ -> 0L).toMap
+    (1 to Graphs.BfsRounds).foreach { _ =>
+      val relaxed = d.toSeq.flatMap { case (n, h) =>
+        adj(n).map(_ -> (h + 1)) } ++ d.toSeq
+      d = relaxed.groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val got = Graphs.bfsHops(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === d)
+    // seeds are at hop 0; every hop h>0 node has a neighbor at h-1
+    got.foreach { case (n, h) =>
+      if (h == 0) assert(n % Graphs.SeedMod == 0)
+      else assert(adj(n).exists(m => got.get(m).contains(h - 1)),
+        s"node $n at hop $h lacks a parent")
+    }
+  }
 }

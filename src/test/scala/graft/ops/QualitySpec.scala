@@ -93,4 +93,31 @@ class QualitySpec extends SparkTestBase {
       ("a", 8L, 20L, 60L, 40L, 0L, 1L),
       ("b", 5L, 100L, 100L, 0L, 1L, 0L)))
   }
+
+  test("q90 rolling weighted mean matches a plain-Scala 4-tap kernel") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val taps = Seq(8L, 4L, 2L, 1L).zipWithIndex
+          .filter { case (_, k) => i - k >= 0 }
+          .map { case (w, k) => (w, sorted(i - k)._4) }
+        val num = taps.map { case (w, c) => w * c }.sum * 1000L
+        val den = taps.map(_._1).sum
+        (sorted(i)._1, sorted(i)._2) -> (num / den)
+      }
+    }
+    val got = Quality.rollingWavg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) === v, s"wavg mismatch at $k")
+    }
+  }
 }

@@ -63,4 +63,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q89 vocab growth equals a plain-Scala first-occurrence curve") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    corpus.sortBy(_._1).foreach { case (id, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).distinct.foreach { w =>
+        if (!first.contains(w)) first(w) = id
+      }
+    }
+    val newPerBucket = first.values.groupBy(_ / TextAnalysis.VocabBucket)
+      .view.mapValues(_.size.toLong).toMap
+    val buckets = newPerBucket.keys.toSeq.sorted
+    var cum = 0L
+    val expected = buckets.map { b =>
+      cum += newPerBucket(b); (b, newPerBucket(b), cum)
+    }
+    val got = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.last._3 === first.size.toLong)
+  }
 }
