@@ -24,7 +24,8 @@ object SparkEntry {
       ops.DataPrep.queries ++ ops.Funnels.queries ++ ops.Quality.queries ++
       ops.Graphs.queries ++ ops.Search.queries ++ ops.HeavyHitters.queries ++
       ops.Mixing.queries ++ ops.Scd.queries ++ ops.Reshape.queries ++
-      ops.CorpusPrep.queries ++ ops.Pruning.queries
+      ops.CorpusPrep.queries ++ ops.Pruning.queries ++
+      ops.ScaleJoins.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       ops.DataPrep.oracles ++ ops.Funnels.oracles ++ ops.Quality.oracles ++
       ops.Graphs.oracles ++ ops.Search.oracles ++ ops.HeavyHitters.oracles ++
       ops.Mixing.oracles ++ ops.Scd.oracles ++ ops.Reshape.oracles ++
-      ops.CorpusPrep.oracles ++ ops.Pruning.oracles
+      ops.CorpusPrep.oracles ++ ops.Pruning.oracles ++
+      ops.ScaleJoins.oracles
 }

@@ -628,8 +628,40 @@ object Dedup {
     "q44_exact_dedup" -> (exactDedup _),
     "q52_dedup_clusters" -> (dedupClusters _),
     "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d)),
-    "q74_dup_gram_coverage" -> (dupGramCoverage _)
+    "q74_dup_gram_coverage" -> (dupGramCoverage _),
+    "q91_er_canonical" -> (erCanonical _)
   )
+
+  /** q91: entity-resolution canonicalization — the step AFTER
+    * clustering that every dedup pipeline ships: pick one canonical
+    * record per near-dup cluster (longest document, doc_id
+    * tie-break) and emit the doc→canonical mapping a downstream
+    * training run uses to drop the rest.
+    *
+    * Built by composition: q52's label-propagation clusters + one
+    * broadcast-able join to the documents' n_chars + a rank window on
+    * the cluster key. Scale: the window and the canon join both key
+    * on cluster — one exchange serves them; cluster count ≤ doc
+    * count, and the canonical frame is one row per cluster. */
+  def erCanonical(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+      .select("doc_id", "cluster", "cluster_size")
+    val withChars = clusters.join(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = withChars.withColumn("rk", row_number().over(w))
+    val canon = ranked.filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_id"))
+    ranked.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long")
+          .as("is_canonical"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
 
@@ -768,6 +800,28 @@ object Dedup {
     // per node is the component label — the oracle states WHAT a
     // connected component is, the Spark side is the HOW at scale.
     "q52_dedup_clusters" -> clustersOracle,
+    "q91_er_canonical" ->
+      s"""$minhashCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
+         |   UNION
+         |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u),
+         |sized AS (SELECT doc_id, cluster,
+         |   count(*) OVER (PARTITION BY cluster) AS cluster_size FROM comp),
+         |ranked AS (SELECT s.doc_id, s.cluster, s.cluster_size, d.n_chars,
+         |   row_number() OVER (PARTITION BY s.cluster
+         |     ORDER BY d.n_chars DESC, s.doc_id) AS rk
+         |   FROM sized s JOIN documents d USING (doc_id)),
+         |canon AS (SELECT cluster, doc_id AS canonical_id
+         |   FROM ranked WHERE rk = 1)
+         |SELECT r.doc_id, r.cluster, c.canonical_id,
+         |  CAST(CASE WHEN r.doc_id = c.canonical_id THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_canonical,
+         |  r.cluster_size
+         |FROM ranked r JOIN canon c USING (cluster)
+         |ORDER BY r.doc_id""".stripMargin,
     // q56 computes the SAME clusters by pointer doubling — one
     // definition of correct, two physical strategies under it.
     "q56_dedup_clusters_ls" -> clustersOracle

@@ -201,26 +201,40 @@ object Graphs {
 
   def kcore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Each round references the previous adjacency THREE times (degree
-    // agg + two semi-join probes); unpersisted, the lineage re-derives
-    // the edge build 3^rounds times (measured: never finishes at
-    // sf0.1). Same per-round persist + final localCheckpoint shape as
-    // q52 — on a cluster the persist is the natural per-round shuffle
+    // Rounds run over the HALF edge list (a < b, m rows) rather than
+    // the symmetric adjacency (2m): degrees come from a two-scan
+    // union of the persisted half, semi-joins probe m rows, and the
+    // per-round persist stores half the bytes. Each round references
+    // the previous round's frame THREE times (degree agg + two
+    // semi-join probes); unpersisted, the lineage re-derives the edge
+    // build 3^rounds times (measured: never finishes at sf0.1). Same
+    // per-round persist + final localCheckpoint shape as q52 — on a
+    // cluster the persist is the natural per-round shuffle
     // materialization.
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var adj = adjacency(edges(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    caches += adj
+    var e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    caches += e
     (1 to CoreRounds).foreach { _ =>
-      val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= CoreK).select("src")
-      adj = adj.join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
+      // keep is checkpointed EAGERLY each round: it is referenced
+      // twice (both semi-joins) and itself references e twice (the
+      // degree union), so left symbolic the analyzed tree grows
+      // 5^rounds — the checkpoint flattens it to a LogicalRDD leaf
+      // (the frame is one node-id column, tiny by construction).
+      val keep = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK).select("n")
+        .localCheckpoint(true)
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += adj
+      caches += e
     }
-    val out = adj.groupBy("src").agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("part_id"), col("core_deg"))
+    val out = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .select(col("node").as("part_id"), col("core_deg"))
       .localCheckpoint(true)
     caches.foreach(_.unpersist(blocking = false))
     out.orderBy(col("part_id"))

@@ -76,4 +76,34 @@ object ScaleJoins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  // -------------------------------------------------------------- q92
+  /** q92: the salted aggregation as an oracle-checked query — event
+    * totals per event_type (5 keys over the whole table: maximal
+    * skew, every row on one of five reducers in the naive plan).
+    * The two-phase salted form spreads each hot key over
+    * `AggSaltFactor` reducers; the merge phase moves
+    * O(keys·saltFactor) rows. The oracle states the PLAIN group-by —
+    * salting must be invisible in the result. */
+  val AggSaltFactor = 8
+
+  def saltedEventAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .select(col("event_type"), Det.cents(col("value")).as("cents"))
+    saltedCountSum(e, "event_type", "cents", AggSaltFactor)
+      .select(col("event_type"), col("n_rows"),
+        col("sum_value").cast("long").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_salted_agg" -> (saltedEventAgg _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q92_salted_agg" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

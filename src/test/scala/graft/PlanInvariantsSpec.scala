@@ -108,8 +108,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q82_quality_rules" -> 2, "q83_cdc_chunk_dedup" -> 6,
     "q84_source_sample" -> 2,
     "q85_bloom_semi_join" -> 5, "q86_zorder_stats" -> 2,
-    "q87_kcore" -> 12, "q88_bfs_hops" -> 10,
-    "q89_vocab_growth" -> 4, "q90_rolling_wavg" -> 2
+    // q87/q88 run their rounds eagerly (per-round persist + checkpoint
+    // — see Graphs.kcore); the declared plan is the post-checkpoint
+    // presentation sort only.
+    "q87_kcore" -> 1, "q88_bfs_hops" -> 1,
+    "q89_vocab_growth" -> 4, "q90_rolling_wavg" -> 2,
+    // q91 composes q52 (whose label-prop rounds run eagerly at plan
+    // time); the declared plan is clusters→chars join + rank window +
+    // canon self-join + presentation sort.
+    "q91_er_canonical" -> 8,
+    "q92_salted_agg" -> 3
   )
 
   /** Queries whose plans must statically reuse an exchange — the

@@ -205,4 +205,27 @@ class DedupSpec extends SparkTestBase {
     assert(byId(1L)._5 === 1000L)
     assert(byId(3L)._3 === 0L)
   }
+
+  test("q91 canonicalization: one canonical per cluster, longest doc wins") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.erCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val chars = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val canons = members.filter(_._4 == 1L)
+      assert(canons.length === 1, s"cluster $c canonical count")
+      val canon = canons.head
+      assert(members.forall(_._3 == canon._1), s"cluster $c mapping")
+      // canonical has max n_chars (doc_id min as tie-break)
+      val best = members.map(m => (chars(m._1), -m._1)).max
+      assert((chars(canon._1), -canon._1) === best, s"cluster $c pick")
+      assert(members.forall(_._5 == members.length.toLong))
+    }
+    // every document appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
 }
