@@ -254,27 +254,24 @@ object Graphs {
 
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // adj is probed every round and each d_i references d_{i−1} twice
-    // (union + relax join) — persist both, as in kcore/q52.
-    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // adj is probed every round; each d_i references d_{i−1} twice
+    // (union + relax join), and d is TINY (one row per reached node),
+    // so rounds flatten d with an eager localCheckpoint instead of
+    // persist-and-track — same analyzed-tree bound as kcore's keep.
     val adj = adjacency(edges(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    caches += adj
     val nodes = adj.select(col("src").as("node")).distinct()
     var d = nodes.filter(col("node") % SeedMod === 0)
       .select(col("node"), lit(0L).as("hop"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    caches += d
+      .localCheckpoint(true)
     (1 to BfsRounds).foreach { _ =>
       val relaxed = adj.join(d, col("src") === col("node"))
         .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
       d = d.unionAll(relaxed).groupBy("node").agg(min("hop").as("hop"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += d
+        .localCheckpoint(true)
     }
-    val out = d.select(col("node").as("part_id"), col("hop"))
-      .localCheckpoint(true)
-    caches.foreach(_.unpersist(blocking = false))
-    out.orderBy("part_id")
+    adj.unpersist(blocking = false)
+    d.select(col("node").as("part_id"), col("hop"))
+      .orderBy("part_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

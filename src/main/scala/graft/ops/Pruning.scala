@@ -44,16 +44,24 @@ object Pruning {
     val dim = Tables.orders(s, dir)
       .filter(col("o_totalprice") >= PriceMin)
       .select(col("o_orderkey"))
-    val bloom = dim.agg(
-      ArrayFunctions.bloomFilterAgg(col("o_orderkey"), BloomWords, BloomK)
-        .as("bits"))
+    // Materialize the bitset at plan-build time and embed it as an
+    // ARRAY LITERAL in the probe — the same scalar-subquery shape
+    // Spark's runtime bloom filter uses (the driver holds words·8
+    // bytes = 32 KB, never rows). The first formulation joined the
+    // 1-row bitset in (crossJoin(broadcast(bloom)) + filter) and
+    // Catalyst REORDERED that cross join above the exact semi-join,
+    // probing after the join it exists to shrink; a literal keeps the
+    // probe a plain Filter fused into the fact scan's codegen stage,
+    // BELOW the semi-join's shuffle, where it pays off.
+    val bits: Seq[Long] = dim.agg(
+        ArrayFunctions.bloomFilterAgg(col("o_orderkey"), BloomWords, BloomK)
+          .as("bits"))
+      .collect()(0).getSeq[Long](0)
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_quantity"), cents(col("l_extendedprice")).as("price_cents"))
-    val pre = fact.crossJoin(broadcast(bloom))
-      .filter(ArrayFunctions.bloomMightContain(
-        col("bits"), col("l_orderkey"), BloomWords, BloomK))
-      .drop("bits")
+    val pre = fact.filter(ArrayFunctions.bloomMightContain(
+      typedLit(bits), col("l_orderkey"), BloomWords, BloomK))
     pre.join(dim, pre("l_orderkey") === dim("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),

@@ -26,8 +26,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q68_triangles", // 1-row stats × 1-row triangle count
     "q70_bm25", // 1-row corpus stats
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
-    "q75_pmi_pairs", // 1-row corpus count
-    "q85_bloom_semi_join" // 1-row bloom bitset
+    "q75_pmi_pairs" // 1-row corpus count
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
