@@ -48,6 +48,11 @@ class LshSkewSpec extends SparkTestBase {
     LshSkew.resetObserved(spark)
     try {
       Dedup.minhashPairs(spark, dir).count()
+      // the observe() counters arrive via an ASYNC QueryExecutionListener
+      // — drain the bus before reading, exactly as Verify does (reading
+      // immediately races the delivery and flakes)
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .waitListenerBusEmpty(spark, 30000L)
       val truncated = LshSkew.truncatedFamilies(spark)
       assert(truncated.contains("minhash"),
         s"minhash cap must report dropped rows, got $truncated")
