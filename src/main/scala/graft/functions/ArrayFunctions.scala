@@ -71,8 +71,11 @@ object ArrayFunctions {
   def bloomMightContain(bits: Column, key: Column, words: Int, k: Int): Column = {
     val mBits = words.toLong * 64L
     (0 until k).map { j =>
-      val pos = (lit(CountMinAgg.A(j)) * key + lit(CountMinAgg.B(j))) %
-        lit(CountMinAgg.P) % lit(mBits)
+      // key folded mod P first — mirrors BloomAgg.bitPos exactly, so
+      // the probe agrees with the aggregate for ALL non-negative longs
+      // (the unfolded product overflows above 2³⁹).
+      val pos = (lit(CountMinAgg.A(j)) * (key % lit(CountMinAgg.P)) +
+        lit(CountMinAgg.B(j))) % lit(CountMinAgg.P) % lit(mBits)
       // pos < 2^31: floor(pos/64) is exact in double; bit test via
       // shiftleft(1L, pos mod 64) — both codegen'd built-ins
       val word = element_at(bits, floor(pos / lit(64L)).cast("int") + lit(1))

@@ -22,7 +22,7 @@ import graft.Tables
   */
 object DataPrep {
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private def words(c: Column): Column = Det.words(c)
 
   /** First-8-hex-digits-of-md5 as BIGINT — the cross-engine hash
     * (see TextAnalysis.wordHash). */
@@ -375,7 +375,7 @@ object DataPrep {
   val oracles: Map[String, String] = Map(
     "q47_repetition_stats" ->
       s"""WITH d AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        | SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS w FROM documents),
         |base AS (
         | SELECT doc_id,
         |  CASE WHEN length(list_aggregate(w, 'string_agg', '')) = 0 THEN 0
@@ -420,7 +420,7 @@ object DataPrep {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q49_tfidf_topk" ->
       s"""WITH tok AS (
-         | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         | SELECT doc_id, unnest(string_split_regex(trim(text), '${Det.WsClass}+')) AS term
          | FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -475,7 +475,7 @@ object DataPrep {
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
       s"""WITH d AS (
          | SELECT doc_id, w FROM (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS w
          |  FROM documents)
          | WHERE len(w) >= $NgramN),
          |g AS (
@@ -499,7 +499,7 @@ object DataPrep {
          | SELECT doc_id,
          |  ${h8Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % $PackShards AS shard,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |       ELSE len(string_split_regex(trim(text), '${Det.WsClass}+')) END AS n_tokens
          | FROM documents),
          |r AS (
          | SELECT doc_id, shard, n_tokens,

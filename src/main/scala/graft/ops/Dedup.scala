@@ -68,7 +68,7 @@ object Dedup {
 
   // ---------- shared text kernels ----------
 
-  private def wordsCol(t: Column): Column = split(trim(t), "\\s+")
+  private def wordsCol(t: Column): Column = Det.words(t)
 
   /** Distinct word 3-gram shingles from an already-projected words
     * ATTRIBUTE; guarded so <3-word docs yield [] (Spark's `sequence`
@@ -679,7 +679,7 @@ object Dedup {
     }.mkString(",\n   ")
     // RECURSIVE is inert for q28/q29 (no self-referencing CTE there);
     // q52 appends its recursive reachability CTE to this same chain.
-    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |   generate_series(1, greatest(len(ws)-2, 0)),
        |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
@@ -712,7 +712,7 @@ object Dedup {
       s"sum(CASE WHEN (hv & ${1L << p}) > 0 THEN 1 ELSE -1 END) AS v$p").mkString(", ")
     val bits = (0 until SimBits).map(p =>
       s"CASE WHEN v$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '${Det.WsClass}+')) AS w FROM documents),
        |h AS (SELECT doc_id, ${h60sql("w")} AS hv FROM t),
        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
        |s AS (SELECT doc_id, ($bits) AS simhash FROM v)""".stripMargin
@@ -774,7 +774,7 @@ object Dedup {
     "q32_ngram_anchor_jaccard" -> {
       val (a1, b1) = Perms(0)
       val (a2, b2) = Perms(1)
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ws FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(
          |   generate_series(1, greatest(len(ws)-1, 0)),
          |   i -> ws[i] || ' ' || ws[i+1])) AS g2 FROM w),

@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   * aggregation is also the *fast* path (long sums, no decimal overhead).
   */
 object Det {
+  /** Whitespace characters of the PINNED tokenizer class, for embedding
+    * inside a larger character class (e.g. `s"[a-z0-9$WsChars]"`).
+    * Why pinned: Java regex `\s` includes vertical tab \x0B while
+    * DuckDB's RE2 `\s` does not, so any tokenizer that writes `\s` on
+    * the Spark side and `\s` in the oracle SQL silently diverges on
+    * \x0B-bearing text. The explicit 5-char ASCII set means NEITHER
+    * engine's `\s` semantics are load-bearing. The value is the same
+    * source text in both dialects: each `\t`/`\n`/`\f`/`\r` is a
+    * 2-char backslash escape interpreted identically by java.util.regex
+    * and RE2 (SQL string literals don't process backslashes, so the
+    * escape reaches RE2 intact). */
+  val WsChars: String = " \\t\\n\\f\\r"
+
+  /** The pinned whitespace class `[ \t\n\f\r]` — use this (never `\s`)
+    * in every tokenizer regex AND every oracle CTE. */
+  val WsClass: String = "[" + WsChars + "]"
+
+  /** THE tokenizer: split on runs of pinned whitespace after trim.
+    * Every module that counts/explodes tokens must use this (or embed
+    * [[WsClass]]) so Spark and the DuckDB oracle tokenize identically. */
+  def words(c: Column): Column = split(trim(c), WsClass + "+")
+
+  /** [[words]] as a DuckDB SQL fragment over an expression string. */
+  def wordsSql(e: String): String =
+    s"string_split_regex(trim($e), '$WsClass+')"
+
   /** Per-row money→integer-cents; sum(cents(x)) is exact + order-free. */
   def cents(c: Column): Column = round(c * lit(100))
 

@@ -41,7 +41,8 @@ object HeavyHitters {
 
   /** h_j(key) as a Column — same constants as [[CountMinAgg.bucket]]. */
   private def bucketCol(j: Int, key: Column): Column =
-    ((lit(CountMinAgg.A(j)) * key + lit(CountMinAgg.B(j)))
+    ((lit(CountMinAgg.A(j)) * (key % lit(CountMinAgg.P)) +
+      lit(CountMinAgg.B(j)))
       % lit(CountMinAgg.P)) % lit(CmWidth.toLong)
 
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
@@ -84,7 +85,7 @@ object HeavyHitters {
          |tot AS (SELECT count(*) AS n, count(DISTINCT key) AS n_keys FROM k),
          |hs AS (
          | SELECT key, exact_cnt, j,
-         |  ((a * key + b) % ${CountMinAgg.P}) % $CmWidth AS bkt
+         |  ((a * (key % ${CountMinAgg.P}) + b) % ${CountMinAgg.P}) % $CmWidth AS bkt
          | FROM exact CROSS JOIN (VALUES $hashRows) AS h(j, a, b)),
          |bsum AS (
          | SELECT j, bkt, CAST(sum(exact_cnt) AS BIGINT) AS bc

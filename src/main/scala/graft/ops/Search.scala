@@ -19,12 +19,9 @@ import graft.Tables
   */
 object Search {
 
-  /** The whitespace definition, pinned as an explicit character class
-    * rather than `\s`: Java regex `\s` includes vertical tab \x0B while
-    * DuckDB's RE2 `\s` does not, so inheriting `\s` from two regex
-    * engines would tokenize \x0B-bearing text differently. With the
-    * explicit class both engines split on exactly these five chars. */
-  private[ops] val WsClass = "[ \\t\\n\\f\\r]"
+  /** The pinned whitespace class — hoisted to [[Det.WsClass]] (round-7
+    * advice: every tokenizing module shares ONE definition). */
+  private[ops] val WsClass = Det.WsClass
 
   /** Whitespace tokens, empties dropped — splitting an empty string
     * yields [""] in BOTH engines, and a leading separator yields a ""

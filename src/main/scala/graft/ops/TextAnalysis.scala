@@ -21,7 +21,7 @@ import graft.Tables
 object TextAnalysis {
 
   /** Words as the reference unit: whitespace split of trimmed text. */
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private def words(c: Column): Column = Det.words(c)
 
   private def nTokens(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(words(c))).cast("long")
@@ -55,10 +55,11 @@ object TextAnalysis {
         length(t).cast("long").as("n_chars_m"),
         nTokens(t).as("n_tokens"),
         size(array_distinct(words(t))).cast("long").as("n_distinct_tokens"),
-        length(regexp_replace(t, "\\s", "")).cast("long").as("token_chars"),
-        length(regexp_replace(t, "[a-z0-9\\s]", "")).cast("long")
+        length(regexp_replace(t, Det.WsClass, "")).cast("long")
+          .as("token_chars"),
+        length(regexp_replace(t, s"[a-z0-9${Det.WsChars}]", "")).cast("long")
           .as("punct_chars"),
-        regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+        regexp_count(t, lit(s"[a-z]+|[0-9]+|[^a-z0-9${Det.WsChars}]")).cast("long")
           .as("bpe_tokens"),
         hits(t, en).as("stop_hits"))
       .withColumn("quality_milli",
@@ -242,7 +243,7 @@ object TextAnalysis {
     p.map(w => s"'$w'").mkString(", ")
 
   private val hitsSqlAll: String = LangProfiles.map { case (l, p) =>
-    s" len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN (${inList(p)}))) AS h_$l"
+    s" len(list_filter(string_split_regex(trim(text), '${Det.WsClass}+'), x -> x IN (${inList(p)}))) AS h_$l"
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
@@ -250,18 +251,18 @@ object TextAnalysis {
       s"""SELECT doc_id, lang, source,
          | length(text) AS n_chars_m,
          | CASE WHEN length(trim(text))=0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         | len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
-         | length(regexp_replace(text, '\\s', '', 'g')) AS token_chars,
-         | length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct_chars,
-         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
-         | len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      ELSE len(string_split_regex(trim(text), '${Det.WsClass}+')) END AS n_tokens,
+         | len(list_distinct(string_split_regex(trim(text), '${Det.WsClass}+'))) AS n_distinct_tokens,
+         | length(regexp_replace(text, '${Det.WsClass}', '', 'g')) AS token_chars,
+         | length(regexp_replace(text, '[a-z0-9${Det.WsChars}]', '', 'g')) AS punct_chars,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9${Det.WsChars}]')) AS bpe_tokens,
+         | len(list_filter(string_split_regex(trim(text), '${Det.WsClass}+'),
          |     x -> x IN (${inList(LangProfiles.head._2)}))) AS stop_hits,
          | CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
-         |  THEN CAST(round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      ELSE len(string_split_regex(trim(text), '${Det.WsClass}+')) END) > 0
+         |  THEN CAST(round(len(list_filter(string_split_regex(trim(text), '${Det.WsClass}+'),
          |     x -> x IN (${inList(LangProfiles.head._2)}))) * 1000.0 /
-         |     len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |     len(string_split_regex(trim(text), '${Det.WsClass}+'))) AS BIGINT)
          |  ELSE 0 END AS quality_milli
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_doc_langid" ->
@@ -285,8 +286,8 @@ object TextAnalysis {
          |      WHEN 3 THEN 29791 ELSE 923521 END)) % $FpMod AS BIGINT) AS fp
          |FROM (
          | SELECT doc_id, n_chars,
-         |  unnest(string_split_regex(trim(text), '\\s+')) AS w,
-         |  generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+         |  unnest(string_split_regex(trim(text), '${Det.WsClass}+')) AS w,
+         |  generate_subscripts(string_split_regex(trim(text), '${Det.WsClass}+'), 1) AS i
          | FROM documents)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q75_pmi_pairs" ->
@@ -329,7 +330,7 @@ object TextAnalysis {
       s"""WITH ft AS (
          | SELECT tok, min(doc_id) AS first_doc FROM (
          |  SELECT doc_id,
-         |   unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+         |   unnest(list_distinct(string_split_regex(trim(text), '${Det.WsClass}+')))
          |     AS tok
          |  FROM documents) t
          | WHERE len(tok) > 0 GROUP BY tok),

@@ -19,10 +19,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * Same `TypedImperativeAggregate` shape as [[CountMinAgg]]: update
   * sets k bits, merge is word-wise OR, so partial aggregation applies
   * and each executor ships one fixed `words·8`-byte buffer. The hash
-  * family is the shared multiply-mod family (`CountMinAgg.A/B/P`),
-  * exact in signed 64-bit for keys < 2³⁹ and therefore reproducible by
-  * any engine from the same constants — the filter's bit pattern is a
-  * deterministic function of the key SET, not of execution order.
+  * family is the shared multiply-mod family (`CountMinAgg.A/B/P`) over
+  * the key folded mod P — exact in signed 64-bit for every
+  * non-negative long key and therefore reproducible by any engine from
+  * the same constants — the filter's bit pattern is a deterministic
+  * function of the key SET, not of execution order.
   */
 case class BloomAgg(
     child: Expression,
@@ -49,6 +50,7 @@ case class BloomAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      CountMinAgg.requireNonNegative(x, "bloom_agg")
       var j = 0
       while (j < k) {
         val pos = BloomAgg.bitPos(j, x, mBits)
@@ -92,7 +94,9 @@ case class BloomAgg(
 object BloomAgg {
   /** Bit position of hash j for key x — shared with the membership
     * test in [[graft.functions.ArrayFunctions.bloomMightContain]].
-    * Requires 0 ≤ x < 2³⁹ (same bound as [[CountMinAgg.bucket]]). */
+    * Key folded mod P first (same widening as [[CountMinAgg.bucket]]):
+    * exact for every non-negative long, no 2³⁹ ceiling. */
   def bitPos(j: Int, x: Long, mBits: Long): Long =
-    ((CountMinAgg.A(j) * x + CountMinAgg.B(j)) % CountMinAgg.P) % mBits
+    ((CountMinAgg.A(j) * (x % CountMinAgg.P) + CountMinAgg.B(j)) %
+      CountMinAgg.P) % mBits
 }

@@ -26,12 +26,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   *
   * Determinism (the DuckDB oracle recomputes the SAME grid from exact
   * group counts): the hash family is the integer multiply-mod
-  * h_j(x) = ((A_j·x + B_j) mod P) mod width with P = 2³¹ − 1 and
-  * A_j < 2²⁴, so every product stays exact in signed 64-bit for keys
-  * < 2³⁹ (documented bound — TPC-H partkeys reach ~2·10¹⁰ at SF100k,
-  * three orders inside it), counter sums are order-independent, and
-  * min over rows is exact. No md5 in the hot path: four multiply-mods
-  * per input row.
+  * h_j(x) = ((A_j·(x mod P) + B_j) mod P) mod width with P = 2³¹ − 1
+  * and A_j < 2²⁴ — the key is folded mod P before the multiply, so
+  * every product stays exact in signed 64-bit for ALL non-negative
+  * long keys (no upper bound; negative keys fail loudly in update),
+  * counter sums are order-independent, and min over rows is exact.
+  * No md5 in the hot path: four multiply-mods per input row.
   */
 case class CountMinAgg(
     child: Expression,
@@ -57,6 +57,7 @@ case class CountMinAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      CountMinAgg.requireNonNegative(x, "count_min_agg")
       var j = 0
       while (j < depth) {
         buf(j * width + CountMinAgg.bucket(j, x, width)) += 1L
@@ -104,7 +105,21 @@ object CountMinAgg {
   val B: Array[Long] = Array(104729L, 224737L, 350377L, 479909L)
 
   /** h_j(x) — shared by the aggregate, the estimate lookup, and (as
-    * literal SQL) the DuckDB oracle. Requires 0 ≤ x < 2³⁹. */
+    * literal SQL) the DuckDB oracle. The key is folded `x mod P` FIRST
+    * so the subsequent product is ≤ (2²⁴)·(2³¹) < 2⁵⁵ — exact in
+    * signed 64-bit for EVERY non-negative long key, with no upper
+    * bound (the old `x < 2³⁹` precondition silently overflowed on
+    * larger keys; TPC-H orderkeys exceed it near SF100k). Keys < P
+    * hash identically to the unfolded form, so small-SF oracles are
+    * unchanged. Negative keys are rejected loudly by the aggregates. */
   def bucket(j: Int, x: Long, width: Int): Int =
-    (((A(j) * x + B(j)) % P) % width).toInt
+    (((A(j) * (x % P) + B(j)) % P) % width).toInt
+
+  /** Loud guard shared by [[CountMinAgg]]/[[BloomAgg]] update paths:
+    * a negative key would produce a negative Java `%` remainder and a
+    * negative bit/bucket index — fail the task rather than corrupt the
+    * sketch (one predictable branch per row, free after JIT). */
+  def requireNonNegative(x: Long, who: String): Unit =
+    if (x < 0L) throw new IllegalArgumentException(
+      s"$who requires a non-negative key, got $x")
 }

@@ -24,6 +24,33 @@ class PruningSpec extends SparkTestBase {
     assert(missed === 0L)
   }
 
+  test("bloom agg and probe agree above the old 2^39 key ceiling") {
+    // Keys where the unfolded A*x product overflows signed 64-bit:
+    // the fold-mod-P family must still admit every inserted key.
+    val big = Seq(1L << 39, (1L << 45) + 17L, (1L << 62) + 3L,
+      Long.MaxValue, 0L, CountMinAggP - 1L, CountMinAggP).toDF("k")
+    val bloom = big.agg(
+      ArrayFunctions.bloomFilterAgg(col("k"), 64, 4).as("bits"))
+    val missed = big.crossJoin(bloom)
+      .filter(!ArrayFunctions.bloomMightContain(col("bits"), col("k"), 64, 4))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("bloom agg fails loudly on a negative key") {
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("k")
+        .agg(ArrayFunctions.bloomFilterAgg(col("k"), 64, 4)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("non-negative")))
+  }
+
+  private val CountMinAggP = org.apache.spark.sql.graftbridge.CountMinAgg.P
+
   test("bloom probe rejects most absent keys (false-positive rate sane)") {
     val keys = (0L until 4096L).toDF("k") // 4096 keys in 2^18 bits
     val bloom = keys.agg(
