@@ -88,7 +88,13 @@ object Search {
     * (score, doc_id). Shape: tf and dl are the indexer aggregations;
     * df is a vocabulary-sized frame (broadcast); N/T a 1-row
     * broadcast; the final top-k is TakeOrderedAndProject — no global
-    * sort. */
+    * sort.
+    *
+    * The corpus scalars avgdl and idf_pm are folded into the broadcast
+    * df frame (a |vocab|-row crossJoin with the 1-row corpus frame, on
+    * the BUILD side) so the per-(doc,term) row does exactly two
+    * divisions and the probe side has one broadcast hash join — no
+    * BroadcastNestedLoopJoin in the scored plan at all. */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = tokens(docs)
@@ -97,11 +103,12 @@ object Search {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
-    tf.join(broadcast(df), "term")
+    val dfAug = df.crossJoin(corpus).select(
+      col("term"),
+      expr("n_docs * 1000 div df").as("idf_pm"),
+      expr("t_tokens div n_docs").as("avgdl"))
+    tf.join(broadcast(dfAug), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf_pm", expr("n_docs * 1000 div df"))
-      .withColumn("avgdl", expr("t_tokens div n_docs"))
       .withColumn("den_m", expr("1000 * tf + 300 + (900 * dl) div avgdl"))
       .withColumn("sat_m", expr("2200000 * tf div den_m"))
       .withColumn("term_score", expr("idf_pm * sat_m"))
