@@ -143,6 +143,58 @@ object CorpusPrep {
       .orderBy("source")
   }
 
+  // -------------------------------------------------------------- q94
+  /** Paragraph-level dedup (q94): the production step BETWEEN q44's
+    * whole-document dedup and q74's duplication *measurement* — split
+    * every document into q83's content-defined chunks, keep only the
+    * corpus-wide FIRST occurrence of each chunk (order: doc_id, then
+    * position within the doc), and re-emit the document with its
+    * duplicated chunks removed (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — applied at chunk
+    * granularity).
+    *
+    * Scale shape: chunk boundaries are per-row array lambdas (one
+    * codegen pass); first-occurrence is ONE rank window over the
+    * chunk_hash exchange — the same bucketed-store exchange q83
+    * argues for; reassembly is one groupBy(doc_id) whose per-doc
+    * surviving chunks ride a sorted collect_list (bounded by document
+    * length, which the corpus contract already bounds). No pairwise
+    * anything: a chunk duplicated a million times costs one window
+    * partition of a million rows, the same key the dedup store would
+    * hash anyway — and a skew-capped variant would salt exactly that
+    * key. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val ts = words(col("text"))
+    val docs = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ts.as("ts"))
+    val n = size(col("ts"))
+    val bpos = filter(sequence(lit(1), n), i =>
+      i === 1 ||
+        TextAnalysis.wordHash(element_at(col("ts"), i)) % ChunkMod === 0)
+    val nextb = concat(
+      slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))), array(n + 1))
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(zip_with(bpos, nextb, (a, b) =>
+          array_join(slice(col("ts"), a, b - a), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+        md5(col("col")).as("chunk_hash"))
+    val wFirst = Window.partitionBy("chunk_hash")
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    chunks
+      .withColumn("rn", row_number().over(wFirst))
+      .withColumn("kept",
+        when(col("rn") === 1, struct(col("pos"), col("chunk"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("rn") === 1).cast("long")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(col("kept"))),
+          e => e.getField("chunk")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- q84
   /** Deterministic per-source sample: the k docs with the smallest
     * md5(doc_id) per source — an unbiased, reproducible "random"
@@ -164,7 +216,8 @@ object CorpusPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_quality_rules" -> (qualityRules _),
     "q83_cdc_chunk_dedup" -> (cdcChunkDedup _),
-    "q84_source_sample" -> (perSourceSample _)
+    "q84_source_sample" -> (perSourceSample _),
+    "q94_paragraph_dedup" -> (paragraphDedup _)
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
@@ -238,6 +291,32 @@ object CorpusPrep {
          |   // count(*) AS BIGINT) AS dup_ppm
          |FROM chunks c JOIN counts USING (chunk_hash)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q94_paragraph_dedup" ->
+      s"""WITH tok AS (
+         | SELECT doc_id,
+         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+         | FROM documents WHERE len(trim(text)) > 0),
+         |b AS (
+         | SELECT doc_id, ts,
+         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
+         |      % $ChunkMod = 0) AS bpos
+         | FROM tok),
+         |chunks AS (
+         | SELECT doc_id, j AS pos, array_to_string(
+         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
+         |    ' ') AS chunk
+         | FROM b, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+         |r AS (
+         | SELECT doc_id, pos, chunk,
+         |  row_number() OVER (PARTITION BY md5(chunk)
+         |    ORDER BY doc_id, pos) AS rn
+         | FROM chunks)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+         |   ORDER BY pos), '') AS clean_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q84_source_sample" ->
       s"""WITH ranked AS (
          | SELECT doc_id, source, n_chars,

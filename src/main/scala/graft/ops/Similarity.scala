@@ -415,7 +415,58 @@ object Similarity {
       update(assign(cent), cent)
     }
     assign(finalCent)
+      .select(col("vec_id"), col("q"), col("k"), col("d"))
+  }
+
+  /** q59's public shape: the final assignment with its exact distance. */
+  def kmeansResult(s: SparkSession, dir: String): DataFrame =
+    kmeans(s, dir)
       .select(col("vec_id"), col("k").as("cluster"), col("d").as("l2_dist"))
+      .orderBy("vec_id")
+
+  // ---------- q93: semantic dedup (SemDeDup over the k-means cells) ----------
+
+  /** Within-cluster cosine threshold (micro) above which a non-
+    * representative member is a semantic duplicate. Deliberately BELOW
+    * q35's exact near-dup bar ([[NearDupMicroMin]]): SemDeDup prunes
+    * semantic redundancy, a looser relation than verified near-
+    * duplication — and the pruning is anchored to one representative,
+    * so a lower bar still never removes a whole cluster. */
+  val SemDupMicroMin = 300000L
+
+  /** SemDeDup (q93, Abbas et al. 2023): cluster the embeddings with
+    * the SAME fixed-round Lloyd loop as q59, pick one representative
+    * per cluster — the member closest to its centroid (min exact L2,
+    * tie-break vec_id; the q91 rank-window pattern) — and flag every
+    * other member whose integer cosine to that representative is ≥
+    * [[SemDupMicroMin]]. The composition of q59 (clustering) and q35
+    * (cosine verify) that prunes semantically redundant documents
+    * without any corpus-wide pair join.
+    *
+    * Scale shape: clustering is q59's (N×K broadcast assign per
+    * round); representative selection is a rank window over the K
+    * cluster partitions; the rep frame is K rows and rides a broadcast
+    * back onto the members, so the per-member verify is map-side — the
+    * only exchanges are the assign window on vec_id and the rep window
+    * on k. Nothing is quadratic in cluster size: SemDeDup's point is
+    * exactly that the verify is member-vs-representative, not
+    * member-vs-member. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeans(s, dir) // vec_id, q, k, d
+    val wRep = Window.partitionBy("k").orderBy(col("d").asc, col("vec_id").asc)
+    val rep = assigned
+      .withColumn("rrn", row_number().over(wRep))
+      .filter(col("rrn") === 1)
+      .select(col("k"), col("vec_id").as("rep_id"), col("q").as("rq"),
+        dot(col("q"), col("q")).as("rn2"))
+    assigned
+      .join(broadcast(rep), Seq("k"))
+      .select(col("vec_id"), col("k").as("cluster"), col("rep_id"),
+        cosMicro(dot(col("q"), col("rq")), dot(col("q"), col("q")),
+          col("rn2")).as("cos_rep_micro"))
+      .withColumn("is_dup",
+        (col("vec_id") =!= col("rep_id") &&
+          col("cos_rep_micro") >= SemDupMicroMin).cast("long"))
       .orderBy("vec_id")
   }
 
@@ -487,8 +538,9 @@ object Similarity {
     "q42_emb_near_dedup" -> (embNearDedup _),
     "q57_ann_pq" -> (annPq _),
     "q58_ann_ivfpq" -> (annIvfPq _),
-    "q59_kmeans" -> (kmeans _),
-    "q72_ann_ivfpq_residual" -> (annIvfPqResidual _)
+    "q59_kmeans" -> (kmeansResult _),
+    "q72_ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "q93_sem_dedup" -> (semDedup _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -652,6 +704,7 @@ object Similarity {
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
          |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "q59_kmeans" -> kmeansOracle,
+    "q93_sem_dedup" -> semDedupOracle,
     "q72_ann_ivfpq_residual" -> {
       def rsub(v: String) =
         s"$v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim]"
@@ -719,9 +772,11 @@ object Similarity {
     }
   )
 
-  /** q59's oracle: the same fixed Lloyd rounds unrolled as CTE chains
-    * (assign{i} / cent{i}), generated from the same constants. */
-  private lazy val kmeansOracle: String = {
+  /** The unrolled fixed-round Lloyd CTE chain (assign{i} / cent{i}),
+    * generated from the same constants as the Spark loop — `WITH`
+    * prefix through the FINAL assignment `a{KmIters+1}` (vec_id, q, k,
+    * d). Shared by the q59 and q93 oracles. */
+  private lazy val kmeansRoundsCtes: String = {
     def assignCte(i: Int, cent: String): String =
       s"""a$i AS (SELECT vec_id, q, k, d FROM (
          |  SELECT v.vec_id, v.q, c.k,
@@ -749,10 +804,33 @@ object Similarity {
        |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
        |    FROM nv ORDER BY h, vec_id LIMIT $KmK)),
        |$rounds,
-       |${assignCte(KmIters + 1, s"cent$KmIters")}
-       |SELECT vec_id, k AS cluster, d AS l2_dist
-       |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
+       |${assignCte(KmIters + 1, s"cent$KmIters")}""".stripMargin
   }
+
+  /** The final-assignment CTE name produced by [[kmeansRoundsCtes]]. */
+  private def kmFinal: String = s"a${KmIters + 1}"
+
+  private lazy val kmeansOracle: String =
+    s"""$kmeansRoundsCtes
+       |SELECT vec_id, k AS cluster, d AS l2_dist
+       |FROM $kmFinal ORDER BY vec_id""".stripMargin
+
+  /** q93's oracle: q59's rounds + the q91-style rank window for the
+    * per-cluster representative, then the member→rep cosine. */
+  private lazy val semDedupOracle: String =
+    s"""$kmeansRoundsCtes,
+       |rep AS (SELECT k, vec_id AS rep_id, q AS rq,
+       |    ${dotSql("q", "q")} AS rn2
+       |  FROM (SELECT a.*, row_number() OVER (PARTITION BY k
+       |          ORDER BY d, vec_id) AS rrn FROM $kmFinal a)
+       |  WHERE rrn = 1)
+       |SELECT a.vec_id, a.k AS cluster, rep.rep_id,
+       |  ${cosSql(dotSql("a.q", "rep.rq"), dotSql("a.q", "a.q"), "rep.rn2")}
+       |    AS cos_rep_micro,
+       |  CAST(a.vec_id != rep.rep_id AND
+       |    ${cosSql(dotSql("a.q", "rep.rq"), dotSql("a.q", "a.q"), "rep.rn2")}
+       |      >= $SemDupMicroMin AS BIGINT) AS is_dup
+       |FROM $kmFinal a JOIN rep USING (k) ORDER BY a.vec_id""".stripMargin
 
   /** Shared LSH-candidate + verify CTEs for q35/q42. */
   private lazy val nearDupCtes: String = {

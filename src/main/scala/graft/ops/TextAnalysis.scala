@@ -198,6 +198,81 @@ object TextAnalysis {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Fixed merge-round count for BPE vocabulary learning. */
+  val BpeRounds = 6
+
+  /** q95: byte-pair-encoding merge learning (Sennrich et al. 2016) —
+    * the actual tokenizer-training kernel: [[BpeRounds]] rounds of
+    * "count adjacent symbol pairs over the word vocabulary (weighted
+    * by word frequency), merge the single highest-count pair
+    * everywhere". Output is the learned merge table (round, pair,
+    * count, new symbol).
+    *
+    * Representation: a word's symbol sequence is ONE string with each
+    * symbol wrapped in `|` ("abc" → "|a||b||c|", built by a single
+    * regexp_replace). Applying a merge (a,b)→ab is then a single
+    * literal `replace(seq, "|a||b|", "|ab|")` — and literal replace's
+    * left-to-right non-overlapping scan IS BPE's greedy merge order
+    * ("aaaa" + (a,a) → [aa][aa], never [a][aa][a]). The remap stays a
+    * codegen'd string kernel; no interpreted array lambda touches the
+    * hot column. `|` cannot collide: the vocabulary is restricted to
+    * fully-alphanumeric words (the standard BPE pre-tokenizer split;
+    * merged symbols stay alphanumeric by induction).
+    *
+    * Scale shape: the corpus collapses to the (word, freq) vocabulary
+    * FIRST (one explode + hash agg — the only pass over raw text);
+    * every round then runs over vocab-sized data: pair explode (≤ word
+    * length per row) + hash agg on the pair key + a global top-1
+    * (TakeOrderedAndProject) + one broadcast crossJoin of the 1-row
+    * winner. Rounds execute eagerly (the q87/q91 pattern): each
+    * round's seq frame is persisted while the next round's count job
+    * runs, the 1-row winner is localCheckpoint'd (lineage-truncated),
+    * and every cache is dropped before returning — the declared plan
+    * is a union of [[BpeRounds]] one-row leaves. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vocab = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val seq0 = vocab.select(col("freq"),
+      regexp_replace(col("word"), "(.)", "|$1|").as("seq"))
+
+    def pairTop1(seqDf: DataFrame): DataFrame = {
+      val syms = split(trim(col("seq"), "|"), "\\|\\|")
+      seqDf.select(col("freq"), syms.as("syms"))
+        .select(col("freq"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + lit(1)).as("b"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+    }
+
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var seq = seq0.persist(StorageLevel.MEMORY_AND_DISK)
+    caches += seq
+    val merges = (1 to BpeRounds).map { r =>
+      val top1 = pairTop1(seq).localCheckpoint(true) // 1 row, eager
+      seq = seq.crossJoin(broadcast(top1))
+        .select(col("freq"),
+          expr("replace(seq, concat('|', a, '||', b, '|'), " +
+            "concat('|', a, b, '|'))").as("seq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += seq
+      top1.select(lit(r.toLong).as("merge_round"),
+        col("a").as("sym_a"), col("b").as("sym_b"), col("pair_count"),
+        concat(col("a"), col("b")).as("new_sym"))
+    }
+    val out = merges.reduce(_.union(_)).orderBy("merge_round")
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** q89: vocabulary-growth (Heaps'-law) curve — cumulative distinct
     * tokens as the corpus is consumed in doc_id order, bucketed every
     * `VocabBucket` docs. The scalable construction avoids any
@@ -236,7 +311,8 @@ object TextAnalysis {
     "q27_doc_fingerprint" -> (fingerprint _),
     "q75_pmi_pairs" -> (pmiPairs _),
     "q77_bigram_lm" -> (bigramLm _),
-    "q89_vocab_growth" -> (vocabGrowth _)
+    "q89_vocab_growth" -> (vocabGrowth _),
+    "q95_bpe_merges" -> (bpeMerges _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -245,6 +321,41 @@ object TextAnalysis {
   private val hitsSqlAll: String = LangProfiles.map { case (l, p) =>
     s" len(list_filter(string_split_regex(trim(text), '${Det.WsClass}+'), x -> x IN (${inList(p)}))) AS h_$l"
   }.mkString(",\n")
+
+  /** q95's oracle: the same fixed merge rounds unrolled as CTE chains
+    * (p{r} pair counts / t{r} winner / s{r} remapped sequences),
+    * generated from the same constants — the q59-oracle pattern.
+    * DuckDB's literal `replace` scans left-to-right non-overlapping
+    * exactly like Spark's, so the remap strings stay engine-identical. */
+  private lazy val bpeOracle: String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b,
+         |   CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
+         |        FROM $prev), UNNEST(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |s$r AS (SELECT freq,
+         |   replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq
+         |  FROM $prev CROSS JOIN t$r)""".stripMargin
+    }
+    val selects = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b,
+         | pair_count, a || b AS new_sym FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       | SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(${Det.wordsSql("text")}) AS word FROM documents)
+       | WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+       |s0 AS (SELECT freq,
+       |  regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM w),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY merge_round""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q25_doc_stats" ->
@@ -326,6 +437,7 @@ object TextAnalysis {
         |SELECT a, b, c_ab, c_a, c_ab * 1000000 // c_a AS cond_ppm
         |FROM cab JOIN ca USING (a)
         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
+    "q95_bpe_merges" -> bpeOracle,
     "q89_vocab_growth" ->
       s"""WITH ft AS (
          | SELECT tok, min(doc_id) AS first_doc FROM (

@@ -21,6 +21,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q33_ann_bruteforce", // declared exact baseline
     "q34_ann_ivf", "q57_ann_pq", "q58_ann_ivfpq", "q59_kmeans", // K-row centroids/codebooks
     "q72_ann_ivfpq_residual", // K-row centroids/codebooks
+    "q93_sem_dedup", // q59's K-row centroid assign, twice (members + rep)
     "q49_tfidf_topk", // 1-row corpus count
     "q66_resample_ffill", // 1-row grid bounds
     "q68_triangles", // 1-row stats × 1-row triangle count
@@ -116,7 +117,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     // time); the declared plan is clusters→chars join + rank window +
     // canon self-join + presentation sort.
     "q91_er_canonical" -> 8,
-    "q92_salted_agg" -> 3
+    "q92_salted_agg" -> 3,
+    // q59's rounds (12) + the rep rank window on k; the members/rep
+    // duplication of the assign subtree collapses to ReusedExchange.
+    "q93_sem_dedup" -> 13,
+    // chunk_hash first-occurrence window + doc_id regroup + sort
+    "q94_paragraph_dedup" -> 3,
+    // merge rounds run eagerly (q87 pattern); declared plan = union of
+    // BpeRounds one-row checkpoint leaves + presentation sort
+    "q95_bpe_merges" -> 1
   )
 
   /** Queries whose plans must statically reuse an exchange — the

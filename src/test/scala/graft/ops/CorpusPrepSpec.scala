@@ -106,6 +106,44 @@ class CorpusPrepSpec extends SparkTestBase {
     }
   }
 
+  test("q94 paragraph dedup keeps exactly the first instance of every chunk") {
+    // cross-doc duplication fixtures: doc 11 is original, doc 12 a full
+    // copy (every chunk removed), doc 13 shares a prefix, doc 14
+    // repeats its own first half (internal dup)
+    val base = "the quick brown fox jumps over a lazy dog near the key " +
+      "value store and the wide table scan path"
+    val tail = "fresh unique closing words never repeated anywhere else"
+    val fx = Seq(
+      11L -> base,
+      12L -> base,
+      13L -> (base + " " + tail),
+      14L -> (tail + " " + tail),
+      15L -> "")
+    val d = tmpDir("paradedup")
+    fx.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // plain-Scala reference: chunk every doc, first occurrence by
+    // (doc_id, position), reassemble survivors in position order
+    val perDoc = fx.filter(_._2.trim.nonEmpty).map { case (id, t) =>
+      id -> refChunks(toks(t))
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = perDoc.map { case (id, chunks) =>
+      val kept = chunks.filter(c => seen.add(md5Hex(c)))
+      id -> ((chunks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = CorpusPrep.paragraphDedup(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === expected)
+    // the full copy lost everything; the original kept everything
+    assert(got(12L)._2 === 0L && got(12L)._3 === "")
+    assert(got(11L)._2 === got(11L)._1)
+    // prefix-sharing doc kept strictly between 0 and all of its chunks
+    assert(got(13L)._2 > 0L && got(13L)._2 < got(13L)._1)
+  }
+
   test("q84 sample is deterministic with ≤ k rows per source") {
     val sf = "/root/testdata/sf0.001"
     val a = CorpusPrep.perSourceSample(spark, sf).collect()

@@ -182,10 +182,38 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
     val want = assign()
-    val got = Similarity.kmeans(spark, dir).collect()
+    val got = Similarity.kmeansResult(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want, "Spark Lloyd must equal the Scala reference run")
     assert(got.values.map(_._1).toSet.subsetOf((0L until Similarity.KmK).toSet))
+  }
+
+  test("q93 SemDeDup matches a plain-Scala reference (rep choice + cosine flags)") {
+    val vecs = Similarity.quantizedForTest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // the clustering itself is pinned by the q59 differential above;
+    // here reuse the engine's assignment and verify the SemDeDup layer
+    val assigned = Similarity.kmeansResult(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rep = assigned.groupBy(_._2).map { case (k, ms) =>
+      k -> ms.minBy(m => (m._3, m._1))._1
+    }
+    val want = assigned.map { case (id, k, _) =>
+      val r = rep(k)
+      val cos = math.round(1e6 * dot(vecs(id), vecs(r)) /
+        math.sqrt(dot(vecs(id), vecs(id)).toDouble * dot(vecs(r), vecs(r))))
+      (id, k, r, cos, if (id != r && cos >= Similarity.SemDupMicroMin) 1L else 0L)
+    }.toSet
+    val got = Similarity.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want, "SemDeDup layer must equal the Scala reference")
+    // every cluster keeps exactly one representative (is_dup=0, self)
+    val reps = got.filter(t => t._1 == t._3)
+    assert(reps.map(_._2).toSet === got.map(_._2).toSet)
+    assert(reps.forall(_._5 == 0L))
   }
 
   test("q35 LSH near-dup finds the parallel pair (identical hyperplane signs)") {

@@ -64,6 +64,69 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q95 BPE merges equal a plain-Scala greedy merge loop") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val freq: Map[String, Long] = corpus
+      .flatMap(refTokens).filter(_.matches("[a-z0-9]+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // greedy left-to-right merge of ONE pair over a symbol sequence —
+    // independent list implementation of the string-replace kernel
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    var seqs: Map[List[String], Long] = freq.toSeq
+      .map { case (w, f) => w.map(_.toString).toList -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (1 to TextAnalysis.BpeRounds).map { r =>
+      val counts = seqs.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      seqs = seqs.toSeq
+        .map { case (syms, f) => applyMerge(syms, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r.toLong, a, b, cnt, a + b)
+    }
+    val got = TextAnalysis.bpeMerges(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q95 BPE merges consume earlier merges and scan greedily left-to-right") {
+    import spark.implicits._
+    // "aaab"×3 + "aab"×2: round 1 merges (a,a) GREEDILY — "aaab" must
+    // pair as [aa][a][b], never [a][aa][b]; round 2's top pair is then
+    // (aa,a) — a merge consuming round 1's output symbol
+    val d = tmpDir("bpe")
+    Seq((1L, "aaab aaab aaab aab aab", "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.bpeMerges(spark, d).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // freq: aaab×3, aab×2. r1 adjacent-pair counts (overlapping, the
+    // Sennrich count): (a,a) = 2·3 + 1·2 = 8, (a,b) = 3 + 2 = 5 → (a,a).
+    assert(got.head === ((1L, "a", "a", 8L, "aa")))
+    // applying (a,a) GREEDILY: aaab → [aa,a,b] (never [a,aa,b]),
+    // aab → [aa,b]. r2 counts: (aa,a) 3, (a,b) 3, (aa,b) 2 — tied on
+    // count, ORDER BY (cnt DESC, a, b) → a="a" < "aa" → (a,b).
+    assert(got(1) === ((2L, "a", "b", 3L, "ab")))
+    // after r2: [aa,ab]×3, [aa,b]×2. r3: (aa,ab) 3 > (aa,b) 2 →
+    // (aa,ab) — a merge consuming BOTH earlier rounds' outputs.
+    assert(got(2) === ((3L, "aa", "ab", 3L, "aaab")))
+    assert(got(3) === ((4L, "aa", "b", 2L, "aab")))
+    // r5: every word is one symbol — no pairs left; the merge table
+    // simply ends (rounds 5 and 6 emit nothing, no error)
+    assert(got.length === 4)
+  }
+
   test("q89 vocab growth equals a plain-Scala first-occurrence curve") {
     val corpus = graft.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
