@@ -213,11 +213,44 @@ object CorpusPrep {
       .orderBy("source", "rk")
   }
 
+  // -------------------------------------------------------------- q97
+  /** Per-source token budget for the curation sieve — roughly half of
+    * a harness source's total tokens, so the sieve visibly selects
+    * (the production value is whatever the mixing plan allocates). */
+  private[ops] val TokenBudget = 700L
+
+  /** Token-budget curation (q97): each source contributes its
+    * best-quality documents until a fixed token budget is spent — the
+    * mixing-under-budget step between corpus scoring and training-set
+    * assembly. Documents are ranked per source by the q25 integer
+    * quality score (tie-break doc_id), and a document is kept iff the
+    * running token sum THROUGH it stays ≤ [[TokenBudget]] — a
+    * prefix-sum sieve, so one oversized high-quality document cannot
+    * lock out every smaller one behind it.
+    *
+    * Scale shape: the quality kernel is q25's per-row expressions at
+    * scan speed; the sieve is ONE running-sum window per source key —
+    * the same single exchange any per-source rank takes. Sources are
+    * the partition key, so a 100-TB corpus with thousands of sources
+    * parallelizes across them; no global sort, no driver state. */
+  def tokenBudgetCurate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_milli").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextAnalysis.docStatsCols(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("quality_milli"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_quality_rules" -> (qualityRules _),
     "q83_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q84_source_sample" -> (perSourceSample _),
-    "q94_paragraph_dedup" -> (paragraphDedup _)
+    "q94_paragraph_dedup" -> (paragraphDedup _),
+    "q97_token_budget" -> (tokenBudgetCurate _)
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
@@ -317,6 +350,29 @@ object CorpusPrep {
          | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
          |   ORDER BY pos), '') AS clean_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q97_token_budget" ->
+      s"""WITH st AS (
+         | SELECT source, doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(${Det.wordsSql("text")}) END AS n_tokens,
+         |  len(list_filter(${Det.wordsSql("text")},
+         |      x -> x IN ($stopList))) AS stop_hits
+         | FROM documents),
+         |q AS (
+         | SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |       THEN CAST(round(stop_hits * 1000.0 / n_tokens) AS BIGINT)
+         |       ELSE 0 END AS quality_milli
+         | FROM st),
+         |c AS (
+         | SELECT source, doc_id, n_tokens, quality_milli,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality_milli DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         | FROM q)
+         |SELECT source, doc_id, n_tokens, quality_milli, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget
+         |ORDER BY source, doc_id""".stripMargin,
     "q84_source_sample" ->
       s"""WITH ranked AS (
          | SELECT doc_id, source, n_chars,

@@ -230,13 +230,23 @@ object TextAnalysis {
     * runs, the 1-row winner is localCheckpoint'd (lineage-truncated),
     * and every cache is dropped before returning — the declared plan
     * is a union of [[BpeRounds]] one-row leaves. */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeRounds(s, dir)._1
+
+  /** The eager merge-round core shared by q95 (the merge table) and
+    * q96 (tokenizing with it): returns the per-round winner union AND
+    * the post-round vocabulary — `(word, freq, seq)` with `seq` the
+    * fully-merged wrapped symbol string. Both returned frames are
+    * lineage-truncated (checkpointed winners / checkpointed final
+    * vocab), and every per-round cache is dropped before returning. */
+  private[ops] def bpeRounds(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val vocab = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val seq0 = vocab.select(col("freq"),
+    val seq0 = vocab.select(col("word"), col("freq"),
       regexp_replace(col("word"), "(.)", "|$1|").as("seq"))
 
     def pairTop1(seqDf: DataFrame): DataFrame = {
@@ -259,7 +269,7 @@ object TextAnalysis {
     val merges = (1 to BpeRounds).map { r =>
       val top1 = pairTop1(seq).localCheckpoint(true) // 1 row, eager
       seq = seq.crossJoin(broadcast(top1))
-        .select(col("freq"),
+        .select(col("word"), col("freq"),
           expr("replace(seq, concat('|', a, '||', b, '|'), " +
             "concat('|', a, b, '|'))").as("seq"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -268,9 +278,105 @@ object TextAnalysis {
         col("a").as("sym_a"), col("b").as("sym_b"), col("pair_count"),
         concat(col("a"), col("b")).as("new_sym"))
     }
-    val out = merges.reduce(_.union(_)).orderBy("merge_round")
+    val mergeTable = merges.reduce(_.union(_)).orderBy("merge_round")
+    val finalSeq = seq.localCheckpoint(true)
     caches.foreach(_.unpersist(blocking = false))
-    out
+    (mergeTable, finalSeq)
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** q96: tokenize with the q95-trained tokenizer — the pre-training
+    * bookkeeping query (token budgets, packing estimates, compression
+    * tracking run over every corpus candidate). Per document: the
+    * whitespace word count, the BPE token count under the learned
+    * merges, and the integer-ppm compression ratio (BPE tokens per
+    * 1000 chars of token text).
+    *
+    * In-vocabulary words cost their merged symbol count (read straight
+    * off the q95 final vocabulary — training already computed it; no
+    * re-encoding pass). Out-of-vocabulary words (non-alphanumeric)
+    * fall back to one token per character — byte-fallback semantics,
+    * exactly what they'd cost under merges they never participated in.
+    *
+    * Scale shape: one explode over doc words, one hash join against
+    * the vocab frame on the word key (the tokenizer vocabulary —
+    * shuffle-joinable at any corpus size, broadcast-able for real
+    * tokenizers), one doc_id hash agg, and a left join back onto
+    * `documents` so empty documents keep a (0, 0) row. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val finalSeq = bpeRounds(s, dir)._2
+    val nsyms = finalSeq.select(col("word"),
+      size(split(trim(col("seq"), "|"), "\\|\\|")).cast("long").as("n_syms"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = toks
+      .join(nsyms, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_syms"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_word_chars"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(coalesce(col("n_word_chars"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("n_bpe_tokens * 1000 div n_word_chars"))
+          .as("tokens_per_kchar"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q98
+  /** Keep threshold for the LM fluency screen (mean conditional bigram
+    * probability, ppm) — near the harness corpus median, so both
+    * outcomes are exercised; a production run calibrates this against
+    * a reference corpus percentile exactly the way CCNet does. */
+  val LmKeepPpmMin = 35000L
+
+  /** q98: bigram-LM fluency filter — the CCNet/KenLM-shaped screen
+    * that ranks documents by how predictable their text is under a
+    * language model; here the model is q77's own corpus bigram LM, and
+    * the score is the MEAN conditional bigram probability in integer
+    * ppm (`avg of c_ab·1e6 div c_a` over the document's adjacent
+    * pairs) — a monotone fluency proxy that stays integer-exact where
+    * log-perplexity would be float-ordered. Documents with fewer than
+    * 2 tokens score 0 and are never kept.
+    *
+    * Scale shape: bigrams explode linearly; the LM tables are the
+    * q77 aggregations (|pairs| ≤ V², far below corpus token count);
+    * scoring is one hash join on the (a, b) pair key — big-big
+    * shuffle-joinable at any scale — then one doc_id hash agg and a
+    * left join back so every document keeps a row. Self-scoring is
+    * deliberate (deterministic, no held-out split to disagree on);
+    * swapping in an external LM table changes one join input. */
+  def lmFluency(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ts = words(col("text"))
+    val bi = d.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - lit(1)),
+          i => struct(element_at(col("ts"), i).as("a"),
+            element_at(col("ts"), i + lit(1)).as("b"))))
+        .otherwise(array())).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val scored = bi
+      .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .withColumn("cond_ppm", expr("c_ab * 1000000 div c_a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cond_ppm").as("sum_ppm"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("sum_ppm div n_bigrams")).as("lm_mean_ppm"))
+      .withColumn("lm_keep",
+        (col("lm_mean_ppm") >= LmKeepPpmMin).cast("long"))
+      .orderBy("doc_id")
   }
 
   /** q89: vocabulary-growth (Heaps'-law) curve — cumulative distinct
@@ -312,7 +418,9 @@ object TextAnalysis {
     "q75_pmi_pairs" -> (pmiPairs _),
     "q77_bigram_lm" -> (bigramLm _),
     "q89_vocab_growth" -> (vocabGrowth _),
-    "q95_bpe_merges" -> (bpeMerges _)
+    "q95_bpe_merges" -> (bpeMerges _),
+    "q96_bpe_tokenize" -> (bpeTokenize _),
+    "q98_lm_fluency" -> (lmFluency _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -327,7 +435,11 @@ object TextAnalysis {
     * generated from the same constants — the q59-oracle pattern.
     * DuckDB's literal `replace` scans left-to-right non-overlapping
     * exactly like Spark's, so the remap strings stay engine-identical. */
-  private lazy val bpeOracle: String = {
+  /** Shared q95/q96 oracle CTE chain: vocabulary `w`, wrapped
+    * sequences `s0`, and per-round (p{r} counts / t{r} winner / s{r}
+    * remap) through `s{BpeRounds}` — word carried so q96 can read the
+    * final per-word symbol count. */
+  private lazy val bpeChainCtes: String = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b,
@@ -337,25 +449,49 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |t$r AS (SELECT a, b, pair_count FROM p$r
          |  ORDER BY pair_count DESC, a, b LIMIT 1),
-         |s$r AS (SELECT freq,
+         |s$r AS (SELECT word, freq,
          |   replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq
          |  FROM $prev CROSS JOIN t$r)""".stripMargin
     }
+    s"""w AS (
+       | SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(${Det.wordsSql("text")}) AS word FROM documents)
+       | WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |  regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM w),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeOracle: String = {
     val selects = (1 to BpeRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b,
          | pair_count, a || b AS new_sym FROM t$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH w AS (
-       | SELECT word, count(*) AS freq FROM (
-       |  SELECT unnest(${Det.wordsSql("text")}) AS word FROM documents)
-       | WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
-       |s0 AS (SELECT freq,
-       |  regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM w),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+    s"""WITH $bpeChainCtes
        |SELECT * FROM (
        |$selects
        |) ORDER BY merge_round""".stripMargin
   }
+
+  private lazy val bpeTokenizeOracle: String =
+    s"""WITH $bpeChainCtes,
+       |nsyms AS (SELECT word,
+       |   CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_syms
+       |  FROM s$BpeRounds),
+       |toks AS (SELECT doc_id, word FROM (
+       |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS word
+       |  FROM documents) WHERE length(word) > 0),
+       |pd AS (SELECT doc_id, count(*) AS n_words,
+       |   CAST(sum(coalesce(n_syms, length(word))) AS BIGINT) AS n_bpe_tokens,
+       |   CAST(sum(length(word)) AS BIGINT) AS n_word_chars
+       |  FROM toks LEFT JOIN nsyms USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | coalesce(n_words, 0) AS n_words,
+       | coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+       | CASE WHEN coalesce(n_word_chars, 0) = 0 THEN 0
+       |      ELSE n_bpe_tokens * 1000 // n_word_chars END AS tokens_per_kchar
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q25_doc_stats" ->
@@ -438,6 +574,30 @@ object TextAnalysis {
         |FROM cab JOIN ca USING (a)
         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
     "q95_bpe_merges" -> bpeOracle,
+    "q96_bpe_tokenize" -> bpeTokenizeOracle,
+    "q98_lm_fluency" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, ${Det.wordsSql("text")} AS ts FROM documents),
+         |bi AS (
+         | SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+         | FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+         |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+         |       FROM cab GROUP BY 1),
+         |sc AS (
+         | SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(c_ab * 1000000 // c_a) AS BIGINT) AS sum_ppm
+         | FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+         | GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(n_bigrams, 0) AS n_bigrams,
+         | CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+         |      ELSE sum_ppm // n_bigrams END AS lm_mean_ppm,
+         | CAST(coalesce(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+         |      ELSE sum_ppm // n_bigrams END, 0) >= $LmKeepPpmMin
+         |   AS BIGINT) AS lm_keep
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q89_vocab_growth" ->
       s"""WITH ft AS (
          | SELECT tok, min(doc_id) AS first_doc FROM (

@@ -123,6 +123,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q93_sem_dedup" -> 13,
     // chunk_hash first-occurrence window + doc_id regroup + sort
     "q94_paragraph_dedup" -> 3,
+    // q96: vocab join rides a broadcast off the checkpointed BPE
+    // vocabulary; doc_id agg + left-join-back + presentation sort
+    "q96_bpe_tokenize" -> 3,
+    // q97: one per-source running-sum window + presentation sort
+    "q97_token_budget" -> 2,
+    // q98: cab/ca aggs, pair-key scoring join, doc_id agg + join back
+    "q98_lm_fluency" -> 5,
     // merge rounds run eagerly (q87 pattern); declared plan = union of
     // BpeRounds one-row checkpoint leaves + presentation sort
     "q95_bpe_merges" -> 1

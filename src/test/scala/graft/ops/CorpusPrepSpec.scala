@@ -144,6 +144,35 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got(13L)._2 > 0L && got(13L)._2 < got(13L)._1)
   }
 
+  test("q97 token-budget sieve equals a plain-Scala prefix-sum replay") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val stops = TextAnalysis.LangProfiles.head._2.toSet
+    val perDoc = corpus.map { case (id, src, t) =>
+      val ts = if (t.trim.isEmpty) Seq.empty else toks(t)
+      val n = ts.size.toLong
+      val q = if (n > 0) math.round(ts.count(stops) * 1000.0 / n) else 0L
+      (src, id, n, q)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.flatMap { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy { case (_, id, _, q) => (-q, id) }.flatMap {
+        case (src, id, n, q) =>
+          cum += n
+          if (cum <= CorpusPrep.TokenBudget) Some((src, id, n, q, cum))
+          else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = CorpusPrep.tokenBudgetCurate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the sieve must bind: some docs kept, some dropped, per source
+    assert(got.nonEmpty && got.size < corpus.size)
+  }
+
   test("q84 sample is deterministic with ≤ k rows per source") {
     val sf = "/root/testdata/sf0.001"
     val a = CorpusPrep.perSourceSample(spark, sf).collect()

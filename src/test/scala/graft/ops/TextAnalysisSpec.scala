@@ -64,14 +64,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
-  test("q95 BPE merges equal a plain-Scala greedy merge loop") {
-    val corpus = graft.Tables.documents(spark, dir)
-      .select("text").collect().map(_.getString(0)).toSeq
+  /** Plain-Scala reference BPE trainer: returns the merge table and
+    * the final per-word symbol sequences. Greedy left-to-right merge —
+    * an independent list implementation of the string-replace kernel. */
+  private def refBpe(corpus: Seq[String])
+      : (Seq[(Long, String, String, Long, String)], Map[String, List[String]]) = {
     val freq: Map[String, Long] = corpus
       .flatMap(refTokens).filter(_.matches("[a-z0-9]+"))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    // greedy left-to-right merge of ONE pair over a symbol sequence —
-    // independent list implementation of the string-replace kernel
     def applyMerge(syms: List[String], a: String, b: String): List[String] =
       syms match {
         case x :: y :: rest if x == a && y == b =>
@@ -79,24 +79,81 @@ class TextAnalysisSpec extends SparkTestBase {
         case x :: rest => x :: applyMerge(rest, a, b)
         case Nil => Nil
       }
-    var seqs: Map[List[String], Long] = freq.toSeq
-      .map { case (w, f) => w.map(_.toString).toList -> f }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val expected = (1 to TextAnalysis.BpeRounds).map { r =>
-      val counts = seqs.toSeq.flatMap { case (syms, f) =>
-        syms.zip(syms.drop(1)).map(p => p -> f)
+    var wordSyms: Map[String, List[String]] =
+      freq.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val merges = (1 to TextAnalysis.BpeRounds).flatMap { r =>
+      val counts = wordSyms.toSeq.flatMap { case (w, syms) =>
+        syms.zip(syms.drop(1)).map(p => p -> freq(w))
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      val ((a, b), cnt) = counts.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }.head
-      seqs = seqs.toSeq
-        .map { case (syms, f) => applyMerge(syms, a, b) -> f }
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      (r.toLong, a, b, cnt, a + b)
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        wordSyms = wordSyms.view
+          .mapValues(applyMerge(_, a, b)).toMap
+        Some((r.toLong, a, b, cnt, a + b))
+      }
     }
+    (merges, wordSyms)
+  }
+
+  test("q95 BPE merges equal a plain-Scala greedy merge loop") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val (expected, _) = refBpe(corpus)
     val got = TextAnalysis.bpeMerges(spark, dir).collect().map(r =>
       (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq
     assert(got === expected)
+  }
+
+  test("q96 tokenize-with-trained-BPE equals the reference encoder") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (_, wordSyms) = refBpe(corpus.map(_._2))
+    val expected = corpus.map { case (id, t) =>
+      val ts = refTokens(t)
+      val nBpe = ts.map(w =>
+        wordSyms.get(w).map(_.size.toLong).getOrElse(w.length.toLong)).sum
+      val chars = ts.map(_.length.toLong).sum
+      (id, ts.size.toLong, nBpe,
+        if (chars == 0) 0L else nBpe * 1000 / chars)
+    }.sortBy(_._1)
+    val got = TextAnalysis.bpeTokenize(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // in-vocab words cost ≤ their length; the encoder can only shrink
+    got.zip(expected).foreach { case (g, _) =>
+      assert(g._3 <= corpus.find(_._1 == g._1).get._2.length) }
+  }
+
+  test("q98 LM fluency scores equal a plain-Scala bigram-LM replay") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // q77-style tokenization: split includes empty tokens like Spark
+    def ts(t: String): Seq[String] = t.trim.split("[ \t\n\f\r]+").toSeq
+    val allBi = corpus.flatMap { case (id, t) =>
+      val s = ts(t); s.zip(s.drop(1)).map(p => (id, p))
+    }
+    val cab = allBi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ca = cab.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expected = corpus.map { case (id, t) =>
+      val s = ts(t)
+      val bs = s.zip(s.drop(1))
+      val n = bs.size.toLong
+      val mean =
+        if (n == 0) 0L
+        else bs.map(p => cab(p) * 1000000L / ca(p._1)).sum / n
+      (id, n, mean, if (mean >= TextAnalysis.LmKeepPpmMin) 1L else 0L)
+    }.sortBy(_._1)
+    val got = TextAnalysis.lmFluency(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L),
+      "threshold must split the corpus")
   }
 
   test("q95 BPE merges consume earlier merges and scan greedily left-to-right") {
