@@ -164,22 +164,9 @@ object CorpusPrep {
     * hash anyway — and a skew-capped variant would salt exactly that
     * key. */
   def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
-    val ts = words(col("text"))
-    val docs = Tables.documents(s, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), ts.as("ts"))
-    val n = size(col("ts"))
-    val bpos = filter(sequence(lit(1), n), i =>
-      i === 1 ||
-        TextAnalysis.wordHash(element_at(col("ts"), i)) % ChunkMod === 0)
-    val nextb = concat(
-      slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))), array(n + 1))
-    val chunks = docs
-      .select(col("doc_id"),
-        posexplode(zip_with(bpos, nextb, (a, b) =>
-          array_join(slice(col("ts"), a, b - a), " "))))
-      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
-        md5(col("col")).as("chunk_hash"))
+    val chunks = chunkExplode(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select("doc_id", "pos", "chunk", "chunk_hash")
     val wFirst = Window.partitionBy("chunk_hash")
       .orderBy(col("doc_id").asc, col("pos").asc)
     chunks
@@ -193,6 +180,31 @@ object CorpusPrep {
         array_join(transform(array_sort(collect_list(col("kept"))),
           e => e.getField("chunk")), " ").as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** The CDC chunker as a reusable projection: rows with non-empty
+    * `text` explode to one row per chunk, keeping every other input
+    * column (`pos` 0-based within the doc, `chunk` the token-joined
+    * text, `chunk_hash` its md5). Stateless per-row kernels only, so
+    * it applies to a STREAMING DataFrame unchanged —
+    * [[graft.streaming.StreamingChunkDedup]] runs exactly this
+    * projection in front of its watermark-bounded state. */
+  private[graft] def chunkExplode(docs: DataFrame): DataFrame = {
+    val ts = words(col("text"))
+    val n = size(col("ts"))
+    val bpos = filter(sequence(lit(1), n), i =>
+      i === 1 ||
+        TextAnalysis.wordHash(element_at(col("ts"), i)) % ChunkMod === 0)
+    val nextb = concat(
+      slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))), array(n + 1))
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("ts", ts)
+      .select(col("*"), posexplode(zip_with(bpos, nextb, (a, b) =>
+        array_join(slice(col("ts"), a, b - a), " "))))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .drop("ts")
   }
 
   // -------------------------------------------------------------- q84
