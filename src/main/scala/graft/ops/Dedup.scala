@@ -629,7 +629,8 @@ object Dedup {
     "q52_dedup_clusters" -> (dedupClusters _),
     "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d)),
     "q74_dup_gram_coverage" -> (dupGramCoverage _),
-    "q91_er_canonical" -> (erCanonical _)
+    "q91_er_canonical" -> (erCanonical _),
+    "q99_containment_pairs" -> (containmentPairs _)
   )
 
   /** q91: entity-resolution canonicalization — the step AFTER
@@ -661,6 +662,72 @@ object Dedup {
           .as("is_canonical"),
         col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  // ---------- q99: shingle-containment pairs (quote / boilerplate) ----------
+
+  /** Containment threshold (milli): |A∩B| / min(|A|, |B|). */
+  val ContMilliMin = 800L
+
+  /** Rare-shingle blocking cap: only shingles with document frequency
+    * in [2, ContDfCap] generate candidate pairs. */
+  val ContDfCap = 32L
+
+  /** Shingle-containment pairs (q99): the ASYMMETRIC near-dup relation
+    * Jaccard misses — a short document quoted inside a long one has
+    * containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so neither
+    * q28's banding (tuned for J ≥ [[JMilliMin]]) nor its size-ratio
+    * prefilter can surface it. This is the quote/boilerplate detector
+    * of a corpus pipeline.
+    *
+    * Candidates come from RARE-shingle blocking: two docs pair if they
+    * share at least one shingle whose document frequency lies in
+    * [2, [[ContDfCap]]]. A contained quote shares MANY of the quoted
+    * doc's distinctive shingles, so recall for containment is high,
+    * while the df cap bounds the per-shingle fan-out at ContDfCap²/2
+    * pairs BY CONSTRUCTION — the hot-bucket hazard LshSkew caps
+    * elsewhere cannot occur here (ubiquitous boilerplate shingles are
+    * excluded from blocking, deliberately: they identify nothing).
+    * Verification is the same sorted-set merge kernel as q28, against
+    * min(|A|,|B|) instead of the union. Shuffles: posting-list agg +
+    * self-join on the shingle key (ReusedExchange collapses the two
+    * sides) + the two verify joins — the q28 topology with the bands
+    * replaced by postings. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    // hx referenced three times (postings + both verify sides): same
+    // materialize-once contract as q28, under this query's OWN cache
+    // key so Bench's per-owner invalidate keeps its timing honest.
+    val hx = PipelineCache.getOrPersist(s, dir, "q99_containment_pairs/hx") {
+      hashedShingles(s, dir)
+    }
+    val posts = hx.select(col("doc_id"), explode(col("hs")).as("sh"))
+    val rare = posts.join(
+      posts.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= ContDfCap),
+      Seq("sh"))
+      .select(col("sh"), col("doc_id"))
+    val cand = rare.hint("shuffle_hash").as("x")
+      .join(rare.hint("shuffle_hash").as("y"), Seq("sh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hx.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("hs").as("hsa"))
+    val b = hx.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("hs").as("hsb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        interCount(col("hsa"), col("hsb")).as("inter_sh"),
+        col("na"), col("nb"))
+      .withColumn("cont_milli",
+        round(col("inter_sh") * lit(1000.0) /
+          least(col("na"), col("nb"))).cast("long"))
+      .where(col("cont_milli") >= ContMilliMin)
+      .withColumn("contained_doc",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "inter_sh", "na", "nb", "cont_milli",
+        "contained_doc")
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -719,6 +786,33 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q99_containment_pairs" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, greatest(len(ws)-2, 0)),
+         |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+         |sh2 AS (SELECT doc_id,
+         |   list_distinct(list_transform(s, x -> ${h32sql("x")} % $P)) AS h
+         |   FROM sh WHERE len(s) > 0),
+         |posts AS (SELECT doc_id, unnest(h) AS sh FROM sh2),
+         |df AS (SELECT sh, count(*) AS df FROM posts GROUP BY 1),
+         |rare AS (SELECT p.sh, p.doc_id FROM posts p JOIN df USING (sh)
+         |   WHERE df BETWEEN 2 AND $ContDfCap),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |   len(list_intersect(sa.h, sb.h)) AS inter_sh,
+         |   len(sa.h) AS na, len(sb.h) AS nb
+         |   FROM cand JOIN sh2 sa ON sa.doc_id = cand.doc_a
+         |             JOIN sh2 sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, inter_sh,
+         | CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         | CAST(round(1000.0 * inter_sh / least(na, nb)) AS BIGINT) AS cont_milli,
+         | CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM v
+         |WHERE CAST(round(1000.0 * inter_sh / least(na, nb)) AS BIGINT)
+         |   >= $ContMilliMin
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q28_minhash_lsh_pairs" ->
       s"""$minhashCtes
          |SELECT doc_a, doc_b, inter_sh, union_sh, j_milli

@@ -130,6 +130,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q97_token_budget" -> 2,
     // q98: cab/ca aggs, pair-key scoring join, doc_id agg + join back
     "q98_lm_fluency" -> 5,
+    // q99: posting agg + shingle-key self-join (reused) + verify joins;
+    // the df-capped blocking adds no exchange beyond the posting agg
+    "q99_containment_pairs" -> 4,
     // merge rounds run eagerly (q87 pattern); declared plan = union of
     // BpeRounds one-row checkpoint leaves + presentation sort
     "q95_bpe_merges" -> 1

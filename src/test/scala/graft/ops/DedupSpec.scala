@@ -79,6 +79,35 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q99 containment finds the quoted-inside pair that Jaccard misses") {
+    // doc 10: a short distinctive passage. doc 11: that passage quoted
+    // verbatim inside 4× as much unrelated text — containment(10→11)
+    // = 1000 but Jaccard ≈ 1/5, far below q28's bar.
+    val quote = "zebra quokka axolotl pangolin capybara wombat " +
+      "numbat dugong echidna cassowary kakapo hoatzin"
+    val padding = (1 to 48).map(i => s"filler$i").mkString(" ")
+    val d = tmpDir("contdocs")
+    Seq(
+      (10L, quote, "en", "s10", quote.length.toLong),
+      (11L, s"$padding $quote $padding", "en", "s11", 1L),
+      (12L, "completely unrelated words nothing shared at all here " +
+        "believe me not one bit", "en", "s12", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Dedup.containmentPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(got.exists { case (a, b, c, cd) =>
+      a == 10L && b == 11L && c == 1000L && cd == 10L },
+      s"containment pair missing from ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 12L || p._2 == 12L))
+    // the same pair is invisible to the Jaccard family on this corpus
+    val j = Dedup.minhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((10L, 11L)),
+      "q28 must NOT see the low-Jaccard containment pair — that gap is " +
+        "exactly what q99 exists to close")
+  }
+
   test("q52 labels transitive chains one cluster; q29's pairwise rule cannot") {
     // A chain A~B~C where A and C differ in TWO words (still near-dup
     // pairwise neighbors of B, and of each other only transitively).
