@@ -207,6 +207,45 @@ object CorpusPrep {
       .drop("ts")
   }
 
+  // -------------------------------------------------------------- q100
+  /** Cross-source overlap matrix (q100): for every source pair, how
+    * many distinct content chunks they share — the provenance
+    * diagnostic behind train/test leakage checks (q54 decontaminates
+    * against ONE eval set; this surveys every subset against every
+    * other) and dataset-mixing decisions (two crawls that overlap 80%
+    * should not both get full weight).
+    *
+    * Shape: distinct (chunk_hash, source) pairs, self-joined on
+    * chunk_hash, counted per source pair; `overlap_milli` scales the
+    * shared count by the SMALLER source's distinct-chunk count (the
+    * containment convention of q99 at source granularity). A chunk
+    * shared by k sources emits k(−1)/2 pairs — bounded by the source
+    * count squared, and sources are a curated enum (dozens to
+    * hundreds), not data-scale; the chunk_hash exchange itself is
+    * q83's. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hs = chunkExplode(
+      Tables.documents(s, dir).select(col("source"), col("text")))
+      .select("chunk_hash", "source").distinct()
+    val perSrc = hs.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"))
+    val shared = hs.as("x")
+      .join(hs.as("y"), Seq("chunk_hash"))
+      .where(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(perSrc.select(col("source").as("src_a"), col("n_chunks").as("na")),
+        Seq("src_a"))
+      .join(perSrc.select(col("source").as("src_b"), col("n_chunks").as("nb")),
+        Seq("src_b"))
+      .withColumn("overlap_milli",
+        round(col("shared_chunks") * lit(1000.0) /
+          least(col("na"), col("nb"))).cast("long"))
+      .select("src_a", "src_b", "shared_chunks", "na", "nb", "overlap_milli")
+      .orderBy("src_a", "src_b")
+  }
+
   // -------------------------------------------------------------- q84
   /** Deterministic per-source sample: the k docs with the smallest
     * md5(doc_id) per source — an unbiased, reproducible "random"
@@ -262,7 +301,8 @@ object CorpusPrep {
     "q83_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q84_source_sample" -> (perSourceSample _),
     "q94_paragraph_dedup" -> (paragraphDedup _),
-    "q97_token_budget" -> (tokenBudgetCurate _)
+    "q97_token_budget" -> (tokenBudgetCurate _),
+    "q100_source_overlap" -> (sourceOverlap _)
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
@@ -362,6 +402,37 @@ object CorpusPrep {
          | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
          |   ORDER BY pos), '') AS clean_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q100_source_overlap" ->
+      s"""WITH tok AS (
+         | SELECT source,
+         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+         | FROM documents WHERE len(trim(text)) > 0),
+         |b AS (
+         | SELECT source, ts,
+         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
+         |      % $ChunkMod = 0) AS bpos
+         | FROM tok),
+         |hs AS (
+         | SELECT DISTINCT source, md5(array_to_string(
+         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
+         |    ' ')) AS chunk_hash
+         | FROM b, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+         |per_src AS (SELECT source, count(*) AS n_chunks FROM hs GROUP BY 1),
+         |shared AS (
+         | SELECT x.source AS src_a, y.source AS src_b,
+         |  count(*) AS shared_chunks
+         | FROM hs x JOIN hs y ON x.chunk_hash = y.chunk_hash
+         |  AND x.source < y.source
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_chunks,
+         | pa.n_chunks AS na, pb.n_chunks AS nb,
+         | CAST(round(1000.0 * shared_chunks /
+         |   least(pa.n_chunks, pb.n_chunks)) AS BIGINT) AS overlap_milli
+         |FROM shared
+         |JOIN per_src pa ON pa.source = shared.src_a
+         |JOIN per_src pb ON pb.source = shared.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "q97_token_budget" ->
       s"""WITH st AS (
          | SELECT source, doc_id,

@@ -133,6 +133,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q99: posting agg + shingle-key self-join (reused) + verify joins;
     // the df-capped blocking adds no exchange beyond the posting agg
     "q99_containment_pairs" -> 4,
+    // q100: (hash, source) distinct + hash self-join (reused) +
+    // source-pair agg + the two per-source-count joins
+    "q100_source_overlap" -> 5,
     // merge rounds run eagerly (q87 pattern); declared plan = union of
     // BpeRounds one-row checkpoint leaves + presentation sort
     "q95_bpe_merges" -> 1

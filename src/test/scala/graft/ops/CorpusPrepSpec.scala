@@ -173,6 +173,39 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < corpus.size)
   }
 
+  test("q100 source-overlap matrix equals the reference chunk-set algebra") {
+    val base = "the quick brown fox jumps over a lazy dog near the key " +
+      "value store and the wide table scan path"
+    val tail = "fresh unique closing words never repeated anywhere else"
+    val d = tmpDir("overlap")
+    Seq(
+      (1L, base, "en", "srcA", 1L),
+      (2L, base + " " + tail, "en", "srcB", 1L),
+      (3L, "completely disjoint content with nothing shared here at all",
+        "en", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val sets = Map(
+      "srcA" -> refChunks(toks(base)).map(md5Hex).toSet,
+      "srcB" -> refChunks(toks(base + " " + tail)).map(md5Hex).toSet,
+      "srcC" -> refChunks(toks(
+        "completely disjoint content with nothing shared here at all"))
+        .map(md5Hex).toSet)
+    val expected = (for {
+      Seq(a, b) <- sets.keys.toSeq.sorted.combinations(2)
+      inter = sets(a).intersect(sets(b)).size.toLong if inter > 0
+    } yield (a, b, inter, sets(a).size.toLong, sets(b).size.toLong,
+      math.round(1000.0 * inter / math.min(sets(a).size, sets(b).size)))
+    ).toSeq
+    val got = CorpusPrep.sourceOverlap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(!got.exists(r => r._1 == "srcC" || r._2 == "srcC"),
+      "a disjoint source shares no row")
+    assert(got.exists(r => r._1 == "srcA" && r._2 == "srcB" && r._3 > 0))
+  }
+
   test("q84 sample is deterministic with ≤ k rows per source") {
     val sf = "/root/testdata/sf0.001"
     val a = CorpusPrep.perSourceSample(spark, sf).collect()
