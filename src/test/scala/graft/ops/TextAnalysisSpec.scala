@@ -184,6 +184,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.length === 4)
   }
 
+  test("q95 string-replace remap == greedy list merge over generated sequences") {
+    // the load-bearing trick: replace(seq, '|a||b|', '|ab|') on the
+    // wrapped form must equal the greedy left-to-right LIST merge for
+    // ANY symbol sequence — exercised over a tiny alphabet where
+    // symbols share prefixes/suffixes ("a" vs "aa" vs "ab"), the
+    // adversarial cases for a substring-based rewrite
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val sym = Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "aba")
+    val row = for {
+      n <- Gen.choose(0, 14)
+      syms <- Gen.listOfN(n, sym)
+      a <- sym
+      b <- sym
+    } yield (syms, a, b)
+    val cases = Gen.listOfN(400, row)
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    def wrap(syms: Seq[String]): String = syms.map("|" + _ + "|").mkString
+    val df = cases.map { case (syms, a, b) =>
+      (wrap(syms), a, b, wrap(applyMerge(syms.toList, a, b)))
+    }.toDF("seq", "a", "b", "want")
+    val mism = df.select(
+        expr("replace(seq, concat('|', a, '||', b, '|'), " +
+          "concat('|', a, b, '|'))").as("got"), col("want"))
+      .filter(col("got") =!= col("want"))
+    assert(mism.count() === 0)
+  }
+
   test("q89 vocab growth equals a plain-Scala first-occurrence curve") {
     val corpus = graft.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
