@@ -35,6 +35,12 @@ object Bench {
     * so even this reference host runs ~1.65× the r5 one.) */
   val CanaryRefSec = 0.545
 
+  /** Minimal JSON string escape shared with [[MicroBench]]. */
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => " "; case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -83,10 +89,6 @@ object Bench {
       n -> (if (ok.nonEmpty) Right(ok.min) else runs.head)
     }
 
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => " "; case c => c.toString
-    }
     val qs = measured.collect { case (k, Right(v)) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val errs = measured.collect { case (k, Left(e)) =>

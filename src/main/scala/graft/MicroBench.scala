@@ -27,6 +27,7 @@ object MicroBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val n = sys.env.getOrElse("SPARK_GRAFT_MICRO_N", "7").toInt
+    require(n >= 1, s"SPARK_GRAFT_MICRO_N must be ≥ 1, got $n")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,10 +63,10 @@ object MicroBench {
           f""""ratio":${runs.min / Bench.CanaryRefSec}%.3f},"""
     }.getOrElse("")
     val qs = results.map { case (name, runs) =>
-      f""""$name":{"min":${runs.min}%.4f,"median":${med(runs)}%.4f,""" +
+      f""""${Bench.esc(name)}":{"min":${runs.min}%.4f,"median":${med(runs)}%.4f,""" +
         s""""runs":[${runs.map(r => f"$r%.4f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"n":$n,"cpus":"$cpus","sf":"$sfDir",$canary"queries":$qs}"""
+    val json = s"""{"n":$n,"cpus":"${Bench.esc(cpus)}","sf":"${Bench.esc(sfDir)}",$canary"queries":$qs}"""
     println(json)
     Files.writeString(Paths.get("MICROBENCH_OUT.json"), json + "\n")
     spark.stop()

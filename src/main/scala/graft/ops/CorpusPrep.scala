@@ -115,21 +115,9 @@ object CorpusPrep {
   private val ChunkMod = 8L
 
   def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val ts = words(col("text"))
-    val docs = Tables.documents(s, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("source"), ts.as("ts"))
-    val n = size(col("ts"))
-    val bpos = filter(sequence(lit(1), n), i =>
-      i === 1 ||
-        TextAnalysis.wordHash(element_at(col("ts"), i)) % ChunkMod === 0)
-    val nextb = concat(
-      slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))), array(n + 1))
-    val chunks = docs
-      .select(col("doc_id"), col("source"),
-        explode(zip_with(bpos, nextb, (a, b) =>
-          array_join(slice(col("ts"), a, b - a), " "))).as("chunk"))
-      .select(col("source"), md5(col("chunk")).as("chunk_hash"))
+    val chunks = chunkExplode(
+      Tables.documents(s, dir).select(col("source"), col("text")))
+      .select("source", "chunk_hash")
     val counts = chunks.groupBy("chunk_hash")
       .agg(count(lit(1)).as("cnt"))
     chunks.join(counts, "chunk_hash")
@@ -182,29 +170,41 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Output/scratch column names [[chunkExplode]] reserves. */
+  private val ChunkReserved =
+    Seq("pos", "col", "chunk", "chunk_hash", "_graft_chunk_ts")
+
   /** The CDC chunker as a reusable projection: rows with non-empty
     * `text` explode to one row per chunk, keeping every other input
     * column (`pos` 0-based within the doc, `chunk` the token-joined
     * text, `chunk_hash` its md5). Stateless per-row kernels only, so
     * it applies to a STREAMING DataFrame unchanged —
     * [[graft.streaming.StreamingChunkDedup]] runs exactly this
-    * projection in front of its watermark-bounded state. */
+    * projection in front of its watermark-bounded state (with its
+    * event-time column riding through untouched). Fails fast if an
+    * input column collides with a reserved output name — silently
+    * shadowing a caller's `pos` or event-time column would corrupt
+    * downstream watermarks. */
   private[graft] def chunkExplode(docs: DataFrame): DataFrame = {
-    val ts = words(col("text"))
-    val n = size(col("ts"))
+    val clash = docs.columns.filter(ChunkReserved.contains)
+    require(clash.isEmpty,
+      s"chunkExplode reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename the input column(s)")
+    val ts = col("_graft_chunk_ts")
+    val n = size(ts)
     val bpos = filter(sequence(lit(1), n), i =>
       i === 1 ||
-        TextAnalysis.wordHash(element_at(col("ts"), i)) % ChunkMod === 0)
+        TextAnalysis.wordHash(element_at(ts, i)) % ChunkMod === 0)
     val nextb = concat(
       slice(bpos, lit(2), greatest(size(bpos) - 1, lit(0))), array(n + 1))
     docs
       .filter(length(trim(col("text"))) > 0)
-      .withColumn("ts", ts)
+      .withColumn("_graft_chunk_ts", words(col("text")))
       .select(col("*"), posexplode(zip_with(bpos, nextb, (a, b) =>
-        array_join(slice(col("ts"), a, b - a), " "))))
+        array_join(slice(ts, a, b - a), " "))))
       .withColumnRenamed("col", "chunk")
       .withColumn("chunk_hash", md5(col("chunk")))
-      .drop("ts")
+      .drop("_graft_chunk_ts")
   }
 
   // -------------------------------------------------------------- q100
@@ -219,7 +219,7 @@ object CorpusPrep {
     * chunk_hash, counted per source pair; `overlap_milli` scales the
     * shared count by the SMALLER source's distinct-chunk count (the
     * containment convention of q99 at source granularity). A chunk
-    * shared by k sources emits k(−1)/2 pairs — bounded by the source
+    * shared by k sources emits k(k−1)/2 pairs — bounded by the source
     * count squared, and sources are a curated enum (dozens to
     * hundreds), not data-scale; the chunk_hash exchange itself is
     * q83's. */
@@ -276,8 +276,13 @@ object CorpusPrep {
     * assembly. Documents are ranked per source by the q25 integer
     * quality score (tie-break doc_id), and a document is kept iff the
     * running token sum THROUGH it stays ≤ [[TokenBudget]] — a
-    * prefix-sum sieve, so one oversized high-quality document cannot
-    * lock out every smaller one behind it.
+    * prefix cutoff. The budget is honored STRICTLY: an oversized
+    * top-quality document exhausts its source's budget by itself
+    * (every later cumulative sum is larger still). The skip-and-
+    * continue variant is a sequential-dependent knapsack that no
+    * longer maps onto one window; a pipeline wanting it bounds
+    * document length upstream (q82's MaxTokens rule) before
+    * budgeting.
     *
     * Scale shape: the quality kernel is q25's per-row expressions at
     * scan speed; the sieve is ONE running-sum window per source key —

@@ -238,8 +238,27 @@ object TextAnalysis {
     * the post-round vocabulary — `(word, freq, seq)` with `seq` the
     * fully-merged wrapped symbol string. Both returned frames are
     * lineage-truncated (checkpointed winners / checkpointed final
-    * vocab), and every per-round cache is dropped before returning. */
+    * vocab), and every per-round cache is dropped before returning.
+    *
+    * Under the opt-in [[PipelineCache]] both frames are memoized per
+    * (session, dir) as `q95_bpe_merges/…` sub-pipelines: q95 OWNS the
+    * training (Bench invalidates it per measured run), q96 derives
+    * from the trained vocabulary — the q28→q29 write-once/read-many
+    * relationship a production tokenizer has with its consumers. */
   private[ops] def bpeRounds(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    var memo: Option[(DataFrame, DataFrame)] = None
+    def computed: (DataFrame, DataFrame) = memo.getOrElse {
+      val r = bpeRoundsUncached(s, dir); memo = Some(r); r
+    }
+    val m = PipelineCache.getOrPersist(s, dir, "q95_bpe_merges/table")(
+      computed._1)
+    val f = PipelineCache.getOrPersist(s, dir, "q95_bpe_merges/final_vocab")(
+      computed._2)
+    (m, f)
+  }
+
+  private def bpeRoundsUncached(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val vocab = Tables.documents(s, dir)
@@ -266,17 +285,29 @@ object TextAnalysis {
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var seq = seq0.persist(StorageLevel.MEMORY_AND_DISK)
     caches += seq
-    val merges = (1 to BpeRounds).map { r =>
-      val top1 = pairTop1(seq).localCheckpoint(true) // 1 row, eager
-      seq = seq.crossJoin(broadcast(top1))
-        .select(col("word"), col("freq"),
-          expr("replace(seq, concat('|', a, '||', b, '|'), " +
-            "concat('|', a, b, '|'))").as("seq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += seq
-      top1.select(lit(r.toLong).as("merge_round"),
+    val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeRounds && !exhausted) {
+      val top1 = pairTop1(seq).localCheckpoint(true) // ≤1 row, eager
+      merges += top1.select(lit(r.toLong).as("merge_round"),
         col("a").as("sym_a"), col("b").as("sym_b"), col("pair_count"),
         concat(col("a"), col("b")).as("new_sym"))
+      if (top1.isEmpty) {
+        // no adjacent pair anywhere: every word is one symbol. The
+        // vocabulary must SURVIVE (a crossJoin with the empty winner
+        // would wipe it and q96 would mis-charge every in-vocab word
+        // as OOV); later rounds can only be empty too, so stop.
+        exhausted = true
+      } else {
+        seq = seq.crossJoin(broadcast(top1))
+          .select(col("word"), col("freq"),
+            expr("replace(seq, concat('|', a, '||', b, '|'), " +
+              "concat('|', a, b, '|'))").as("seq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += seq
+      }
+      r += 1
     }
     val mergeTable = merges.reduce(_.union(_)).orderBy("merge_round")
     val finalSeq = seq.localCheckpoint(true)
@@ -450,8 +481,10 @@ object TextAnalysis {
          |t$r AS (SELECT a, b, pair_count FROM p$r
          |  ORDER BY pair_count DESC, a, b LIMIT 1),
          |s$r AS (SELECT word, freq,
-         |   replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq
-         |  FROM $prev CROSS JOIN t$r)""".stripMargin
+         |   CASE WHEN t.a IS NULL THEN seq
+         |        ELSE replace(seq, '|' || t.a || '||' || t.b || '|',
+         |                     '|' || t.a || t.b || '|') END AS seq
+         |  FROM $prev LEFT JOIN t$r t ON TRUE)""".stripMargin
     }
     s"""w AS (
        | SELECT word, count(*) AS freq FROM (

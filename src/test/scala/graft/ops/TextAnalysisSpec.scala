@@ -182,6 +182,13 @@ class TextAnalysisSpec extends SparkTestBase {
     // r5: every word is one symbol — no pairs left; the merge table
     // simply ends (rounds 5 and 6 emit nothing, no error)
     assert(got.length === 4)
+    // …and the trained vocabulary SURVIVES exhaustion: tokenizing with
+    // it charges each fully-merged word ONE token, not per-char OOV
+    // (the empty winner must not wipe the vocab frame)
+    val tok = TextAnalysis.bpeTokenize(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tok.toSeq === Seq((1L, 5L, 5L, 277L)),
+      "5 words, 1 BPE token each, 5000 div 18 chars")
   }
 
   test("q95 string-replace remap == greedy list merge over generated sequences") {
