@@ -246,6 +246,71 @@ object CorpusPrep {
       .orderBy("src_a", "src_b")
   }
 
+  // -------------------------------------------------------------- q101
+  /** Deterministic incoming-batch share (md5 bucket < 10 of 100). */
+  private[ops] val IncomingPct = 10L
+  /** Chunk-overlap keep bar: an incoming doc with ≥ this ‰ of its
+    * chunks already in the store is dropped. */
+  private[ops] val IncDupMilliMax = 500L
+
+  /** Incremental dedup (q101): the job a corpus pipeline actually runs
+    * every day — dedup the NEWLY ARRIVED batch against the existing
+    * store, not the whole corpus against itself. The harness carves a
+    * deterministic 10% "today" batch out of `documents` by md5 bucket
+    * (the q48 split machinery); each incoming doc is checked (a)
+    * exactly, content hash against the store's hashes — the q44
+    * backstop — and (b) at chunk granularity, the fraction of its CDC
+    * chunks already present in the store; kept iff not an exact dup
+    * and chunk overlap < [[IncDupMilliMax]]‰.
+    *
+    * The plan shape is the POINT, and it is the opposite of the
+    * global dedups: q44/q94 shuffle the whole corpus on content keys,
+    * while here the probe side (one day's crawl) is orders of
+    * magnitude smaller than the store — the joins hash on
+    * content/chunk keys with the small side broadcast-able, the store
+    * side streaming through at scan speed, and nothing global is
+    * re-sorted or re-clustered. At petabyte store sizes the
+    * chunk-hash membership join is the one a bucketed store answers
+    * by co-located lookup (or a q85-style bloom pre-filter — compose
+    * `Pruning.bloomFilterAgg` over the store's chunk hashes when the
+    * store side cannot be joined directly). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket",
+        TextAnalysis.wordHash(col("doc_id").cast("string")) % 100)
+    val incoming = docs.filter(col("bucket") < IncomingPct)
+      .select("doc_id", "text")
+    val store = docs.filter(col("bucket") >= IncomingPct)
+    val storeContent = store.select(md5(col("text")).as("content_hash"))
+      .distinct()
+    val exact = incoming
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(storeContent.withColumn("hit", lit(1L)),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
+    val incChunks = chunkExplode(incoming)
+      .select("doc_id", "chunk_hash").distinct()
+    val storeChunks = chunkExplode(store.select(col("text")))
+      .select("chunk_hash").distinct()
+    val overlap = incChunks
+      .join(storeChunks.withColumn("hit", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_store_dup"))
+      .withColumn("dup_milli", expr("n_store_dup * 1000 div n_chunks"))
+    incoming.select("doc_id")
+      .join(exact, Seq("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_store_dup"), lit(0L)).as("n_store_dup"),
+        coalesce(col("dup_milli"), lit(0L)).as("dup_milli"))
+      .withColumn("keep",
+        (col("exact_dup") === 0 &&
+          col("dup_milli") < IncDupMilliMax).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- q84
   /** Deterministic per-source sample: the k docs with the smallest
     * md5(doc_id) per source — an unbiased, reproducible "random"
@@ -307,7 +372,8 @@ object CorpusPrep {
     "q84_source_sample" -> (perSourceSample _),
     "q94_paragraph_dedup" -> (paragraphDedup _),
     "q97_token_budget" -> (tokenBudgetCurate _),
-    "q100_source_overlap" -> (sourceOverlap _)
+    "q100_source_overlap" -> (sourceOverlap _),
+    "q101_incremental_dedup" -> (incrementalDedup _)
   )
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
@@ -407,6 +473,56 @@ object CorpusPrep {
          | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
          |   ORDER BY pos), '') AS clean_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_incremental_dedup" ->
+      s"""WITH d AS (
+         | SELECT doc_id, text,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 100 AS bucket
+         | FROM documents),
+         |inc AS (SELECT doc_id, text FROM d WHERE bucket < $IncomingPct),
+         |store AS (SELECT doc_id, text FROM d WHERE bucket >= $IncomingPct),
+         |sc AS (SELECT DISTINCT md5(text) AS content_hash FROM store),
+         |ex AS (SELECT doc_id,
+         |  CASE WHEN md5(text) IN (SELECT content_hash FROM sc)
+         |       THEN 1 ELSE 0 END AS exact_dup FROM inc),
+         |itok AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+         | FROM inc WHERE len(trim(text)) > 0),
+         |ib AS (SELECT doc_id, ts,
+         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
+         |      % $ChunkMod = 0) AS bpos
+         | FROM itok),
+         |ic AS (SELECT DISTINCT doc_id, md5(array_to_string(
+         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
+         |    ' ')) AS chunk_hash
+         | FROM ib, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+         |stok AS (SELECT text,
+         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+         | FROM store WHERE len(trim(text)) > 0),
+         |sb AS (SELECT ts,
+         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
+         |      % $ChunkMod = 0) AS bpos
+         | FROM stok),
+         |stc AS (SELECT DISTINCT md5(array_to_string(
+         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
+         |    ' ')) AS chunk_hash
+         | FROM sb, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+         |ov AS (SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM stc)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_store_dup
+         | FROM ic GROUP BY doc_id)
+         |SELECT inc.doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+         | coalesce(n_chunks, 0) AS n_chunks,
+         | coalesce(n_store_dup, 0) AS n_store_dup,
+         | coalesce(n_store_dup * 1000 // n_chunks, 0) AS dup_milli,
+         | CAST(exact_dup = 0 AND
+         |   coalesce(n_store_dup * 1000 // n_chunks, 0) < $IncDupMilliMax
+         |   AS BIGINT) AS keep
+         |FROM inc JOIN ex ON ex.doc_id = inc.doc_id
+         |LEFT JOIN ov ON ov.doc_id = inc.doc_id
+         |ORDER BY inc.doc_id""".stripMargin,
     "q100_source_overlap" ->
       s"""WITH tok AS (
          | SELECT source,

@@ -206,6 +206,41 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got.exists(r => r._1 == "srcA" && r._2 == "srcB" && r._3 > 0))
   }
 
+  test("q101 incremental dedup: exact and chunk-overlap drops, fresh docs keep") {
+    // ids picked so md5-bucket(doc_id) < 10 ⇒ incoming {2, 9, 10},
+    // ≥ 10 ⇒ store {1, 3} (verified below against the same hash)
+    val stored = "the quick brown fox jumps over a lazy dog near the key " +
+      "value store and the wide table scan path"
+    val other = "some entirely distinct stored passage living in the store " +
+      "with its own words"
+    val fresh = "fresh unique incoming words never repeated anywhere else " +
+      "in any stored document"
+    val fx = Seq(
+      (1L, stored, "store"), (3L, other, "store"),
+      (2L, stored, "inc-exact"), // exact copy of a stored doc
+      (9L, stored + " " + fresh, "inc-part"), // shares stored chunks
+      (10L, fresh, "inc-fresh"))
+    def b(i: Long) = java.lang.Long.parseLong(md5Hex(i.toString).take(8), 16) % 100
+    assert(fx.collect { case (id, _, s) if s.startsWith("inc") => id }
+      .forall(b(_) < CorpusPrep.IncomingPct))
+    assert(Seq(1L, 3L).forall(b(_) >= CorpusPrep.IncomingPct))
+    val d = tmpDir("incdedup")
+    fx.map { case (id, t, tag) => (id, t, "en", tag, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = CorpusPrep.incrementalDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === Set(2L, 9L, 10L), "only incoming docs emit")
+    assert(got(2L)._1 === 1L && got(2L)._3 === 0L,
+      "exact copy of a stored doc is flagged and dropped")
+    assert(got(10L) === ((0L, 0L, 1L)),
+      "a fresh doc shares nothing and is kept")
+    val (ex9, dup9, _) = got(9L)
+    assert(ex9 === 0L && dup9 > 0L && dup9 < 1000L,
+      s"partial-overlap doc scores strictly between (got $dup9)")
+  }
+
   test("q84 sample is deterministic with ≤ k rows per source") {
     val sf = "/root/testdata/sf0.001"
     val a = CorpusPrep.perSourceSample(spark, sf).collect()
