@@ -258,10 +258,14 @@ object CorpusPrep {
     * store, not the whole corpus against itself. The harness carves a
     * deterministic 10% "today" batch out of `documents` by md5 bucket
     * (the q48 split machinery); each incoming doc is checked (a)
-    * exactly, content hash against the store's hashes — the q44
-    * backstop — and (b) at chunk granularity, the fraction of its CDC
-    * chunks already present in the store; kept iff not an exact dup
-    * and chunk overlap < [[IncDupMilliMax]]‰.
+    * exactly — content hash against the store's hashes AND against
+    * earlier docs in the same batch (keep-min on doc_id, q44's
+    * convention; without the intra-batch clause two copies of a page
+    * crawled twice today would both pass) — and (b) at chunk
+    * granularity, the fraction of its CDC chunks already present in
+    * the store; kept iff not an exact dup and chunk overlap <
+    * [[IncDupMilliMax]]‰. (Within-batch CHUNK-level dedup is q94 run
+    * over the batch — a different output contract.)
     *
     * The plan shape is the POINT, and it is the opposite of the
     * global dedups: q44/q94 shuffle the whole corpus on content keys,
@@ -276,18 +280,25 @@ object CorpusPrep {
     * store side cannot be joined directly). */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .withColumn("bucket",
-        TextAnalysis.wordHash(col("doc_id").cast("string")) % 100)
+      .withColumn("bucket", Det.h8(col("doc_id").cast("string")) % 100)
     val incoming = docs.filter(col("bucket") < IncomingPct)
       .select("doc_id", "text")
     val store = docs.filter(col("bucket") >= IncomingPct)
     val storeContent = store.select(md5(col("text")).as("content_hash"))
       .distinct()
+    // exact: in the store, OR a later copy WITHIN the batch (keep-min
+    // on doc_id, q44's convention) — without the second clause, two
+    // copies of a page crawled twice today would both pass and the
+    // duplication q44 prevents would re-enter via the daily path
+    val wBatch = Window.partitionBy("content_hash").orderBy(col("doc_id").asc)
     val exact = incoming
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("batch_rn", row_number().over(wBatch))
       .join(storeContent.withColumn("hit", lit(1L)),
         Seq("content_hash"), "left")
-      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
+      .select(col("doc_id"),
+        (coalesce(col("hit"), lit(0L)) === 1L || col("batch_rn") > 1)
+          .cast("long").as("exact_dup"))
     val incChunks = chunkExplode(incoming)
       .select("doc_id", "chunk_hash").distinct()
     val storeChunks = chunkExplode(store.select(col("text")))
@@ -298,8 +309,9 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("hit"), lit(0L))).as("n_store_dup"))
       .withColumn("dup_milli", expr("n_store_dup * 1000 div n_chunks"))
-    incoming.select("doc_id")
-      .join(exact, Seq("doc_id"))
+    // exact already carries one row per incoming doc — no join back
+    // onto the incoming frame needed
+    exact
       .join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_dup"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -378,6 +390,30 @@ object CorpusPrep {
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
+  /** The CDC chunk CTE chain over `from` (which must expose `text`):
+    * emits `${p}tok` / `${p}b` / `${p}ch`, where `${p}ch` carries the
+    * `keep` columns + 1-based `pos` + the chunk text. The SQL mirror
+    * of [[chunkExplode]] — ONE definition of the boundary rule for
+    * every oracle that chunks (q83/q94/q100/q101); a per-oracle copy
+    * that drifted would silently break engine equivalence. */
+  private def chunkCtesSql(from: String, keep: Seq[String],
+      p: String = ""): String = {
+    val k = keep.map(_ + ", ").mkString
+    s"""${p}tok AS (
+       | SELECT ${k}string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+       | FROM $from WHERE len(trim(text)) > 0),
+       |${p}b AS (
+       | SELECT ${k}ts,
+       |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+       |    ${Det.h8Sql("ts[i]")} % $ChunkMod = 0) AS bpos
+       | FROM ${p}tok),
+       |${p}ch AS (
+       | SELECT ${k}j AS pos, array_to_string(
+       |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
+       |    ' ') AS chunk
+       | FROM ${p}b, UNNEST(generate_series(1, len(bpos))) AS t(j))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q82_quality_rules" ->
       s"""WITH tok AS (
@@ -421,21 +457,8 @@ object CorpusPrep {
          | CAST(sum(v_maxrun) AS BIGINT) AS v_maxrun
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     "q83_cdc_chunk_dedup" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, source,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
-         | FROM documents WHERE len(trim(text)) > 0),
-         |b AS (
-         | SELECT doc_id, source, ts,
-         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
-         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
-         |      % $ChunkMod = 0) AS bpos
-         | FROM tok),
-         |chunks AS (
-         | SELECT source, md5(array_to_string(
-         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
-         |    ' ')) AS chunk_hash
-         | FROM b, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+      s"""WITH ${chunkCtesSql("documents", Seq("source"))},
+         |chunks AS (SELECT source, md5(chunk) AS chunk_hash FROM ch),
          |counts AS (
          | SELECT chunk_hash, count(*) AS cnt FROM chunks GROUP BY 1)
          |SELECT source,
@@ -448,26 +471,12 @@ object CorpusPrep {
          |FROM chunks c JOIN counts USING (chunk_hash)
          |GROUP BY source ORDER BY source""".stripMargin,
     "q94_paragraph_dedup" ->
-      s"""WITH tok AS (
-         | SELECT doc_id,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
-         | FROM documents WHERE len(trim(text)) > 0),
-         |b AS (
-         | SELECT doc_id, ts,
-         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
-         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
-         |      % $ChunkMod = 0) AS bpos
-         | FROM tok),
-         |chunks AS (
-         | SELECT doc_id, j AS pos, array_to_string(
-         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
-         |    ' ') AS chunk
-         | FROM b, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+      s"""WITH ${chunkCtesSql("documents", Seq("doc_id"))},
          |r AS (
          | SELECT doc_id, pos, chunk,
          |  row_number() OVER (PARTITION BY md5(chunk)
          |    ORDER BY doc_id, pos) AS rn
-         | FROM chunks)
+         | FROM ch)
          |SELECT doc_id, count(*) AS n_chunks,
          | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
@@ -476,69 +485,36 @@ object CorpusPrep {
     "q101_incremental_dedup" ->
       s"""WITH d AS (
          | SELECT doc_id, text,
-         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-         |    AS BIGINT) % 100 AS bucket
+         |  ${Det.h8Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          | FROM documents),
          |inc AS (SELECT doc_id, text FROM d WHERE bucket < $IncomingPct),
          |store AS (SELECT doc_id, text FROM d WHERE bucket >= $IncomingPct),
          |sc AS (SELECT DISTINCT md5(text) AS content_hash FROM store),
          |ex AS (SELECT doc_id,
          |  CASE WHEN md5(text) IN (SELECT content_hash FROM sc)
+         |        OR row_number() OVER (PARTITION BY md5(text)
+         |             ORDER BY doc_id) > 1
          |       THEN 1 ELSE 0 END AS exact_dup FROM inc),
-         |itok AS (SELECT doc_id,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
-         | FROM inc WHERE len(trim(text)) > 0),
-         |ib AS (SELECT doc_id, ts,
-         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
-         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
-         |      % $ChunkMod = 0) AS bpos
-         | FROM itok),
-         |ic AS (SELECT DISTINCT doc_id, md5(array_to_string(
-         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
-         |    ' ')) AS chunk_hash
-         | FROM ib, UNNEST(generate_series(1, len(bpos))) AS t(j)),
-         |stok AS (SELECT text,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
-         | FROM store WHERE len(trim(text)) > 0),
-         |sb AS (SELECT ts,
-         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
-         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
-         |      % $ChunkMod = 0) AS bpos
-         | FROM stok),
-         |stc AS (SELECT DISTINCT md5(array_to_string(
-         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
-         |    ' ')) AS chunk_hash
-         | FROM sb, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+         |${chunkCtesSql("inc", Seq("doc_id"), "i")},
+         |ic AS (SELECT DISTINCT doc_id, md5(chunk) AS chunk_hash FROM ich),
+         |${chunkCtesSql("store", Seq(), "s")},
+         |stc AS (SELECT DISTINCT md5(chunk) AS chunk_hash FROM sch),
          |ov AS (SELECT doc_id, count(*) AS n_chunks,
          |  CAST(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM stc)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_store_dup
          | FROM ic GROUP BY doc_id)
-         |SELECT inc.doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+         |SELECT ex.doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
          | coalesce(n_chunks, 0) AS n_chunks,
          | coalesce(n_store_dup, 0) AS n_store_dup,
          | coalesce(n_store_dup * 1000 // n_chunks, 0) AS dup_milli,
          | CAST(exact_dup = 0 AND
          |   coalesce(n_store_dup * 1000 // n_chunks, 0) < $IncDupMilliMax
          |   AS BIGINT) AS keep
-         |FROM inc JOIN ex ON ex.doc_id = inc.doc_id
-         |LEFT JOIN ov ON ov.doc_id = inc.doc_id
-         |ORDER BY inc.doc_id""".stripMargin,
+         |FROM ex LEFT JOIN ov ON ov.doc_id = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
     "q100_source_overlap" ->
-      s"""WITH tok AS (
-         | SELECT source,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts
-         | FROM documents WHERE len(trim(text)) > 0),
-         |b AS (
-         | SELECT source, ts,
-         |  list_filter(generate_series(1, len(ts)), i -> i = 1 OR
-         |    CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT)
-         |      % $ChunkMod = 0) AS bpos
-         | FROM tok),
-         |hs AS (
-         | SELECT DISTINCT source, md5(array_to_string(
-         |    ts[bpos[j] : coalesce(bpos[j+1], len(ts) + 1) - 1],
-         |    ' ')) AS chunk_hash
-         | FROM b, UNNEST(generate_series(1, len(bpos))) AS t(j)),
+      s"""WITH ${chunkCtesSql("documents", Seq("source"))},
+         |hs AS (SELECT DISTINCT source, md5(chunk) AS chunk_hash FROM ch),
          |per_src AS (SELECT source, count(*) AS n_chunks FROM hs GROUP BY 1),
          |shared AS (
          | SELECT x.source AS src_a, y.source AS src_b,

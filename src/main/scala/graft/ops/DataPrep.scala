@@ -24,10 +24,8 @@ object DataPrep {
 
   private def words(c: Column): Column = Det.words(c)
 
-  /** First-8-hex-digits-of-md5 as BIGINT — the cross-engine hash
-    * (see TextAnalysis.wordHash). */
-  private def h8(c: Column): Column =
-    graft.functions.ArrayFunctions.md5Prefix(c, 8)
+  /** The cross-engine hash — one definition in [[Det.h8]]. */
+  private def h8(c: Column): Column = Det.h8(c)
 
   /** Integer per-mille: (num * 1000) div den, 0 when den = 0. Both
     * operands are non-negative longs ≤ ~1e9·1000, exact in a double,
@@ -369,8 +367,7 @@ object DataPrep {
     "q55_sequence_pack" -> (sequencePack _)
   )
 
-  private def h8Sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+  private def h8Sql(e: String): String = Det.h8Sql(e)
 
   val oracles: Map[String, String] = Map(
     "q47_repetition_stats" ->

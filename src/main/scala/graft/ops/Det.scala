@@ -52,6 +52,16 @@ object Det {
   def wordsSql(e: String): String =
     s"string_split_regex(trim($e), '$WsClass+')"
 
+  /** THE cross-engine 32-bit hash: first 8 hex digits of md5 as a
+    * BIGINT. One definition for every module that buckets, splits,
+    * samples or fingerprints by hash — a drift in any per-module copy
+    * would silently desynchronize the engines' bucket assignment. */
+  def h8(c: Column): Column = graft.functions.ArrayFunctions.md5Prefix(c, 8)
+
+  /** [[h8]] as a DuckDB SQL fragment over an expression string. */
+  def h8Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
   /** Per-row money→integer-cents; sum(cents(x)) is exact + order-free. */
   def cents(c: Column): Column = round(c * lit(100))
 

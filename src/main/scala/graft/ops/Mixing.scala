@@ -43,8 +43,7 @@ object Mixing {
 
   val OrdBuckets = 1024L
 
-  private def h8(c: Column): Column =
-    graft.functions.ArrayFunctions.md5Prefix(c, 8)
+  private def h8(c: Column): Column = Det.h8(c)
 
   def mixture(s: SparkSession, dir: String): DataFrame = {
     val weight = MixWeights.foldLeft(lit(0L)) { case (acc, (src, w)) =>

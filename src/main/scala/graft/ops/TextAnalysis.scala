@@ -98,8 +98,7 @@ object TextAnalysis {
     * engines compute identically — determinism beats speed in the
     * differential harness, and the same structure works with any
     * per-engine hash in production. */
-  def wordHash(c: Column): Column =
-    graft.functions.ArrayFunctions.md5Prefix(c, 8)
+  def wordHash(c: Column): Column = Det.h8(c)
 
   private val FpMod = 1000000007L
   private val HashMod = 1000003L

@@ -137,8 +137,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // source-pair agg + the two per-source-count joins
     "q100_source_overlap" -> 5,
     // q101: store content/chunk distincts + the two membership joins
-    // + incoming doc_id agg; probe side is the small batch throughout
-    "q101_incremental_dedup" -> 5,
+    // + incoming doc_id agg + the intra-batch keep-min window (one
+    // content_hash exchange over the SMALL side); probe side is the
+    // small batch throughout
+    "q101_incremental_dedup" -> 6,
     // merge rounds run eagerly (q87 pattern); declared plan = union of
     // BpeRounds one-row checkpoint leaves + presentation sort
     "q95_bpe_merges" -> 1

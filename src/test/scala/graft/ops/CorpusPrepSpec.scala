@@ -219,7 +219,8 @@ class CorpusPrepSpec extends SparkTestBase {
       (1L, stored, "store"), (3L, other, "store"),
       (2L, stored, "inc-exact"), // exact copy of a stored doc
       (9L, stored + " " + fresh, "inc-part"), // shares stored chunks
-      (10L, fresh, "inc-fresh"))
+      (10L, fresh, "inc-fresh"),
+      (44L, fresh, "inc-batchdup")) // same-batch copy of doc 10
     def b(i: Long) = java.lang.Long.parseLong(md5Hex(i.toString).take(8), 16) % 100
     assert(fx.collect { case (id, _, s) if s.startsWith("inc") => id }
       .forall(b(_) < CorpusPrep.IncomingPct))
@@ -231,7 +232,7 @@ class CorpusPrepSpec extends SparkTestBase {
     val got = CorpusPrep.incrementalDedup(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
       .toMap
-    assert(got.keySet === Set(2L, 9L, 10L), "only incoming docs emit")
+    assert(got.keySet === Set(2L, 9L, 10L, 44L), "only incoming docs emit")
     assert(got(2L)._1 === 1L && got(2L)._3 === 0L,
       "exact copy of a stored doc is flagged and dropped")
     assert(got(10L) === ((0L, 0L, 1L)),
@@ -239,6 +240,11 @@ class CorpusPrepSpec extends SparkTestBase {
     val (ex9, dup9, _) = got(9L)
     assert(ex9 === 0L && dup9 > 0L && dup9 < 1000L,
       s"partial-overlap doc scores strictly between (got $dup9)")
+    // doc 44 duplicates doc 10 WITHIN the batch: invisible to the
+    // store checks (fresh content, dup_milli 0) but caught by the
+    // intra-batch keep-min rule — the first copy (10) keeps
+    assert(got(44L) === ((1L, 0L, 0L)),
+      "a same-batch later copy is flagged exact and dropped")
   }
 
   test("q84 sample is deterministic with ≤ k rows per source") {
