@@ -154,6 +154,15 @@ object Dedup {
     * joined back after candidate generation — because its shuffle is
     * a self-join over all N, not per-bucket state. */
   private[graft] def bandRows(docs: DataFrame, extra: Seq[String]): DataFrame = {
+    // fail fast on collisions with internal/output names — silently
+    // shadowing a streaming event-time column would strip the
+    // watermark the stateful consumer depends on (the chunkExplode
+    // rationale, applied to this projection's column space)
+    val reserved = Seq("ws", "s", "hs", "n", "sig", "bk", "band", "key")
+    val clash = extra.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"bandRows reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename the passthrough column(s)")
     val ex = extra.map(col)
     val withSets = docs
       .select(col("doc_id") +: wordsCol(col("text")).as("ws") +: ex: _*)

@@ -12,24 +12,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ops" surface.
   *
   * A session is a maximal run of state vectors for one `icao24` with
-  * no gap exceeding `gapMinutes` between consecutive event times. A
-  * session closes two ways:
-  *   - by data: a later record for the same key arrives beyond the gap
-  *     (emitted immediately in that micro-batch), or
-  *   - by timeout: the event-time watermark passes `end + gap`
-  *     (EventTimeTimeout), covering keys that simply stop reporting.
+  * no gap exceeding `gapMinutes` between consecutive event times.
+  * State per key is the set of OPEN sessions (start/end/count — never
+  * buffered rows): an arriving record merges into any open session
+  * within the gap on EITHER side, bridging two sessions when it lands
+  * between them — so out-of-order arrivals ACROSS micro-batches (the
+  * rows a watermark exists to admit) land exactly where the batch
+  * mirror puts them. A session is emitted only when the watermark
+  * passes `end + gap` — the point after which no admissible row can
+  * extend or bridge it (earlier "emit the moment a later row closes
+  * the gap" semantics were UNSOUND under reordering: an in-horizon
+  * straggler could still arrive and merge the two sessions the
+  * emission had already split).
   *
-  * Scale shape: state is O(1) per active key (start/end/count of the
-  * OPEN session only — never buffered rows), keys shard across
-  * executors by groupByKey hash, and the within-batch sort is over one
-  * key's batch slice, not the partition. This is the pattern for any
-  * "session with custom close rule" Spark's built-in
-  * `session_window` can't express (e.g. emit-on-close with counts).
+  * Scale shape: state is O(open sessions) per key, bounded by
+  * watermark-horizon / gap (a few entries; one for in-order keys);
+  * keys shard across executors by groupByKey hash; the within-batch
+  * sort is over one key's batch slice, not the partition. This is the
+  * pattern for any "session with custom merge/close rule" Spark's
+  * built-in `session_window` can't express.
   */
 object FlightSessions {
 
   final case class StateRow(icao24: String, ts: Timestamp)
   final case class OpenSession(start: Timestamp, end: Timestamp, n: Long)
+  final case class OpenSessions(sessions: List[OpenSession])
   final case class FlightSession(icao24: String, session_start: Timestamp,
       session_end: Timestamp, n_states: Long)
 
@@ -46,37 +53,34 @@ object FlightSessions {
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     def fn(key: String, rows: Iterator[StateRow],
-        state: GroupState[OpenSession]): Iterator[FlightSession] = {
-      val out = Seq.newBuilder[FlightSession]
-      if (state.hasTimedOut) {
-        state.getOption.foreach(o =>
-          out += FlightSession(key, o.start, o.end, o.n))
-        state.remove()
-      } else {
+        state: GroupState[OpenSessions]): Iterator[FlightSession] = {
+      var sess: List[OpenSession] =
+        state.getOption.map(_.sessions).getOrElse(Nil)
+      if (!state.hasTimedOut) {
         // micro-batch slice for this key, event-time order
-        val sorted = rows.toArray.sortBy(r => us(r.ts))
-        var cur = state.getOption
-        sorted.foreach { r =>
-          cur match {
-            case Some(o) if us(r.ts) - us(o.end) > gapUs =>
-              out += FlightSession(key, o.start, o.end, o.n)
-              cur = Some(OpenSession(r.ts, r.ts, 1L))
-            case Some(o) =>
-              cur = Some(OpenSession(o.start,
-                if (us(r.ts) > us(o.end)) r.ts else o.end, o.n + 1L))
-            case None =>
-              cur = Some(OpenSession(r.ts, r.ts, 1L))
-          }
-        }
-        cur.foreach { o =>
-          state.update(o)
-          // timeout API is millis; +1 ms rounds UP so the timeout can
-          // never fire before the true microsecond-precision gap expiry
-          // (firing late is safe — close-by-data still wins)
-          state.setTimeoutTimestamp(o.end.getTime + gapMs + 1L)
+        rows.toArray.sortBy(r => us(r.ts)).foreach { r =>
+          // sessions reachable from r within the gap (≤ 2 of them:
+          // open sessions are pairwise > gap apart by construction)
+          val (near, far) = sess.partition(o =>
+            us(r.ts) >= us(o.start) - gapUs && us(r.ts) <= us(o.end) + gapUs)
+          val all = r.ts :: near.map(_.start) ::: near.map(_.end)
+          sess = OpenSession(all.minBy(us), all.maxBy(us),
+            near.map(_.n).sum + 1L) :: far
         }
       }
-      out.result().iterator
+      // emit exactly the sessions the watermark has SEALED: once
+      // wm ≥ end + gap (+1 ms guards sub-millisecond event times —
+      // the timeout API is millis), no admissible row can merge in
+      val wm = state.getCurrentWatermarkMs()
+      val (sealed_, open) =
+        sess.partition(o => o.end.getTime + gapMs + 1L <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.end.getTime + gapMs + 1L).min)
+      }
+      sealed_.sortBy(o => us(o.start))
+        .map(o => FlightSession(key, o.start, o.end, o.n)).iterator
     }
 
     clean
@@ -85,7 +89,7 @@ object FlightSessions {
       .as[StateRow]
       .withWatermark("ts", watermark)
       .groupByKey(_.icao24)
-      .flatMapGroupsWithState[OpenSession, FlightSession](
+      .flatMapGroupsWithState[OpenSessions, FlightSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 

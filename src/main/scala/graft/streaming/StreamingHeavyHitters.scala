@@ -33,13 +33,15 @@ import org.apache.spark.sql.functions._
 object StreamingHeavyHitters {
 
   /** Exact per-window hot keys: count per (window, key) ≥ `minCount`,
-    * emitted once per closed window. */
-  def hotKeys(events: DataFrame, eventTimeCol: String, keyCol: String,
+    * emitted once per closed window. `keyCol` is a Column (like
+    * [[windowSketch]]'s) so escalating between the two surfaces — or
+    * keying on an expression — changes no call shape. */
+  def hotKeys(events: DataFrame, eventTimeCol: String, keyCol: Column,
       windowLen: String, watermark: String, minCount: Long): DataFrame =
     events
       .withWatermark(eventTimeCol, watermark)
       .groupBy(window(col(eventTimeCol), windowLen).as("w"),
-        col(keyCol).as("key"))
+        keyCol.as("key"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("w.start").as("window_start"), col("key"), col("cnt"))

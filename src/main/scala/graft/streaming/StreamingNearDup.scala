@@ -88,7 +88,14 @@ object StreamingNearDup {
                       math.max(o.docId, nd.docId), j, band)
                 }
               }
-              if (cur.size < maxBucketDocs) cur = cur :+ nd
+              // one slot per RESIDENT doc id: a re-delivered doc (the
+              // duplicate firehose this module exists for) refreshes
+              // its timestamp instead of occupying a second cap slot
+              // and double-emitting every future hit in this bucket
+              cur.indexWhere(_.docId == nd.docId) match {
+                case -1 => if (cur.size < maxBucketDocs) cur = cur :+ nd
+                case i => cur = cur.updated(i, nd)
+              }
             }
             state.update(cur)
             // Clamp above the current watermark: an at-cap bucket never

@@ -46,6 +46,55 @@ class FlightSessionsSpec extends SparkTestBase {
       "a data-closed session was not emitted by the stream")
   }
 
+  test("out-of-order arrivals extend, separate and BRIDGE sessions like the batch mirror") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // per-batch files (pinned mtimes): 10:00 opens; then 09:55 extends
+    // the session BACKWARD and 09:10 starts a separate earlier one;
+    // 10:50 splits off a new session (50 min > gap); 10:25 then
+    // BRIDGES the two into [09:55, 10:50]; the 13:00 row on another
+    // key advances the watermark to 12:00 and seals everything of a's
+    val batches = Seq(
+      Seq(("a", ts("2026-01-01 10:00:00"))),
+      Seq(("a", ts("2026-01-01 09:55:00")), ("a", ts("2026-01-01 09:10:00"))),
+      Seq(("a", ts("2026-01-01 10:50:00"))),
+      Seq(("a", ts("2026-01-01 10:25:00"))),
+      Seq(("z", ts("2026-01-01 13:00:00"))))
+    val d = tmpDir("sess-ooo-in")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("icao24", "time_position")
+        .coalesce(1).write.parquet(s"$d/b$i.parquet")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d, s"b$i.parquet"))
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !java.nio.file.Files.isDirectory(p))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)))
+    }
+    val schema = spark.read.parquet(s"$d/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/*.parquet")
+    val q = FlightSessions.sessionsStream(stream).toDF().writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("sess-ooo-ckpt"))
+      .format("memory").queryName("sessions_ooo").outputMode("append")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessions_ooo")
+      .filter(col("icao24") === "a")
+      .collect().map(r => (r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    // exactly the batch mirror's sessions for key a — the straggler
+    // bridged, the backward extension landed, the early row separated
+    val want = FlightSessions.sessionsBatch(
+      batches.flatten.filter(_._1 == "a").toDF("icao24", "time_position"))
+      .collect().map(r => (r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(got === want, s"stream $got != batch $want")
+    assert(got === Set(
+      ("2026-01-01 09:10:00.0", "2026-01-01 09:10:00.0", 1L),
+      ("2026-01-01 09:55:00.0", "2026-01-01 10:50:00.0", 4L)))
+  }
+
   test("built-in session_window form ≡ lag-formulation on fixture data") {
     val clean = spark.read.parquet(cleanDir)
     val key = Seq("icao24", "session_start", "session_end", "n_states")

@@ -47,7 +47,7 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
   private val closedStart = ts("2026-01-01 10:00:00")
 
   test("closed-window hot keys equal the batch counts of the same rows") {
-    val q = StreamingHeavyHitters.hotKeys(stream(), "arrival", "key",
+    val q = StreamingHeavyHitters.hotKeys(stream(), "arrival", col("key"),
       "5 minutes", "1 minute", minCount = 2L)
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("shh-ckpt"))

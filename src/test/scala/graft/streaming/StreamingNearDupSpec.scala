@@ -119,4 +119,42 @@ class StreamingNearDupSpec extends SparkTestBase {
       .select("doc_a", "doc_b", "j_milli").distinct().count()
     assert(deduped === 1L, "one distinct row after the documented dedup step")
   }
+
+  test("a re-delivered doc refreshes its cap slot instead of consuming a second") {
+    // cap = 2: doc 20 arrives twice (the duplicate firehose), then doc
+    // 21 (near-dup of 20). With one-slot-per-resident, 21 takes the
+    // SECOND slot and pairs with 20 exactly once per band; if the
+    // re-delivery had occupied it, 21 could never enter the bucket and
+    // the pair would be lost entirely.
+    val d = tmpDir("sneardup-slot-in")
+    Seq((20L, base, ts("2026-01-01 10:00:00")))
+      .toDF("doc_id", "text", "arrival").coalesce(1).write.parquet(s"$d/b1.parquet")
+    Seq((20L, base, ts("2026-01-01 10:00:05")))
+      .toDF("doc_id", "text", "arrival").coalesce(1).write.parquet(s"$d/b2.parquet")
+    Seq((21L, variant, ts("2026-01-01 10:00:10")))
+      .toDF("doc_id", "text", "arrival").coalesce(1).write.parquet(s"$d/b3.parquet")
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (b, i) =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d, s"$b.parquet"))
+        .filter(p => p.toString.endsWith(".parquet") && !java.nio.file.Files.isDirectory(p))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1200000000000L + i * 60000L)))
+    }
+    val schema = spark.read.parquet(s"$d/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/*.parquet")
+    val q = StreamingNearDup.minhashPairsStream(stream, "arrival",
+        horizonMinutes = 10, maxBucketDocs = 2)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("sneardup-slot-ckpt"))
+      .format("memory").queryName("sneardup_slot").outputMode("append")
+      .start()
+    q.awaitTermination()
+    val pairs = spark.table("sneardup_slot")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((20L, 21L)),
+      "the near-dup pair must survive a duplicate re-delivery at cap")
+    // and never more than once per band for the pair
+    assert(spark.table("sneardup_slot").count() <= graft.ops.Dedup.Bands)
+  }
 }
