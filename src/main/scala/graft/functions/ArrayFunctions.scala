@@ -89,5 +89,6 @@ object ArrayFunctions {
   def hyperplaneBuckets(q: Column, planes: Array[Long], tables: Int,
       planesPerTable: Int, dim: Int): Column =
     GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(q),
-      planes, tables, planesPerTable, dim))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(planes),
+      tables, planesPerTable, dim))
 }

@@ -69,17 +69,11 @@ case class BloomAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CountMinAgg.serLongs(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    CountMinAgg.deLongs(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -75,17 +75,11 @@ case class CountMinAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CountMinAgg.serLongs(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    CountMinAgg.deLongs(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -122,4 +116,18 @@ object CountMinAgg {
   def requireNonNegative(x: Long, who: String): Unit =
     if (x < 0L) throw new IllegalArgumentException(
       s"$who requires a non-negative key, got $x")
+
+  /** Long-array agg-buffer serde shared by [[CountMinAgg]] and
+    * [[BloomAgg]] — one definition to keep in sync. */
+  def serLongs(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  def deLongs(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
 }

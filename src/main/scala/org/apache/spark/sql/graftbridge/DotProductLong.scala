@@ -28,7 +28,15 @@ case class DotProductLong(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var i = 0; var acc = 0L
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      // a null component read as 0 would yield a concrete wrong score
+      // where the builtin zip_with/aggregate form yields NULL — fail
+      // loudly instead (callers guarantee quantized non-null vectors)
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          "dot_product_long: null vector component")
+      acc += x.getLong(i) * y.getLong(i); i += 1
+    }
     acc
   }
 
@@ -40,6 +48,10 @@ case class DotProductLong(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "dot_product_long: null vector component");
+         |  }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

@@ -22,9 +22,14 @@ object GraftBridge {
     * use to re-enter the public Dataset API. */
   def ofRows(s: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : org.apache.spark.sql.DataFrame =
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+      : org.apache.spark.sql.DataFrame = s match {
+    case classic: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+    case other => throw new IllegalArgumentException(
+      "GraftBridge.ofRows needs a classic (JVM-local) SparkSession to " +
+        s"build a DataFrame from a LogicalPlan; got ${other.getClass.getName}" +
+        " — Spark Connect sessions cannot host custom plan nodes")
+  }
 
   /** Block until the Spark listener bus has drained (`listenerBus` is
     * `private[spark]`). QueryExecutionListeners — LshSkew's skew

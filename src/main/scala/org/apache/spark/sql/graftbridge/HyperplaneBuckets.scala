@@ -19,14 +19,23 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   */
 case class HyperplaneBuckets(
     child: Expression,
-    planes: Array[Long],
+    planes: Seq[Long], // Seq, not Array: structural equality keeps
+    // semanticEquals / exchange reuse / CSE working on this expression
     tables: Int,
     planesPerTable: Int,
     dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  require(tables > 0 && dim > 0, s"need tables > 0, dim > 0")
+  // 1 << p is a 32-bit shift: p ≥ 32 would wrap and silently alias
+  // sign bits onto already-used bucket bits (recall loss, no error);
+  // 31 also keeps the bucket id inside a positive Int
+  require(planesPerTable >= 1 && planesPerTable <= 31,
+    s"planesPerTable must be in [1, 31], got $planesPerTable")
   require(planes.length == tables * planesPerTable * dim,
     s"planes length ${planes.length} != $tables*$planesPerTable*$dim")
+
+  private lazy val planesArr: Array[Long] = planes.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -44,7 +53,10 @@ case class HyperplaneBuckets(
         var dot = 0L
         var j = 0
         while (j < n) {
-          dot += v.getLong(j) * planes(base + j)
+          if (v.isNullAt(j))
+            throw new IllegalArgumentException(
+              "hyperplane_buckets: null vector component")
+          dot += v.getLong(j) * planesArr(base + j)
           j += 1
         }
         if (dot >= 0L) bucket |= (1 << p)
@@ -57,7 +69,7 @@ case class HyperplaneBuckets(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "long[]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "long[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
       val t = ctx.freshName("t"); val p = ctx.freshName("p")
@@ -72,6 +84,10 @@ case class HyperplaneBuckets(
          |    final int $base = (($t * $planesPerTable) + $p) * $dim;
          |    long $dot = 0L;
          |    for (int $j = 0; $j < $n; $j++) {
+         |      if ($a.isNullAt($j)) {
+         |        throw new IllegalArgumentException(
+         |          "hyperplane_buckets: null vector component");
+         |      }
          |      $dot += $a.getLong($j) * $planesRef[$base + $j];
          |    }
          |    if ($dot >= 0L) $bucket |= (1 << $p);

@@ -41,10 +41,19 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
 }
 
 object Md5PrefixLong {
+  /** One digest instance per task thread — `getInstance` does a JCA
+    * provider lookup and allocates per call, a real cost at millions
+    * of evaluations per query; `digest()` leaves the instance reset,
+    * so reuse across rows is sound. */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First-4-bytes (8 hex digits) or first-60-bits (15 hex digits)
     * unsigned value of md5(bytes). */
   def prefix(bytes: Array[Byte], hexDigits: Int): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md.get().digest(bytes)
     if (hexDigits == 8)
       ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -29,6 +29,8 @@ case class SimHash60(child: Expression)
     val votes = new Array[Long](Bits)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException("simhash60: null hash element")
       val h = arr.getLong(i)
       var p = 0
       while (p < Bits) {
@@ -56,6 +58,9 @@ case class SimHash60(child: Expression)
          |final int $n = $a.numElements();
          |final long[] $votes = new long[$Bits];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException("simhash60: null hash element");
+         |  }
          |  final long $h = $a.getLong($i);
          |  for (int $p = 0; $p < $Bits; $p++) {
          |    $votes[$p] += ((($h >> $p) & 1L) == 1L) ? 1L : -1L;

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   * `|A| + |B| − |A ∩ B|`.
   *
   * Inputs MUST be duplicate-free and sorted ascending
-  * (`sort_array(array_distinct(...))`); this is not checked.
+  * (`sort_array(array_distinct(...))`); this is not checked. Null
+  * ELEMENTS are rejected loudly: a null slot read as 0 would silently
+  * match a genuine 0 on the other side and inflate the count — wrong
+  * Jaccard verdicts with no error.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -34,6 +37,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (xn, yn) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < xn && j < yn) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null set element")
       val xi = x.getInt(i); val yj = y.getInt(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
@@ -52,6 +58,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $an = $a.numElements(), $bn = $b.numElements();
          |long ${ev.value}Acc = 0L;
          |while ($i < $an && $j < $bn) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: null set element");
+         |  }
          |  final int $xv = $a.getInt($i);
          |  final int $yv = $b.getInt($j);
          |  if ($xv == $yv) { ${ev.value}Acc++; $i++; $j++; }

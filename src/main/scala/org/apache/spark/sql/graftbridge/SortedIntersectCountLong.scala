@@ -29,6 +29,9 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
     val (xn, yn) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < xn && j < yn) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count_long: null set element")
       val xi = x.getLong(i); val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
@@ -47,6 +50,10 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
          |final int $an = $a.numElements(), $bn = $b.numElements();
          |long ${ev.value}Acc = 0L;
          |while ($i < $an && $j < $bn) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count_long: null set element");
+         |  }
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
          |  if ($xv == $yv) { ${ev.value}Acc++; $i++; $j++; }

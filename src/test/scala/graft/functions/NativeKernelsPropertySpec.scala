@@ -109,4 +109,28 @@ class NativeKernelsPropertySpec extends SparkTestBase {
       assert(all(n).errorMessage === Some(m.take(500)))
     }
   }
+
+  test("null array elements fail LOUDLY in every native kernel (never read as 0)") {
+    // a null slot read as 0 would silently corrupt intersection counts
+    // and dot products; the kernels throw instead — pin that contract
+    val withNullInt = Seq((Seq[Integer](1, null, 3), Seq[Integer](0, 1, 3)))
+      .toDF("a", "b")
+    val e1 = intercept[Exception] {
+      withNullInt.select(
+        ArrayFunctions.sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    assert(exMessages(e1).exists(_.contains("null set element")))
+    val withNullLong =
+      Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)))
+        .toDF("a", "b")
+    val e2 = intercept[Exception] {
+      withNullLong.select(
+        ArrayFunctions.dotProductLong(col("a"), col("b"))).collect()
+    }
+    assert(exMessages(e2).exists(_.contains("null vector component")))
+  }
+
+  private def exMessages(e: Throwable): List[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).toList
 }
