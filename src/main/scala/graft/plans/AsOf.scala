@@ -51,9 +51,19 @@ object AsOf {
       "as-of join sides share attribute instances (self-join on the same " +
         "Dataset object) — derive each side from its own read/select")
 
+    // resolve like Spark does (honors spark.sql.caseSensitive) and
+    // fail on ambiguity — find(_.name == name) would silently bind the
+    // first of two same-named columns and as-of join on the wrong one
+    val resolver = spark.sessionState.conf.resolver
     def attr(out: Seq[Attribute], name: String, side: String): Attribute =
-      out.find(_.name == name).getOrElse(sys.error(
-        s"$side side has no column '$name' (has: ${out.map(_.name).mkString(", ")})"))
+      out.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => sys.error(
+          s"$side side has no column '$name' (has: ${out.map(_.name).mkString(", ")})")
+        case many => sys.error(
+          s"$side side has ${many.size} columns named '$name' — disambiguate " +
+            "with a select/alias before the as-of join")
+      }
 
     val lk = keys.map(attr(lPlan.output, _, "left"))
     val rk = keys.map(attr(rPlan.output, _, "right"))

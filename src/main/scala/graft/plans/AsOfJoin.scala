@@ -133,21 +133,27 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       new Iterator[InternalRow] {
         // the one right row read but not yet consumable (its key/ts are
-        // ahead of the current left cursor), plus its projected key/ts —
-        // copies, because InternalRow iterators reuse buffers
+        // ahead of the current left cursor), plus its projected key/ts.
+        // NO copies here: the iterator's row buffer and each
+        // UnsafeProjection's result buffer stay valid until the NEXT
+        // advanceRight() call, and these references are only read
+        // before then — skipped/superseded rows (the dominant path at
+        // scale) therefore cost zero allocations; only a row actually
+        // RETAINED as the running match is copied, below.
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rTs: InternalRow = _
-        // last at-or-before match for the current key group
+        // last at-or-before match for the current key group (copied:
+        // it must outlive the buffers rRow/rKey point into)
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
         advanceRight()
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
-            rRow = rIter.next().copy()
-            rKey = rkProj(rRow).copy()
-            rTs = rtProj(rRow).copy()
+            rRow = rIter.next()
+            rKey = rkProj(rRow)
+            rTs = rtProj(rRow)
           } else { rRow = null; rKey = null; rTs = null }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -170,7 +176,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val tc = if (c == 0 && !rTs.isNullAt(0)) tsOrd.compare(rTs, lTs) else 0
               if (c < 0 || (c == 0 && rTs.isNullAt(0))) advanceRight()
               else if (c == 0 && (if (forward) tc >= 0 else tc <= 0)) {
-                if (!rKey.anyNull) { lastMatch = rRow; lastMatchKey = rKey }
+                if (!rKey.anyNull) {
+                  lastMatch = rRow.copy(); lastMatchKey = rKey.copy()
+                }
                 advanceRight()
               } else continue = false
               if (rRow == null) continue = false

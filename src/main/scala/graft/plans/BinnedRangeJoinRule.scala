@@ -41,32 +41,30 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * natural spelling of q41's interval join — exercises this rule under
   * the DuckDB oracle).
   */
-object BinnedRangeJoinRule extends Rule[LogicalPlan] {
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def unwrapCast(e: Expression): Expression = e match {
     case c: Cast if c.child.dataType == c.dataType => unwrapCast(c.child)
     case other => other
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case x => Seq(x)
-  }
+  private def conjuncts(e: Expression): Seq[Expression] =
+    splitConjunctivePredicates(e)
 
   /** `lt + w`: a timestamp plus a literal positive day-time interval,
     * or an integral column plus a literal positive integral constant.
-    * Returns the width in the column's own units (µs for timestamps). */
+    * Returns the width in the column's own units (µs for timestamps).
+    * The timestamp arm matches the Catalyst class DIRECTLY — an earlier
+    * `getClass.getSimpleName == "TimestampAddInterval"` comparison
+    * would have silently stopped firing (plan degrades to a
+    * nested-loop join with no error) on any Spark refactor that
+    * renames the node; a class match breaks the COMPILE instead. */
   private object TsPlusWidth {
     def unapply(e: Expression): Option[(AttributeReference, Long)] =
       unwrapCast(e) match {
-        case add if add.getClass.getSimpleName == "TimestampAddInterval" &&
-            add.children.size >= 2 =>
-          (add.children.head, add.children(1)) match {
-            case (lt: AttributeReference,
-                Literal(w: Long, _: DayTimeIntervalType)) if w > 0 =>
-              Some((lt, w))
-            case _ => None
-          }
+        case TimestampAddInterval(lt: AttributeReference,
+            Literal(w: Long, _: DayTimeIntervalType), _) if w > 0 =>
+          Some((lt, w))
         case Add(lt: AttributeReference, Literal(w, t), _)
             if integralWidth(w, t).exists(_ > 0) =>
           Some((lt, integralWidth(w, t).get))
@@ -146,16 +144,20 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       }
       matched match {
         case Some((lt, rt, w)) =>
-          // Fan the lt side out to its window's ≤2 bins; a null ts bins
-          // to null, which the equality (and the interval predicate)
-          // already rejects.
+          // Fan the lt side out to its window's ≤2 bins. Null-ts rows
+          // are filtered BELOW the fan-out: they could never satisfy
+          // the retained interval predicate, but unfiltered they would
+          // explode into TWO null-bin rows each and ride the exchange
+          // as dead weight (2× the null rows through the shuffle).
           val binOut = AttributeReference("_graft_bin", LongType)()
           val bins = CreateArray(Seq(
             bin(lt, w), Add(bin(lt, w), Literal(1L, LongType))))
           def fanOut(side: LogicalPlan): LogicalPlan =
             Generate(Explode(bins), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
-              generatorOutput = Seq(binOut), child = side)
+              generatorOutput = Seq(binOut),
+              child = org.apache.spark.sql.catalyst.plans.logical.Filter(
+                IsNotNull(lt), side))
           val (newLeft, newRight) =
             if (left.outputSet.contains(lt)) (fanOut(left), right)
             else (left, fanOut(right))
