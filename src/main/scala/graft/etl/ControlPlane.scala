@@ -68,7 +68,27 @@ final class JsonlControlStore(path: String) extends ControlStore {
       case c => c.toString
     }
 
+  /** A crash (or full disk) mid-append can leave a TORN final line
+    * with no terminating newline. Left in place it would corrupt the
+    * NEXT append by concatenation, turning one torn record into a
+    * permanently malformed interior line — so every append first
+    * truncates the file back to its last complete line. The fragment
+    * was never a durable record (its own write failed), so dropping it
+    * re-exposes the superseded status and the state machine re-runs
+    * that step. */
+  private def healTornTail(): Unit =
+    if (Files.exists(p) && Files.size(p) > 0) {
+      val bytes = Files.readAllBytes(p)
+      if (bytes.last != '\n'.toByte) {
+        val cut = bytes.lastIndexOf('\n'.toByte) + 1
+        Files.write(p, java.util.Arrays.copyOf(bytes, cut),
+          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        System.err.println("[ledger] truncated torn final line before append")
+      }
+    }
+
   private def append(r: FileRecord): Unit = synchronized {
+    healTornTail()
     val err = r.errorMessage.map(e => "\"" + esc(e) + "\"").getOrElse("null")
     val line = s"""{"file_name":"${esc(r.fileName)}","status":"${r.status.name}",""" +
       s""""row_count":${r.rowCount},"error_message":$err,""" +
@@ -79,10 +99,24 @@ final class JsonlControlStore(path: String) extends ControlStore {
 
   override def all(): Map[String, FileRecord] = synchronized {
     if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty)
-      .map(parseLine)
-      .foldLeft(Map.empty[String, FileRecord])((m, r) => m + (r.fileName -> r))
+    else {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).toSeq
+      lines.zipWithIndex.flatMap { case (l, i) =>
+        try Some(parseLine(l))
+        catch {
+          // ONLY a torn FINAL line is recoverable (a crash or full
+          // disk mid-append): drop it loudly — the record it would
+          // have superseded is still present, so the state machine
+          // re-runs that step. A malformed interior line is real
+          // corruption and still fails hard.
+          case e: Exception if i == lines.size - 1 =>
+            System.err.println(
+              s"[ledger] dropping torn final line (${e.getMessage})")
+            None
+        }
+      }.foldLeft(Map.empty[String, FileRecord])((m, r) => m + (r.fileName -> r))
+    }
   }
 
   // Strict POSITIONAL parser for our own flat writer format. Fields are

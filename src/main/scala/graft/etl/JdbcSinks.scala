@@ -25,10 +25,11 @@ object JdbcSinks {
   def appendTable(df: DataFrame, url: String, table: String,
       props: java.util.Properties, numPartitions: Int = 8,
       batchSize: Int = 10000): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
-      else df
-    bounded.write
+    // coalesce never INCREASES partition count, so the bound applies
+    // unconditionally — the previous df.rdd.getNumPartitions guard
+    // built a whole separate deserializing plan to read a number the
+    // call cannot change
+    df.coalesce(numPartitions).write
       .mode("append")
       .option("batchsize", batchSize)
       .jdbc(url, table, props)

@@ -38,9 +38,11 @@ final class StagingPipeline(
   /** S7+F5: driver-side listing, like the reference's `os.listdir` —
     * file *names*, not data, so this is control-plane work. */
   private def discover(): Seq[String] = {
-    val fs = FileSystem.get(new java.net.URI(rawDir),
-      spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not FileSystem.get(new URI(...)): a raw dir
+    // containing URI-illegal characters (spaces) is a legal PATH that
+    // the URI constructor rejects
     val p = new HPath(rawDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("states_") && n.endsWith(".csv"))
@@ -71,6 +73,21 @@ final class StagingPipeline(
     }.toSeq.sorted
     failed.foreach(ledger.update(_, FileStatus.New))
     failed
+  }
+
+  /** Re-queue PROCESSING files as NEW — CRASH recovery: a driver
+    * killed between the Processing mark and the terminal update
+    * leaves its file in PROCESSING forever (no selector ever re-reads
+    * that status — `newFiles` takes NEW, [[retryFailed]] takes
+    * FAILED), silently dropping the file's data. Explicit like
+    * [[retryFailed]], and only safe once no run is live; re-processing
+    * is idempotent (both sinks overwrite per file). */
+  def reclaimProcessing(): Seq[String] = {
+    val stuck = ledger.all().collect {
+      case (n, r) if r.status == FileStatus.Processing => n
+    }.toSeq.sorted
+    stuck.foreach(ledger.update(_, FileStatus.New))
+    stuck
   }
 
   /** Per-file unit (`process_single_file`, `load_warehouse.py:131-161`):

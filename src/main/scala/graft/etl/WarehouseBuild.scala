@@ -102,7 +102,14 @@ object WarehouseBuild {
     }.toMap
     val totalFiles = plan.values.sum
     val nFilesFor = plan.foldLeft(lit(1L)) { case (acc, (v, n)) =>
-      when(col("event_date").cast("string") === v, lit(n)).otherwise(acc)
+      // the null partition's directory value is the Hive sentinel, but
+      // the COLUMN is null there — an equality against the sentinel
+      // string can never match it (null comparison), so the null
+      // partition needs its own isNull branch or it all lands in one
+      // task regardless of size
+      if (v == "__HIVE_DEFAULT_PARTITION__")
+        when(col("event_date").isNull, lit(n)).otherwise(acc)
+      else when(col("event_date").cast("string") === v, lit(n)).otherwise(acc)
     }
     val df = table(spark, warehouseDir).localCheckpoint(true)
     df
@@ -150,8 +157,13 @@ object WarehouseBuild {
   def loadMartJdbc(spark: SparkSession, aggregateDir: String,
       url: String, table: String, props: java.util.Properties,
       numPartitions: Int = 8): Long = {
+    // persisted: the date collect, the append and the returned count
+    // must all see ONE snapshot (three separate scans could straddle a
+    // concurrent aggregate rewrite and disagree)
     val agg = spark.read.parquet(aggregateDir)
       .withColumn("event_date", col("event_date").cast("date"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val dates = agg.select("event_date").distinct()
       .collect().map(_.getDate(0)).sorted
     if (dates.isEmpty) return 0L
@@ -169,7 +181,15 @@ object WarehouseBuild {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
-        } catch { case _: java.sql.SQLException => false }
+        } catch {
+          // only class-42 states (undefined objects / access rules —
+          // 42P01 Postgres, 42X05 Derby, 42S02 ODBC) mean "not there
+          // yet"; a transient failure (connection drop, lock timeout)
+          // swallowed as false would skip the DELETE and double-count
+          // the re-run — rethrow those
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("42")) => false
+        }
       if (exists) {
         val st = conn.prepareStatement(
           s"""DELETE FROM $table WHERE "event_date" = ?""")
@@ -179,5 +199,6 @@ object WarehouseBuild {
     } finally conn.close()
     JdbcSinks.appendTable(agg, url, table, props, numPartitions)
     agg.count()
+    } finally agg.unpersist(blocking = false)
   }
 }

@@ -72,4 +72,28 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(s.all()("states_c.csv").errorMessage.get
       === "line1\nline2\ttabctl")
   }
+
+  test("a torn final line is dropped loudly; interior corruption still fails hard") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-torn")
+    val f = dir.resolve("file_log.jsonl")
+    val s = new JsonlControlStore(f.toString)
+    s.register(Seq("states_a.csv"))
+    s.update("states_a.csv", FileStatus.Processing)
+    // simulate a crash mid-append: truncated JSON tail
+    java.nio.file.Files.writeString(f,
+      """{"file_name":"states_a.csv","sta""",
+      java.nio.file.StandardOpenOption.APPEND)
+    // the torn line is ignored; the superseded record is still current
+    assert(s.all()("states_a.csv").status === FileStatus.Processing)
+    // and the store remains writable (recovery re-runs the step)
+    s.update("states_a.csv", FileStatus.Failed)
+    assert(s.all()("states_a.csv").status === FileStatus.Failed)
+    // an INTERIOR malformed line is real corruption — hard failure
+    val g = dir.resolve("corrupt.jsonl")
+    java.nio.file.Files.writeString(g,
+      "{\"file_name\":\"x\",\"bad\n" +
+        """{"file_name":"states_b.csv","status":"NEW","row_count":0,"error_message":null,"last_updated":"2026-01-01T00:00:00Z"}""" + "\n")
+    val s2 = new JsonlControlStore(g.toString)
+    intercept[Exception] { s2.all() }
+  }
 }

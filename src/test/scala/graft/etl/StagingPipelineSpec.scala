@@ -118,4 +118,19 @@ class StagingPipelineSpec extends SparkTestBase {
     assert(rec.status === FileStatus.CleanExported)
     assert(rec.rowCount === p2.cleanStaged().count())
   }
+
+  test("reclaimProcessing re-queues crash-stranded files; a re-run completes them") {
+    val (p, ledger, _) = setup(copy = 2)
+    p.runOnce()
+    val names = ledger.all().keys.toSeq.sorted
+    // simulate a driver killed mid-file: force one back to PROCESSING
+    ledger.update(names.head, FileStatus.Processing)
+    assert(p.runOnce().processed.isEmpty, "PROCESSING is invisible to runOnce")
+    assert(p.retryFailed().isEmpty, "and to retryFailed")
+    assert(p.reclaimProcessing() === Seq(names.head))
+    val again = p.runOnce()
+    assert(again.processed === Seq(names.head),
+      "the reclaimed file re-processes to completion")
+    assert(ledger.all()(names.head).status === FileStatus.CleanExported)
+  }
 }
