@@ -285,7 +285,9 @@ object Graphs {
     * (whole over-cap orders dropped from incidence) so a cap that DOES
     * truncate compares like-for-like instead of surfacing as a
     * confusing cell mismatch. The literal is the cap DEFAULT — a
-    * session overriding `spark.graft.lsh.maxBucket` diverges from this
+    * session overriding `spark.graft.lsh.maxBucket` (or the
+    * family-scoped `….maxBucket.copurchase`, which tunes THIS
+    * generator without unbounding the LSH ones) diverges from this
     * SQL by design (Verify runs defaults; the skew counter still
     * flags any truncation loudly). */
   private val edgeCtes =

@@ -44,8 +44,16 @@ object LshSkew {
     * production posture. */
   val StrictConf = "spark.graft.lsh.strict"
 
-  def maxBucket(s: SparkSession): Long =
-    s.conf.get(MaxBucketConf, MaxBucketDefault.toString).toLong
+  /** Cap for `family`, per-family override first: a conf like
+    * `spark.graft.lsh.maxBucket.copurchase` tunes ONE candidate
+    * generator; the bare [[MaxBucketConf]] stays the global default.
+    * Without the override, raising the global for a legitimate large
+    * near-dup cluster would silently unbound every OTHER quadratic
+    * generator sharing the knob (the graph basket cap among them). */
+  def maxBucket(s: SparkSession, family: String): Long =
+    s.conf.getOption(s"$MaxBucketConf.$family")
+      .orElse(s.conf.getOption(MaxBucketConf))
+      .map(_.toLong).getOrElse(MaxBucketDefault)
 
   def strict(s: SparkSession): Boolean =
     s.conf.get(StrictConf, "false").equalsIgnoreCase("true")
@@ -56,7 +64,7 @@ object LshSkew {
   def capBuckets(bands: DataFrame, keys: Seq[String], family: String): DataFrame = {
     val s = bands.sparkSession
     ensureListener(s)
-    val cap = maxBucket(s)
+    val cap = maxBucket(s, family)
     val w = Window.partitionBy(keys.map(col): _*)
     val sized = bands
       .withColumn("__bn", count(lit(1)).over(w))

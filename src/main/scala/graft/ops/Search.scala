@@ -19,16 +19,13 @@ import graft.Tables
   */
 object Search {
 
-  /** The pinned whitespace class — hoisted to [[Det.WsClass]] (round-7
-    * advice: every tokenizing module shares ONE definition). */
-  private[ops] val WsClass = Det.WsClass
 
   /** Whitespace tokens, empties dropped — splitting an empty string
     * yields [""] in BOTH engines, and a leading separator yields a ""
     * first token, so the `!= ''` filter keeps the two tokenizers
     * identical. */
   private[ops] def tokens(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(split(trim(col("text")), WsClass + "+")).as("term"))
+    .select(col("doc_id"), explode(Det.words(col("text"))).as("term"))
     .filter(col("term") =!= "")
 
   // ---- q69: inverted-index posting statistics -------------------------
@@ -44,7 +41,13 @@ object Search {
     * Two hash aggregations: (term, doc) for tf, then term; both with
     * partial aggregation. At 100 TB this is the canonical index-build
     * plan — shuffle keyed on term, skew bounded by the vocabulary's
-    * Zipf head (a hot term's postings still aggregate, never join). */
+    * Zipf head (a hot term's postings still aggregate, never join).
+    *
+    * Bound: `doc_sum` is an UNFOLDED Int64 sum, exact while
+    * Σ doc_id ≤ 2^63 — for a term present in nearly every document
+    * that holds to ~4e9 docs (Σ ≈ D²/2); past that the checksums move
+    * to modular sums (a [[Det.h8]]-folded variant), the same
+    * escalation the bm25 doc pins for its corpus aggregates. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     tokens(Tables.documents(s, dir))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -93,8 +96,10 @@ object Search {
     * The corpus scalars avgdl and idf_pm are folded into the broadcast
     * df frame (a |vocab|-row crossJoin with the 1-row corpus frame, on
     * the BUILD side) so the per-(doc,term) row does exactly two
-    * divisions and the probe side has one broadcast hash join — no
-    * BroadcastNestedLoopJoin in the scored plan at all. */
+    * divisions and the probe side has one broadcast hash join. The
+    * BNLJ has MOVED, not vanished: the vocab×1-row build crossJoin
+    * still plans as a (vocabulary-sized) BroadcastNestedLoopJoin —
+    * which is why q70 stays in PlanInvariantsSpec.bnlAllowed. */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = tokens(docs)
@@ -125,10 +130,10 @@ object Search {
   )
 
   private val tokCte =
-    """tok AS (
-      | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS term
-      | FROM documents),
-      |tk AS (SELECT doc_id, term FROM tok WHERE term <> '')""".stripMargin
+    s"""tok AS (
+       | SELECT doc_id, unnest(${Det.wordsSql("text")}) AS term
+       | FROM documents),
+       |tk AS (SELECT doc_id, term FROM tok WHERE term <> '')""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q69_inverted_index" ->

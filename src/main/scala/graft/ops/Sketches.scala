@@ -72,7 +72,7 @@ object Sketches {
   def quantileSketchDetail(s: SparkSession, dir: String): DataFrame = {
     val cents = Tables.orders(s, dir).select(
       col("o_orderstatus").as("orderstatus"),
-      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      Det.cents(col("o_totalprice")).cast("long").as("cents"))
     val wOrd = Window.partitionBy("orderstatus").orderBy("cents")
     val wAll = Window.partitionBy("orderstatus")
     val ranked = cents
