@@ -76,13 +76,46 @@ object ExtractJob {
 
   // ---------- K1/T5/F6/A1: CSV landing ----------
 
-  /** Python-csv-compatible cell rendering of a JSON scalar (also the
+  /** Python-csv-compatible cell rendering of a JSON value (also the
     * cell semantics of the distributed [[graft.sources]] reader, so
-    * both ingest paths feed the staging kernel identical strings). */
+    * both ingest paths feed the staging kernel identical strings).
+    *
+    * Floating-point cells format like Python's `str(float)` in its
+    * plain-notation window (|v| ∈ [1e-4, 1e16)) — Java's default
+    * flips to scientific notation at 1e7/1e-3, which would diverge
+    * the raw CSV from the reference's captured extracts for values
+    * like 0.0005 or 12345678.0. Array cells (the API's `sensors`
+    * field) render like Python's `str(list)` — previously
+    * `JsonNode.asText()` silently rendered any container as "". */
   private[graft] def renderCell(n: JsonNode): String =
     if (n == null || n.isNull) ""
     else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
+    else if (n.isArray)
+      n.elements().asScala.map(renderPyRepr).mkString("[", ", ", "]")
+    else if (n.isFloatingPointNumber) pyDouble(n.asDouble())
     else n.asText()
+
+  /** Python `repr(...)` of a list ELEMENT (str(list) reprs elements). */
+  private def renderPyRepr(n: JsonNode): String =
+    if (n == null || n.isNull) "None"
+    else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
+    else if (n.isTextual)
+      "'" + n.asText().replace("\\", "\\\\").replace("'", "\\'") + "'"
+    else if (n.isFloatingPointNumber) pyDouble(n.asDouble())
+    else if (n.isArray)
+      n.elements().asScala.map(renderPyRepr).mkString("[", ", ", "]")
+    else n.asText()
+
+  private def pyDouble(d: Double): String = {
+    val abs = math.abs(d)
+    if (d.isNaN || d.isInfinite || (abs != 0.0 && (abs < 1e-4 || abs >= 1e16)))
+      String.valueOf(d) // outside Python's plain window — not a state field range
+    else {
+      val s = new java.math.BigDecimal(java.lang.Double.toString(d))
+        .stripTrailingZeros().toPlainString
+      if (s.contains('.')) s else s + ".0"
+    }
+  }
 
   /** Minimal-quoting CSV field, like Python's csv.writer defaults. */
   private[extract] def csvField(s: String): String =

@@ -36,7 +36,12 @@ object HttpBackend {
 /** java.net.http implementation (JDK 11+, no extra dependency). */
 final class JdkHttpBackend(timeout: Duration = Duration.ofSeconds(30))
     extends HttpBackend {
-  private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+  // follow redirects like the reference's `requests` does — the JDK
+  // default is NEVER, under which a 301 from the token endpoint
+  // surfaces as "no access_token" and a redirected states GET parses
+  // the HTML body as an empty payload (a SILENT data outage)
+  private val client = HttpClient.newBuilder().connectTimeout(timeout)
+    .followRedirects(HttpClient.Redirect.NORMAL).build()
 
   override def postForm(url: String, form: Map[String, String]): HttpReply = {
     val req = HttpRequest.newBuilder(URI.create(url))

@@ -67,7 +67,25 @@ final class JsonlJobControl(
     jobs.getOrElse(jobName,
       sys.error(s"job_name '$jobName' not found in job_definitions"))
 
+  /** Same crash contract as the staging ledger
+    * (`JsonlControlStore.healTornTail`): a torn final line would
+    * corrupt the NEXT append by concatenation — and Jackson would then
+    * silently parse only the FIRST of the two glued objects,
+    * permanently losing the later record — so truncate back to the
+    * last complete line before appending. */
+  private def healTornTail(): Unit =
+    if (Files.exists(p) && Files.size(p) > 0) {
+      val bytes = Files.readAllBytes(p)
+      if (bytes.last != '\n'.toByte) {
+        val cut = bytes.lastIndexOf('\n'.toByte) + 1
+        Files.write(p, java.util.Arrays.copyOf(bytes, cut),
+          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        System.err.println("[job_logs] truncated torn final line before append")
+      }
+    }
+
   private def append(r: JobLogRecord): Unit = synchronized {
+    healTornTail()
     val n = mapper.createObjectNode()
     n.put("log_id", r.logId)
     n.put("job_name", r.jobName)
@@ -87,18 +105,34 @@ final class JsonlJobControl(
 
   private def readAll(): Seq[JobLogRecord] = synchronized {
     if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map { line =>
-        val n = mapper.readTree(line)
-        JobLogRecord(
-          n.get("log_id").asLong(),
-          n.get("job_name").asText(),
-          Instant.parse(n.get("start_time").asText()),
-          if (n.get("end_time").isNull) None
-          else Some(Instant.parse(n.get("end_time").asText())),
-          n.get("status").asText(),
-          if (n.get("message").isNull) None else Some(n.get("message").asText()))
+    else {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty)
+      lines.zipWithIndex.flatMap { case (line, i) =>
+        try Some(parseRecord(line))
+        catch {
+          // a torn FINAL line (crash mid-append, not yet healed by the
+          // next append) is recoverable — drop it loudly; interior
+          // corruption still fails hard
+          case e: Exception if i == lines.size - 1 =>
+            System.err.println(
+              s"[job_logs] dropping torn final line (${e.getMessage})")
+            None
+        }
       }
+    }
+  }
+
+  private def parseRecord(line: String): JobLogRecord = {
+    val n = mapper.readTree(line)
+    JobLogRecord(
+      n.get("log_id").asLong(),
+      n.get("job_name").asText(),
+      Instant.parse(n.get("start_time").asText()),
+      if (n.get("end_time").isNull) None
+      else Some(Instant.parse(n.get("end_time").asText())),
+      n.get("status").asText(),
+      if (n.get("message").isNull) None else Some(n.get("message").asText()))
   }
 
   override def logJobStart(jobName: String, now: Instant): Long = synchronized {
@@ -144,8 +178,13 @@ final class JdbcJobControl(url: String, props: java.util.Properties)
     val rs = ps.executeQuery()
     if (!rs.next()) sys.error(s"job_name '$jobName' not found in job_definitions")
     val md = rs.getMetaData
-    (1 to md.getColumnCount).map(i =>
-      md.getColumnName(i) -> String.valueOf(rs.getObject(i))).toMap
+    // SQL NULL columns are ABSENT from the map — String.valueOf(null)
+    // would yield the literal "null", which ExtractJob would then send
+    // as a real query parameter (the reference's row dict gives None
+    // and omits the param; an unbounded-bbox job must do the same)
+    (1 to md.getColumnCount).flatMap { i =>
+      Option(rs.getObject(i)).map(v => md.getColumnName(i) -> String.valueOf(v))
+    }.toMap
   }
 
   override def logJobStart(jobName: String, now: Instant): Long = withConn { c =>

@@ -41,6 +41,12 @@ import scala.jdk.CollectionConverters._
   *    is returned by BOTH adjacent bands. Each band keeps only rows
   *    with `lat < bandHigh` (the top band keeps its upper edge) —
   *    no duplicates, no losses, no cross-partition coordination.
+  *    The guarantee is PER SNAPSHOT: the per-band fetches hit a live
+  *    endpoint seconds apart, so an aircraft crossing a band boundary
+  *    between them can appear in two bands' replies (or neither) —
+  *    the same drift two consecutive reference cron payloads exhibit;
+  *    downstream exact dedup (content hash) is the backstop, exactly
+  *    as it is for the reference's overlapping 10-minute ticks.
   *    Rows without a parseable latitude are owned by the band
   *    `hash(stable id) % splits`: a bbox query cannot position-filter
   *    a position-less state, so the API either omits such rows
@@ -292,7 +298,7 @@ private[sources] class StatesReaderFactory(opts: Map[String, String],
               // to hashing the whole row so ownership stays agreed.
               case None =>
                 val id = cells(IdIdx)
-                val stable = if (id.nonEmpty) id else cells.mkString(" ")
+                val stable = if (id.nonEmpty) id else cells.mkString("\u0000")
                 math.floorMod(scala.util.hashing.MurmurHash3.stringHash(stable),
                   p.splits) == p.idx
               case Some(v) => p.keepBelow.forall(v < _)

@@ -134,4 +134,35 @@ class ExtractJobSpec extends SparkTestBase {
     assert(byIcao("ab1234").getAs[Double]("longitude") === 4.76)
     assert(byIcao("cd5678").getAs[Int]("position_source") === 2)
   }
+
+  test("cell rendering matches Python for floats, sensors arrays, and NULL params") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def cell(json: String) = ExtractJob.renderCell(m.readTree(json))
+    // Python str(float) plain-notation window — Java's default would
+    // print 5.0E-4 / 1.2345678E7 here
+    assert(cell("0.0005") === "0.0005")
+    assert(cell("12345678.0") === "12345678.0")
+    assert(cell("46.05") === "46.05")
+    assert(cell("2.0") === "2.0")
+    // sensors-style arrays render like Python str(list), not ""
+    assert(cell("[1, 2]") === "[1, 2]")
+    assert(cell("[\"a\", null, true]") === "['a', None, True]")
+    assert(cell("true") === "True")
+    assert(cell("null") === "")
+    // a SQL-NULL bbox param must be ABSENT, not the string "null":
+    // callStatesApi only sends params present in the job map
+    val sent = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    val http = new HttpBackend {
+      def postForm(u: String, f: Map[String, String]) =
+        HttpReply(200, """{"access_token":"t"}""")
+      def get(u: String, params: Map[String, String], h: Map[String, String]) = {
+        sent(u) = params; HttpReply(200, """{"time":1,"states":[]}""")
+      }
+    }
+    ExtractJob.callStatesApi(http,
+      Map("base_url" -> "http://x", "endpoint" -> "/states",
+        "lamin" -> "45.8"), "t")
+    assert(sent("http://x/states") === Map("lamin" -> "45.8"),
+      "absent bbox params are omitted from the request")
+  }
 }
