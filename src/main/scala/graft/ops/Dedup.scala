@@ -129,6 +129,27 @@ object Dedup {
   private def jaccardMilli(inter: Column, uni: Column): Column =
     round(inter * lit(1000.0) / uni).cast("long")
 
+  /** 16-perm minhash signature of a shingle hash-set ATTRIBUTE — ONE
+    * definition for the batch pipeline and the streaming band
+    * projection: the streaming state store keys on the exact
+    * (band, key) values batch q28 produces, so a change applied to one
+    * copy would silently desynchronize streamed buckets from the batch
+    * backstop. */
+  private def minhashSig(hs: Column): Column =
+    array(Perms.map { case (a, b) =>
+      array_min(transform(hs, x => (lit(a) * x + lit(b)) % P))
+    }: _*)
+
+  /** (band, key) structs over an already-projected `sig` attribute —
+    * shared with [[minhashSig]] for the same reason. */
+  private def minhashBandStructs(sig: Column): Seq[Column] =
+    (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r =>
+        element_at(sig, b * RowsPerBand + r + 1) * BandW(r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), nn(key).as("key"))
+    }
+
   // ---------- q28: MinHash-LSH near-dup pairs ----------
 
   /** doc_id, hs (distinct 31-bit shingle hash set), n = |hs|.
@@ -171,16 +192,8 @@ object Dedup {
       .select(col("doc_id") +: hashSet(col("s")).as("hs") +: ex: _*)
       .select(col("doc_id") +: col("hs") +:
         size(col("hs")).cast("long").as("n") +: ex: _*)
-    val sigCol = array(Perms.map { case (a, b) =>
-      array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))
-    }: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val key = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1) * BandW(r))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), nn(key).as("key"))
-    }
-    withSets.withColumn("sig", sigCol)
+    val bandStructs = minhashBandStructs(col("sig"))
+    withSets.withColumn("sig", minhashSig(col("hs")))
       .select(col("doc_id") +: col("hs") +: col("n") +:
         explode(array(bandStructs: _*)).as("bk") +: ex: _*)
       .select(col("doc_id") +: col("bk.band").as("band") +:
@@ -205,16 +218,8 @@ object Dedup {
     val hx = PipelineCache.getOrPersist(s, dir, "q28_minhash_lsh_pairs/hx") {
       hashedShingles(s, dir)
     }
-    val sig = hx.select(col("doc_id"),
-      array(Perms.map { case (a, b) =>
-        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))
-      }: _*).as("sig"))
-    val bandStructs = (0 until Bands).map { b =>
-      val key = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1) * BandW(r))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), nn(key).as("key"))
-    }
+    val sig = hx.select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+    val bandStructs = minhashBandStructs(col("sig"))
     // Narrow band rows: (doc_id, band, key) — no arrays in this
     // shuffle. shuffle_hash pinned on the self-join: both sides of an
     // LSH self-join scale with N (broadcast is wrong at 100 TB), and
@@ -287,7 +292,16 @@ object Dedup {
     * the round count, not the data path, is the limit — the standard
     * fix (large-star/small-star pointer doubling, O(log n) rounds)
     * drops into the same loop; near-dup graphs never need it. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized under the opt-in cache: q91 composes these clusters, and
+    // without the seam a session running q52 AND q91 executes the most
+    // expensive iterative loop in this file twice end-to-end — the same
+    // write-once/read-many contract as q28's pairs
+    PipelineCache.getOrPersist(s, dir, "q52_dedup_clusters") {
+      dedupClustersUncached(s, dir)
+    }
+
+  private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
     // undirected: propagate both ways
@@ -298,35 +312,40 @@ object Dedup {
     // times — each round must be persisted while the loop runs, and the
     // final result lineage-truncated before those persists are dropped.
     val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    roundCaches += labels
-    var converged = false
-    var it = 0
-    while (!converged && it < MaxCcIterations) {
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
-        .groupBy("u").agg(min("vlbl").as("nlbl"))
-      val joined = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      roundCaches += joined
-      converged = joined.filter(col("nl") < col("lbl")).isEmpty
-      labels = joined.select(col("u"), col("nl").as("lbl"))
-      it += 1
-    }
-    require(converged,
-      s"connected components did not converge in $MaxCcIterations rounds — " +
-        "component diameter exceeds the cap; switch to pointer doubling")
-    // Materialize the fixpoint and cut the iterative lineage, then
-    // release every round's cache — nothing stays registered with the
-    // cache manager after the operator returns. (Single-process
-    // checkpoint; a multi-node deployment points this at a reliable
-    // checkpoint dir instead.)
-    val fixed = labels.localCheckpoint(true)
-    roundCaches.foreach(_.unpersist(blocking = false))
+    // finally, not sequential: a non-convergence require would
+    // otherwise LEAK every round's persist into the session's cache
+    // manager for its whole lifetime
+    val fixed =
+      try {
+        var labels = Tables.documents(s, dir)
+          .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        roundCaches += labels
+        var converged = false
+        var it = 0
+        while (!converged && it < MaxCcIterations) {
+          val nbrMin = edges
+            .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+            .groupBy("u").agg(min("vlbl").as("nlbl"))
+          val joined = labels.join(nbrMin, Seq("u"), "left")
+            .select(col("u"), col("lbl"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          roundCaches += joined
+          converged = joined.filter(col("nl") < col("lbl")).isEmpty
+          labels = joined.select(col("u"), col("nl").as("lbl"))
+          it += 1
+        }
+        require(converged,
+          s"connected components did not converge in $MaxCcIterations rounds — " +
+            "component diameter exceeds the cap; switch to pointer doubling")
+        // Materialize the fixpoint and cut the iterative lineage, so the
+        // caches can drop — nothing stays registered with the cache
+        // manager after the operator returns. (Single-process checkpoint;
+        // a multi-node deployment points this at a reliable checkpoint
+        // dir instead.)
+        labels.localCheckpoint(true)
+      } finally roundCaches.foreach(_.unpersist(blocking = false))
     fixed
       .select(col("u").as("doc_id"), col("lbl").as("cluster"))
       .withColumn("cluster_size", count(lit(1)).over(
@@ -418,7 +437,11 @@ object Dedup {
       e.select(col("u").as("_1"), col("v").as("_2")).as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          // LongMap, not HashMap[Long, Long]: the boxed map's entry
+          // objects + boxed keys/values cost ~4-6× the documented
+          // 50 MB/1M-edges estimate and could OOM the single task at
+          // the cap; the primitive-specialized map actually meets it
+          val parent = scala.collection.mutable.LongMap.empty[Long]
           def find(x0: Long): Long = {
             var r = x0
             while (parent(r) != r) r = parent(r)
@@ -440,33 +463,37 @@ object Dedup {
     }
 
     val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    roundCaches += edges
-    val nEdges = edges.count()
-    val starEdges =
-      if (nEdges <= smallGraphCap) unionFindStar(edges)
-      else {
-        var edgesSig = sig(edges)
-        var converged = false
-        var it = 0
-        while (!converged && it < MaxCcIterations) {
-          val next = smallStar(largeStar(edges))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          roundCaches += next
-          val nextSig = sig(next)
-          converged = nextSig == edgesSig &&
-            next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-          edges = next
-          edgesSig = nextSig
-          it += 1
-        }
-        require(converged,
-          s"pointer doubling did not converge in $MaxCcIterations rounds")
-        edges
-      }
-    val fixed = starEdges.localCheckpoint(true)
-    roundCaches.foreach(_.unpersist(blocking = false))
+    // finally: a non-convergence require must not leak the per-round
+    // persists into the session cache manager (same contract as q52)
+    val fixed =
+      try {
+        var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        roundCaches += edges
+        val nEdges = edges.count()
+        val starEdges =
+          if (nEdges <= smallGraphCap) unionFindStar(edges)
+          else {
+            var edgesSig = sig(edges)
+            var converged = false
+            var it = 0
+            while (!converged && it < MaxCcIterations) {
+              val next = smallStar(largeStar(edges))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              roundCaches += next
+              val nextSig = sig(next)
+              converged = nextSig == edgesSig &&
+                next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+              edges = next
+              edgesSig = nextSig
+              it += 1
+            }
+            require(converged,
+              s"pointer doubling did not converge in $MaxCcIterations rounds")
+            edges
+          }
+        starEdges.localCheckpoint(true)
+      } finally roundCaches.foreach(_.unpersist(blocking = false))
     // star edges point every non-root at its component min; roots and
     // singletons label themselves
     val lbls = fixed.groupBy("u").agg(min("v").as("lbl"))
@@ -499,15 +526,16 @@ object Dedup {
 
   // ---------- q30: 60-bit SimHash ----------
 
-  /** One aggregate pass: hash each word once, fold a 60-slot vote array,
-    * then collapse votes to bits. (Naive per-bit aggregates would hash
-    * every word 60× — 60 md5 scans per document.) */
   /** One projection to the hashed-word array, then the native
     * [[graft.functions.ArrayFunctions.simhash60]] kernel (the
     * higher-order-function fold allocated a 60-slot array per WORD —
-    * measured ~3 s at sf0.1 vs sub-second for the one-pass kernel). */
+    * measured ~3 s at sf0.1 vs sub-second for the one-pass kernel).
+    * Null-text docs are dropped on BOTH engines: the oracle's unnest
+    * emits zero rows for a NULL text, while an unguarded Spark side
+    * would emit a (doc_id, null) row — a latent differential break. */
   private def simhashCore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         transform(wordsCol(col("text")), w => hash60(w)).as("hs"))
       .select(col("doc_id"),
@@ -600,7 +628,7 @@ object Dedup {
     * pinned `[ \t\n\f\r]` (round-5 ADVICE: Java \s ⊃ RE2 \s). */
   def dupGramCoverage(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val ts = split(trim(col("text")), "[ \t\n\f\r]+")
+    val ts = wordsCol(col("text"))
     val toks = d.select(col("doc_id"), ts.as("ts"))
     // sequence(0, size-5) would run DESCENDING for short docs (Spark
     // picks step −1 when start > stop) — guard to an empty gram list.
@@ -741,8 +769,7 @@ object Dedup {
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
 
-  private def h32sql(x: String): String =
-    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+  private def h32sql(x: String): String = Det.h8Sql(x)
   private def h60sql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
@@ -852,7 +879,7 @@ object Dedup {
     "q74_dup_gram_coverage" ->
       s"""WITH toks AS (
          | SELECT doc_id,
-         |  string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+         |  ${Det.wordsSql("text")} AS ts
          | FROM documents),
          |grams AS (
          | SELECT doc_id, array_to_string(ts[i:i+${DupGramN - 1}], ' ') AS g

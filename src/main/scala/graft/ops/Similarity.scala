@@ -411,8 +411,15 @@ object Similarity {
         .select(col("k"), coalesce(col("cq"), col("prev_cq")).as("cq"))
     }
 
-    val finalCent = (1 to KmIters).foldLeft(init) { (cent, _) =>
-      update(assign(cent), cent)
+    // Each round references the previous centroid frame TWICE (assign
+    // + update's keep-prev), so an unpersisted fold embeds 2^rounds
+    // copies of every round's N-scale window/filter in the final plan
+    // (ReusedExchange dedupes only the exchanges, not the operators
+    // above them). The centroid frame is K rows — localCheckpoint(true)
+    // materializes it for pennies each round and keeps the plan flat,
+    // the same round-lineage rule as q52/q87/q95.
+    val finalCent = (1 to KmIters).foldLeft(init.localCheckpoint(true)) {
+      (cent, _) => update(assign(cent), cent).localCheckpoint(true)
     }
     assign(finalCent)
       .select(col("vec_id"), col("q"), col("k"), col("d"))

@@ -143,7 +143,7 @@ object TextAnalysis {
   def pmiPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val tokens = d.select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "[ \t\n\f\r]+")))
+        explode(array_distinct(words(col("text"))))
           .as("tok"))
       .where(length(col("tok")) > 0)
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -180,7 +180,7 @@ object TextAnalysis {
     * out. Higher-order n-grams are the same plan with a wider key. */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val ts = split(trim(col("text")), "[ \t\n\f\r]+")
+    val ts = words(col("text"))
     val bi = d.select(col("doc_id"), ts.as("ts"))
       .select(explode(when(size(col("ts")) >= 2,
         transform(sequence(lit(1), size(col("ts")) - lit(1)),
@@ -573,7 +573,7 @@ object TextAnalysis {
       s"""WITH toks AS (
          | SELECT DISTINCT doc_id, tok FROM (
          |  SELECT doc_id,
-         |   unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS tok
+         |   unnest(${Det.wordsSql("text")}) AS tok
          |  FROM documents) WHERE length(tok) > 0),
          |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
          |vocab AS (SELECT tok, df FROM dfreq
@@ -592,9 +592,9 @@ object TextAnalysis {
          |FROM pairs CROSS JOIN tot
          |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
     "q77_bigram_lm" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         | SELECT doc_id,
-        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS ts
+        |  ${Det.wordsSql("text")} AS ts
         | FROM documents),
         |bi AS (
         | SELECT ts[i] AS a, ts[i+1] AS b
