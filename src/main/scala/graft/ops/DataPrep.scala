@@ -60,7 +60,7 @@ object DataPrep {
     * two-level agg is linear with map-side partial aggregation. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), words(coalesce(col("text"), lit(""))).as("w"))
     val base = d.select(
       col("doc_id"),
       when(length(concat_ws("", col("w"))) === 0, 0L)
@@ -135,6 +135,7 @@ object DataPrep {
     val docs = Tables.documents(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term") =!= "") // empty/ws-only docs: no phantom "" term
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -192,7 +193,7 @@ object DataPrep {
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("bin", ntile(NBins).over(
         Window.partitionBy("event_type")
-          .orderBy(col("value").asc, col("event_id").asc)))
+          .orderBy(col("value").asc_nulls_last, col("event_id").asc)))
       .select(col("event_id"), col("event_type"), col("bin").cast("long").as("bin"),
         Det.cents(col("value")).cast("long").as("value_cents"))
       .orderBy("event_id")
@@ -372,7 +373,7 @@ object DataPrep {
   val oracles: Map[String, String] = Map(
     "q47_repetition_stats" ->
       s"""WITH d AS (
-        | SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS w FROM documents),
+        | SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '${Det.WsClass}+') AS w FROM documents),
         |base AS (
         | SELECT doc_id,
         |  CASE WHEN length(list_aggregate(w, 'string_agg', '')) = 0 THEN 0
@@ -419,7 +420,8 @@ object DataPrep {
       s"""WITH tok AS (
          | SELECT doc_id, unnest(string_split_regex(trim(text), '${Det.WsClass}+')) AS term
          | FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (

@@ -18,28 +18,32 @@ import graft.Tables
   * never full joins, cross the network. */
 object Quality {
 
-  /** (column, null-count expr, distinct expr, min repr, max repr) —
-    * representations are strings with engine-identical rendering:
-    * integers/dates/strings cast directly, doubles via exact cents. */
-  private def profiled: Seq[(String, Column, Column)] = Seq(
-    ("o_orderkey", col("o_orderkey"), col("o_orderkey").cast("string")),
-    ("o_custkey", col("o_custkey"), col("o_custkey").cast("string")),
-    ("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+  /** (column, renderer) — min/max aggregate the NATIVE column and the
+    * renderer stringifies the RESULT (engine-identically: integers/
+    * dates/strings cast directly, doubles via exact cents). Rendering
+    * before aggregating would make the bounds lexicographic —
+    * min('10','2') = '10' — silently wrong for every multi-digit
+    * numeric column, and the oracle mirror would agree. Renderers are
+    * monotone, so render(min(c)) ≡ the true minimum's rendering. */
+  private def profiled: Seq[(String, Column, Column => Column)] = Seq(
+    ("o_orderkey", col("o_orderkey"), (c: Column) => c.cast("string")),
+    ("o_custkey", col("o_custkey"), (c: Column) => c.cast("string")),
+    ("o_orderstatus", col("o_orderstatus"), (c: Column) => c),
     ("o_totalprice", col("o_totalprice"),
-      Det.cents(col("o_totalprice")).cast("long").cast("string")),
-    ("o_orderdate", col("o_orderdate"), col("o_orderdate").cast("string")),
-    ("o_orderpriority", col("o_orderpriority"), col("o_orderpriority")))
+      (c: Column) => Det.cents(c).cast("long").cast("string")),
+    ("o_orderdate", col("o_orderdate"), (c: Column) => c.cast("string")),
+    ("o_orderpriority", col("o_orderpriority"), (c: Column) => c))
 
   /** Column profile of `orders` (q62): per column — nulls, exact
     * distincts, min/max in a canonical string rendering — plus the
     * table row count on every row. */
   def profile(s: SparkSession, dir: String): DataFrame = {
-    val aggs = profiled.flatMap { case (name, c, repr) =>
+    val aggs = profiled.flatMap { case (name, c, render) =>
       Seq(
         count(lit(1)).minus(count(c)).cast("long").as(s"nn_$name"),
         countDistinct(c).cast("long").as(s"nd_$name"),
-        min(repr).as(s"mn_$name"),
-        max(repr).as(s"mx_$name"))
+        render(min(c)).as(s"mn_$name"),
+        render(max(c)).as(s"mx_$name"))
     }
     val one = Tables.orders(s, dir)
       .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
@@ -105,8 +109,10 @@ object Quality {
   def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_type"), Det.cents(col("value")).cast("long").as("cents"))
+    // NULLS LAST pinned: Spark's ASC default is NULLS FIRST, DuckDB's
+    // is NULLS LAST — a single null value would shift every real rank
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("cents")
+      .partitionBy("event_type").orderBy(col("cents").asc_nulls_last)
     val quart = e.withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
@@ -173,19 +179,24 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q62_data_profile" -> {
-      val reprSql = Map(
-        "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
-        "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
-        "o_orderstatus" -> "o_orderstatus",
-        "o_totalprice" -> "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
-        "o_orderdate" -> "CAST(o_orderdate AS VARCHAR)",
-        "o_orderpriority" -> "o_orderpriority")
+      // render OUTSIDE min/max, mirroring the Spark side: the bounds
+      // aggregate native values, the string rendering applies to the
+      // one-row result
+      val renderSql = Map(
+        "o_orderkey" -> ((e: String) => s"CAST($e AS VARCHAR)"),
+        "o_custkey" -> ((e: String) => s"CAST($e AS VARCHAR)"),
+        "o_orderstatus" -> ((e: String) => e),
+        "o_totalprice" ->
+          ((e: String) => s"CAST(CAST(round($e * 100) AS BIGINT) AS VARCHAR)"),
+        "o_orderdate" -> ((e: String) => s"CAST($e AS VARCHAR)"),
+        "o_orderpriority" -> ((e: String) => e))
       profiled.map { case (name, _, _) =>
+        val r = renderSql(name)
         s"""SELECT '$name' AS col_name, count(*) AS n_rows,
            | count(*) - count($name) AS n_nulls,
            | count(DISTINCT $name) AS n_distinct,
-           | min(${reprSql(name)}) AS min_repr,
-           | max(${reprSql(name)}) AS max_repr
+           | ${r(s"min($name)")} AS min_repr,
+           | ${r(s"max($name)")} AS max_repr
            |FROM orders""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
     },
@@ -247,9 +258,10 @@ object Quality {
         |  lag(cents, 3) OVER w AS c3
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
         |SELECT user_id, event_id, us, cents,
-        | CAST(((cents * 8 + coalesce(c1 * 4, 0) + coalesce(c2 * 2, 0)
-        |        + coalesce(c3, 0)) * 1000)
-        |  // (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+        | CAST(((coalesce(cents * 8, 0) + coalesce(c1 * 4, 0)
+        |        + coalesce(c2 * 2, 0) + coalesce(c3, 0)) * 1000)
+        |  // (CASE WHEN cents IS NULL THEN 0 ELSE 8 END
+        |       + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
         |       + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
         |       + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
         |  AS BIGINT) AS wavg_milli

@@ -543,12 +543,13 @@ object Relational {
         | count(*) OVER w AS run_n,
         | CAST(sum(round(o_totalprice*100)) OVER w AS BIGINT) AS run_cents,
         | lag(CAST(o_orderdate AS DATE), 1) OVER
-        |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date,
+        |  (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC) AS prev_date,
         | date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER
-        |  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC),
         |  CAST(o_orderdate AS DATE)) AS gap_days
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q09_global_topk" ->
@@ -625,9 +626,9 @@ object Relational {
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     "q19_json_extract" ->
       """SELECT event_type,
-        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
