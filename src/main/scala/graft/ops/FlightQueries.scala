@@ -126,8 +126,12 @@ object FlightQueries {
     * the classic 4 shifted grids: with cell width 2·eps and per-axis
     * shifts {0, eps}, two points within eps per axis share a cell in
     * at least one of the four (a pair can straddle one grid's
-    * boundary, not both shifts'), so candidate generation is
-    * recall-exact. Verify is exact 64-bit integer arithmetic. */
+    * boundary, not both shifts'), so the GRID construction is
+    * recall-exact — up to the hot-cell cap: like every LSH-family
+    * generator, cells over `spark.graft.lsh.maxBucket` are dropped
+    * with a loud counter (weaker recall beats a quadratic cell), so
+    * at-scale recall is exact only for cells within the cap. Verify
+    * is exact 64-bit integer arithmetic. */
   def q65GeoClosePairs(s: SparkSession, dir: String): DataFrame = {
     val w = 2 * CloseEpsMicro
     val p = positioned(s)

@@ -69,8 +69,7 @@ object Mixing {
     "q73_dataset_mix" -> (mixture _)
   )
 
-  private def h8Sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+  private def h8Sql(e: String): String = Det.h8Sql(e)
 
   val oracles: Map[String, String] = Map(
     "q73_dataset_mix" -> {

@@ -57,7 +57,7 @@ object Scd {
       """WITH base AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
         |  lag(event_type) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_et
         | FROM events),
         |runs AS (
         | SELECT user_id, event_type, us,
