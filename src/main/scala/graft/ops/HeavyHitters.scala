@@ -50,8 +50,10 @@ object HeavyHitters {
     val sketch = keys.agg(
       ArrayFunctions.countMinSketch(col("key"), CmDepth, CmWidth).as("cm"))
     val exact = keys.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
-    val tot = keys.agg(count(lit(1)).as("n"),
-      countDistinct(col("key")).as("n_keys"))
+    // derived from the exact side's shuffle output — a third full scan
+    // of the fact table plus a countDistinct shuffle said the same
+    val tot = exact.agg(sum("exact_cnt").cast("long").as("n"),
+      count(lit(1)).as("n_keys"))
     val estimate = least((0 until CmDepth).map(j =>
       element_at(col("cm"), (lit(j.toLong * CmWidth) + bucketCol(j, col("key")) + lit(1L)).cast("int"))): _*)
     exact

@@ -95,8 +95,7 @@ object MultiModal {
     "q38_mm_frames" -> (mmFrames _)
   )
 
-  private def h32sql(x: String): String =
-    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+  private def h32sql(x: String): String = Det.h8Sql(x)
 
   /** The oracle mirrors payload bytes through VARCHAR: this DuckDB
     * build has no md5/substring over BLOB, and the synthetic text is

@@ -114,7 +114,12 @@ object PipelineCache {
     val sk = sessionKey(s)
     cache.keys.filter(k => k._1 == sk &&
         (k._3 == owner || k._3.startsWith(owner + "/"))).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      cache.remove(k).foreach { df =>
+        // tolerate a stopped context (evictSessionKey's contract): a
+        // throwing unpersist must not strand the remaining entries
+        try df.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }
+      }
     }
   }
 
@@ -122,7 +127,10 @@ object PipelineCache {
   def clear(s: SparkSession): Unit = {
     val sk = sessionKey(s)
     cache.keys.filter(_._1 == sk).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }
+      }
     }
   }
 }

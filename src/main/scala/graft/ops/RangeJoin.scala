@@ -68,9 +68,15 @@ object RangeJoin {
     * nested loop — `PlanInvariantsSpec` pins that no session plans
     * this query as a BNLJ. */
   def attributionNatural(s: SparkSession, dir: String): DataFrame = {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+    // synchronized: the check-then-append on the shared session var
+    // races under concurrent query building (double-install is merely
+    // redundant — the rule is idempotent — but a lost concurrent
+    // append of a DIFFERENT rule would not be)
+    RangeJoin.synchronized {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+    }
     val e = Tables.events(s, dir)
     val views = e.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("vts"))
@@ -98,7 +104,8 @@ object RangeJoin {
          |FROM events v JOIN events p
          |  ON p.user_id = v.user_id
          |  AND v.event_type = 'view' AND p.event_type = 'purchase'
-         |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL $WindowMinutes MINUTE
+         |  AND epoch_us(p.ts) > epoch_us(v.ts)
+         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + ${WindowMinutes}*60000000
          |GROUP BY v.event_id, v.user_id
          |ORDER BY view_id""".stripMargin,
     "q43_range_join_natural" ->
@@ -107,7 +114,8 @@ object RangeJoin {
          |  min(p.event_id) AS first_purchase_id
          |FROM events v JOIN events p
          |  ON v.event_type = 'view' AND p.event_type = 'purchase'
-         |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL $WindowMinutes MINUTE
+         |  AND epoch_us(p.ts) > epoch_us(v.ts)
+         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + ${WindowMinutes}*60000000
          |GROUP BY v.event_id
          |ORDER BY view_id""".stripMargin
   )
