@@ -41,6 +41,12 @@ object Bench {
     case c if c < ' ' => " "; case c => c.toString
   }
 
+  /** Locale-pinned fixed-point render: the default-locale `f"%.4f"`
+    * emits comma decimal separators on e.g. a de_DE JVM, which would
+    * make the emitted JSON line unparseable. */
+  private[graft] def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -95,8 +101,8 @@ object Bench {
       s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
     val total = measured.collect { case (_, Right(v)) => v }.sum
     val canary = measured.collectFirst { case (CanaryQuery, Right(v)) =>
-      f""""canary":{"query":"$CanaryQuery","sec":$v%.4f,""" +
-        f""""ref_sec":$CanaryRefSec%.4f,"ratio":${v / CanaryRefSec}%.3f},"""
+      s""""canary":{"query":"$CanaryQuery","sec":${num(v, 4)},""" +
+        s""""ref_sec":${num(CanaryRefSec, 4)},"ratio":${num(v / CanaryRefSec, 3)}},"""
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$canary"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""

@@ -56,15 +56,17 @@ object MicroBench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Bench.num, not f"%.4f": the default-locale interpolator would
+    // emit comma decimals (invalid JSON) on comma-separator locales.
     val canary = results.collectFirst {
       case (Bench.CanaryQuery, runs) =>
-        f""""canary":{"query":"${Bench.CanaryQuery}","min_sec":${runs.min}%.4f,""" +
-          f""""ref_sec":${Bench.CanaryRefSec}%.4f,""" +
-          f""""ratio":${runs.min / Bench.CanaryRefSec}%.3f},"""
+        s""""canary":{"query":"${Bench.CanaryQuery}","min_sec":${Bench.num(runs.min, 4)},""" +
+          s""""ref_sec":${Bench.num(Bench.CanaryRefSec, 4)},""" +
+          s""""ratio":${Bench.num(runs.min / Bench.CanaryRefSec, 3)}},"""
     }.getOrElse("")
     val qs = results.map { case (name, runs) =>
-      f""""${Bench.esc(name)}":{"min":${runs.min}%.4f,"median":${med(runs)}%.4f,""" +
-        s""""runs":[${runs.map(r => f"$r%.4f").mkString(",")}]}"""
+      s""""${Bench.esc(name)}":{"min":${Bench.num(runs.min, 4)},"median":${Bench.num(med(runs), 4)},""" +
+        s""""runs":[${runs.map(r => Bench.num(r, 4)).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val json = s"""{"n":$n,"cpus":"${Bench.esc(cpus)}","sf":"${Bench.esc(sfDir)}",$canary"queries":$qs}"""
     println(json)

@@ -81,8 +81,12 @@ final class JsonlControlStore(path: String) extends ControlStore {
       val bytes = Files.readAllBytes(p)
       if (bytes.last != '\n'.toByte) {
         val cut = bytes.lastIndexOf('\n'.toByte) + 1
-        Files.write(p, java.util.Arrays.copyOf(bytes, cut),
-          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        // Truncate IN PLACE: a full rewrite (truncate-to-zero + write)
+        // would open a crash window in which every complete record is
+        // lost — a wider blast radius than the one torn line healed.
+        // FileChannel.truncate never touches the surviving prefix.
+        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+        try ch.truncate(cut.toLong) finally ch.close()
         System.err.println("[ledger] truncated torn final line before append")
       }
     }

@@ -106,9 +106,15 @@ object ExtractJob {
       n.elements().asScala.map(renderPyRepr).mkString("[", ", ", "]")
     else n.asText()
 
-  private def pyDouble(d: Double): String = {
+  private[extract] def pyDouble(d: Double): String = {
     val abs = math.abs(d)
-    if (d.isNaN || d.isInfinite || (abs != 0.0 && (abs < 1e-4 || abs >= 1e16)))
+    // Python renders these as 'nan'/'inf'/'-inf'; Java's String.valueOf
+    // would give 'NaN'/'Infinity'. Jackson's default parser cannot
+    // produce them from standard JSON, but a lenient payload could.
+    if (d.isNaN) "nan"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else if (abs != 0.0 && (abs < 1e-4 || abs >= 1e16))
       String.valueOf(d) // outside Python's plain window — not a state field range
     else {
       val s = new java.math.BigDecimal(java.lang.Double.toString(d))

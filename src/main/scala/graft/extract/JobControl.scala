@@ -78,8 +78,11 @@ final class JsonlJobControl(
       val bytes = Files.readAllBytes(p)
       if (bytes.last != '\n'.toByte) {
         val cut = bytes.lastIndexOf('\n'.toByte) + 1
-        Files.write(p, java.util.Arrays.copyOf(bytes, cut),
-          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+        // In-place truncate (see JsonlControlStore.healTornTail): the
+        // readAllBytes + TRUNCATE_EXISTING rewrite had a crash window
+        // that lost the whole log, not just the torn line.
+        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+        try ch.truncate(cut.toLong) finally ch.close()
         System.err.println("[job_logs] truncated torn final line before append")
       }
     }

@@ -45,15 +45,22 @@ object HeavyHitters {
       lit(CountMinAgg.B(j)))
       % lit(CountMinAgg.P)) % lit(CmWidth.toLong)
 
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.lineitem(s, dir).select(col("l_partkey").as("key"))
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables.lineitem(s, dir).select(col("l_partkey").as("key")))
+
+  /** Core derivation over any single-column `key` frame (nullable ok). */
+  private[graft] def heavyHittersOf(keys: DataFrame): DataFrame = {
     val sketch = keys.agg(
       ArrayFunctions.countMinSketch(col("key"), CmDepth, CmWidth).as("cm"))
     val exact = keys.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
     // derived from the exact side's shuffle output — a third full scan
     // of the fact table plus a countDistinct shuffle said the same
+    // count(col) not count(*): the exact groupBy would give a NULL-key
+    // group its own row, but the oracle's count(DISTINCT key) excludes
+    // NULLs — count over the key column keeps the derivation
+    // oracle-equivalent for any (nullable) key input.
     val tot = exact.agg(sum("exact_cnt").cast("long").as("n"),
-      count(lit(1)).as("n_keys"))
+      count(col("key")).as("n_keys"))
     val estimate = least((0 until CmDepth).map(j =>
       element_at(col("cm"), (lit(j.toLong * CmWidth) + bucketCol(j, col("key")) + lit(1L)).cast("int"))): _*)
     exact

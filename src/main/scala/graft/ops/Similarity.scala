@@ -418,9 +418,20 @@ object Similarity {
     // above them). The centroid frame is K rows — localCheckpoint(true)
     // materializes it for pennies each round and keeps the plan flat,
     // the same round-lineage rule as q52/q87/q95.
-    val finalCent = (1 to KmIters).foldLeft(init.localCheckpoint(true)) {
-      (cent, _) => update(assign(cent), cent).localCheckpoint(true)
+    // Rounds are tracked so the intermediates can be DROPPED: each
+    // localCheckpoint(true) registers a K-row RDD with the cache
+    // manager for the session's lifetime, and eager materialization
+    // means round r's blocks are dead the moment round r+1's checkpoint
+    // lands. Only the FINAL centroid frame must survive — the returned
+    // assignment reads its blocks lazily (q95 round-cache pattern).
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val finalCent = (1 to KmIters).foldLeft {
+      val c0 = init.localCheckpoint(true); rounds += c0; c0
+    } { (cent, _) =>
+      val nxt = update(assign(cent), cent).localCheckpoint(true)
+      rounds += nxt; nxt
     }
+    rounds.dropRight(1).foreach(_.unpersist(blocking = false))
     assign(finalCent)
       .select(col("vec_id"), col("q"), col("k"), col("d"))
   }

@@ -165,4 +165,13 @@ class ExtractJobSpec extends SparkTestBase {
     assert(sent("http://x/states") === Map("lamin" -> "45.8"),
       "absent bbox params are omitted from the request")
   }
+
+  test("pyDouble renders non-finite values like Python str(float)") {
+    // Java String.valueOf would give "NaN"/"Infinity"/"-Infinity";
+    // Python prints nan/inf/-inf. Standard JSON can't carry these, but
+    // a lenient upstream payload could.
+    assert(ExtractJob.pyDouble(Double.NaN) === "nan")
+    assert(ExtractJob.pyDouble(Double.PositiveInfinity) === "inf")
+    assert(ExtractJob.pyDouble(Double.NegativeInfinity) === "-inf")
+  }
 }

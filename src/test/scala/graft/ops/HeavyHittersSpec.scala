@@ -58,4 +58,19 @@ class HeavyHittersSpec extends SparkTestBase {
     // the CM error bound must actually hold here, not just be emitted
     assert(got.forall(_._4 == 1L), "estimate outside the CM bound")
   }
+
+  test("n_keys excludes the NULL-key group (count(DISTINCT) parity)") {
+    import spark.implicits._
+    // n=11, one non-null distinct key: threshold is 7·11/(5·1)=15.4,
+    // so nothing passes. Were n_keys count(*) over the groups (=2,
+    // counting the NULL group), 8·5·2=80 ≥ 77 would leak key 42 out.
+    val ks1 = (Seq.fill(8)(Option(42L)) ++ Seq.fill(3)(Option.empty[Long]))
+      .toDF("key")
+    assert(HeavyHitters.heavyHittersOf(ks1).collect().isEmpty)
+    // and with two real keys the frequent one still surfaces
+    val ks2 = (Seq.fill(9)(Option(7L)) ++ Seq(Option(8L), Option.empty[Long]))
+      .toDF("key")
+    val got = HeavyHitters.heavyHittersOf(ks2).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L))
+  }
 }
