@@ -667,7 +667,9 @@ object Dedup {
     "q56_dedup_clusters_ls" -> ((s, d) => dedupClustersLargeStar(s, d)),
     "q74_dup_gram_coverage" -> (dupGramCoverage _),
     "q91_er_canonical" -> (erCanonical _),
-    "q99_containment_pairs" -> (containmentPairs _)
+    "q99_containment_pairs" -> (containmentPairs _),
+    "q102_split_leakage" -> (splitLeakage _),
+    "q104_jaccard_join_exact" -> (jaccardJoinExact _)
   )
 
   /** q91: entity-resolution canonicalization — the step AFTER
@@ -766,6 +768,103 @@ object Dedup {
         "contained_doc")
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---------- q104: exact Jaccard join via prefix filtering ----------
+
+  /** Exact-join Jaccard threshold (ppm), compared by cross-multiply
+    * (no division) and floored to `jacc_ppm` only for display. */
+  val PfxJaccPpmMin = 500000L
+
+  /** Exact Jaccard set-similarity join (q104): every document pair
+    * with shingle-set Jaccard ≥ 0.5 — EXACTLY. q28's banded min-hash
+    * is probabilistic (a qualifying pair can miss every band); this is
+    * the prefix-filtering join of SSJoin/AllPairs (Chaudhuri et al.
+    * ICDE'06; Bayardo et al. WWW'07): under any global total order on
+    * shingles, J(A,B) ≥ τ forces A and B to share an element within
+    * their first |X| − ⌈τ·|X|⌉ + 1 order-sorted elements, so an
+    * equi-join on PREFIX shingles alone is provably complete. The
+    * oracle is brute force over ALL pairs (124,750 at sf0.01), so the
+    * green row verifies the completeness theorem itself, not just the
+    * verify arithmetic.
+    *
+    * The global order is (document frequency ASC, hash ASC): prefixes
+    * are each doc's RAREST shingles, so prefix posting lists are short
+    * by construction — the same reason q99 blocks on rare shingles,
+    * but WITHOUT q99's df cap, which would break exactness (measured:
+    * 784 candidates vs 124,750 brute-force pairs at sf0.01, 310 k vs
+    * 12.5 M at sf0.1). A ubiquitous shingle can still appear in a
+    * SHORT doc's prefix; its posting list is data-dependent, which is
+    * the price of an exact join — at 100 TB you either pay it or run
+    * q28 and accept its recall. The τ·|A| ≤ |B| ≤ |A|/τ size filter
+    * ([[sizeRatioOk]], necessary for J ≥ τ) prunes at the join edge.
+    * Shuffles: df agg + per-doc rank window + candidate self-join on
+    * shingle + two verify joins — data-scale keys only, nothing
+    * all-pairs. */
+  def jaccardJoinExact(s: SparkSession, dir: String): DataFrame = {
+    // hx appears three times (postings + both verify sides) — same
+    // materialize-once contract as q28/q99, own cache key so Bench's
+    // per-owner invalidate keeps the timing honest.
+    val hx = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
+      hashedShingles(s, dir)
+    }
+    val posts = hx.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rank within doc by the global (df, sh) order; keep the prefix
+    // n − ⌈τ·n⌉ + 1, which for τ = 1/2 is n − (n+1) div 2 + 1
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sh")
+    val pref = posts.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("sh"), col("doc_id"), col("n"))
+    // shuffle_hash for the q28 reasons: both sides are data-scale and
+    // the identical exchanges collapse via ReusedExchange.
+    val cand = pref.hint("shuffle_hash").as("x")
+      .join(pref.hint("shuffle_hash").as("y"), Seq("sh"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        sizeRatioOk(col("x.n"), col("y.n"), 500L))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("hsa"))
+    val b = hx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hsb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        interCount(col("hsa"), col("hsb")).as("inter_sh"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter_sh"),
+        (col("na") + col("nb") - col("inter_sh")).as("union_sh"))
+      .where(col("inter_sh") * lit(1000000L) >= lit(PfxJaccPpmMin) * col("union_sh"))
+      .withColumn("jacc_ppm", expr("inter_sh * 1000000 div union_sh"))
+      .select("doc_a", "doc_b", "inter_sh", "union_sh", "jacc_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- q102: split-leakage audit (q52 clusters × q48 split) ----------
+
+  /** Split-leakage audit (q102): near-dup clusters (q52) crossed with
+    * the deterministic train/val/test hash split (q48) — the check a
+    * training pipeline runs BEFORE training. A near-duplicate of a
+    * training document sitting in val/test inflates eval scores even
+    * after doc-level exact dedup (the variants are not byte-identical,
+    * so q44 keeps both and the doc_id-hash split routes them
+    * independently). One row per multi-doc cluster with its per-split
+    * census and a `leaky` flag (train ∩ (val ∪ test) ≠ ∅). Singleton
+    * clusters are omitted: they cannot leak, and at corpus scale they
+    * are ~all clusters. Cost on top of the cached q52 frame: one
+    * broadcast-joinable split projection and one groupBy(cluster). */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir).select("doc_id", "cluster")
+      .join(DataPrep.hashSplit(s, dir).select("doc_id", "split"), Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .where(col("cluster_size") >= 2)
+      .withColumn("leaky",
+        (col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0))
+          .cast("long"))
+      .orderBy("cluster")
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
 
@@ -931,13 +1030,7 @@ object Dedup {
     // connected component is, the Spark side is the HOW at scale.
     "q52_dedup_clusters" -> clustersOracle,
     "q91_er_canonical" ->
-      s"""$minhashCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
-         |   UNION
-         |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-         |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u),
+      s"""$clusterChainCtes,
          |sized AS (SELECT doc_id, cluster,
          |   count(*) OVER (PARTITION BY cluster) AS cluster_size FROM comp),
          |ranked AS (SELECT s.doc_id, s.cluster, s.cluster_size, d.n_chars,
@@ -954,17 +1047,56 @@ object Dedup {
          |ORDER BY r.doc_id""".stripMargin,
     // q56 computes the SAME clusters by pointer doubling — one
     // definition of correct, two physical strategies under it.
-    "q56_dedup_clusters_ls" -> clustersOracle
+    "q56_dedup_clusters_ls" -> clustersOracle,
+    "q102_split_leakage" ->
+      s"""$clusterChainCtes,
+         |spl AS (SELECT doc_id,
+         |   CASE WHEN ${Det.h8Sql("CAST(doc_id AS VARCHAR)")} % 100 < ${DataPrep.TrainPct} THEN 'train'
+         |        WHEN ${Det.h8Sql("CAST(doc_id AS VARCHAR)")} % 100 < ${DataPrep.ValPct} THEN 'val'
+         |        ELSE 'test' END AS split FROM documents),
+         |g AS (SELECT cluster, count(*) AS cluster_size,
+         |   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |   FROM comp JOIN spl USING (doc_id) GROUP BY 1)
+         |SELECT cluster, cluster_size, n_train, n_val, n_test,
+         |  CAST(n_train > 0 AND (n_val > 0 OR n_test > 0) AS BIGINT) AS leaky
+         |FROM g WHERE cluster_size >= 2 ORDER BY cluster""".stripMargin,
+    // Brute force over ALL doc pairs on the SAME hashed shingle sets:
+    // hash-equality of this row against the prefix-filtered Spark plan
+    // is the completeness theorem's verification.
+    "q104_jaccard_join_exact" ->
+      s"""WITH w AS (SELECT doc_id, ${Det.wordsSql("text")} AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, greatest(len(ws)-2, 0)),
+         |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+         |sh2 AS (SELECT doc_id,
+         |   list_distinct(list_transform(s, x -> ${h32sql("x")} % $P)) AS h
+         |   FROM sh WHERE len(s) > 0),
+         |pv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   len(list_intersect(a.h, b.h)) AS inter_sh,
+         |   len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_sh
+         |   FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter_sh, union_sh,
+         |  inter_sh * 1000000 // union_sh AS jacc_ppm
+         |FROM pv WHERE inter_sh * 1000000 >= $PfxJaccPpmMin * union_sh
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 
-  private lazy val clustersOracle: String =
+  /** minhash pairs → undirected edges → recursive reachability →
+    * per-doc min-label components; shared suffix of every oracle that
+    * consumes q52's clusters (q52/q56/q91/q102). */
+  private lazy val clusterChainCtes: String =
     s"""$minhashCtes,
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |   UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach AS (SELECT doc_id AS u, doc_id AS l FROM documents
        |   UNION
        |   SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-       |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u)
+       |comp AS (SELECT u AS doc_id, min(l) AS cluster FROM reach GROUP BY u)""".stripMargin
+
+  private lazy val clustersOracle: String =
+    s"""$clusterChainCtes
        |SELECT doc_id, cluster,
        |   count(*) OVER (PARTITION BY cluster) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin

@@ -441,8 +441,66 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  // -------------------- q103: source distribution divergence --------------------
+
+  /** Pairwise source-distribution divergence (q103): for every source
+    * pair, an integer-ppm chi-square–style distance between their
+    * unigram frequency profiles — the drift diagnostic behind dataset
+    * mixing (q73 weights sources; this says which sources are
+    * near-duplicates DISTRIBUTIONALLY, where q100 asks about shared
+    * verbatim chunks). For per-source frequencies in ppm (f = cnt·10⁶
+    * div n_tokens), the distance is
+    *   Σ_shared (f_a − f_b)² div (f_a + f_b)  +  missing mass,
+    * where a token present only in one source contributes exactly its
+    * f (the (f−0)²/(f+0) limit) — computed as Σf_src minus the shared
+    * part, so tokens outside the shared join need no outer join. All
+    * integer; no logs (a KL needs ln, which the two engines round
+    * differently — the chi-square form is the standard log-free
+    * alternative and is what the integer-ppm discipline can express
+    * exactly).
+    *
+    * Scale shape: explode → groupBy (source, token) with map-side
+    * partial agg; the pair table is the vocab-keyed self-join (a token
+    * in k sources emits k(k−1)/2 pair rows — bounded by the source
+    * enum, the q100 argument); per-source totals and Σf are tiny
+    * broadcast frames. Pairs sharing ZERO tokens drop out of the
+    * equi-join (their distance is the degenerate 2·10⁶) — the q100
+    * convention, impossible for same-language sources. Tokens whose
+    * ppm floors to 0 in BOTH sources contribute 0 via the guarded
+    * division (at crawl scale n_tokens ≫ 10⁶ makes singleton tokens
+    * round to f = 0). */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val cnt = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n"))
+    val freq = cnt.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("w"), expr("c * 1000000 div n").as("f"))
+    val sumF = freq.groupBy("source").agg(sum("f").as("sum_f"))
+    val shared = freq.as("x").join(freq.as("y"), Seq("w"))
+      .where(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(when(col("x.f") + col("y.f") === 0, 0L)
+          .otherwise(expr("(x.f - y.f) * (x.f - y.f) div (x.f + y.f)")))
+          .as("chi2_shared"),
+        sum(col("x.f")).as("shared_fa"),
+        sum(col("y.f")).as("shared_fb"))
+    shared
+      .join(broadcast(sumF.select(col("source").as("src_a"), col("sum_f").as("sfa"))),
+        Seq("src_a"))
+      .join(broadcast(sumF.select(col("source").as("src_b"), col("sum_f").as("sfb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_tokens"),
+        (col("chi2_shared") + (col("sfa") - col("shared_fa")) +
+          (col("sfb") - col("shared_fb"))).as("chi2_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
+    "q103_source_divergence" -> (sourceDivergence _),
     "q26_doc_langid" -> (langId _),
     "q27_doc_fingerprint" -> (fingerprint _),
     "q75_pmi_pairs" -> (pmiPairs _),
@@ -526,6 +584,28 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q103_source_divergence" ->
+      s"""WITH tok AS (
+         | SELECT source, unnest(${Det.wordsSql("text")}) AS w FROM documents),
+         |tk AS (SELECT source, w FROM tok WHERE w <> ''),
+         |cnt AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |freq AS (SELECT cnt.source, w, c * 1000000 // n AS f
+         |   FROM cnt JOIN tot ON cnt.source = tot.source),
+         |sumf AS (SELECT source, CAST(sum(f) AS BIGINT) AS sum_f FROM freq GROUP BY 1),
+         |shared AS (SELECT x.source AS src_a, y.source AS src_b,
+         |   count(*) AS shared_tokens,
+         |   CAST(sum(CASE WHEN x.f + y.f = 0 THEN 0
+         |     ELSE (x.f - y.f) * (x.f - y.f) // (x.f + y.f) END) AS BIGINT) AS chi2_shared,
+         |   CAST(sum(x.f) AS BIGINT) AS shared_fa,
+         |   CAST(sum(y.f) AS BIGINT) AS shared_fb
+         |   FROM freq x JOIN freq y ON x.w = y.w AND x.source < y.source
+         |   GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_tokens,
+         |  chi2_shared + (sfa.sum_f - shared_fa) + (sfb.sum_f - shared_fb) AS chi2_ppm
+         |FROM shared JOIN sumf sfa ON sfa.source = shared.src_a
+         |            JOIN sumf sfb ON sfb.source = shared.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "q25_doc_stats" ->
       s"""SELECT doc_id, lang, source,
          | length(text) AS n_chars_m,

@@ -130,6 +130,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q97_token_budget" -> 2,
     // q98: cab/ca aggs, pair-key scoring join, doc_id agg + join back
     "q98_lm_fluency" -> 5,
+    // q102: clusters(checkpointed leaf) ⋈ split on doc_id + the
+    // cluster census groupBy
+    "q102_split_leakage" -> 2,
+    // q103: (source,token) agg + source totals agg + vocab-key
+    // self-join (reused exchange) + pair groupBy + Σf agg
+    "q103_source_divergence" -> 5,
+    // q104: shingle df agg + per-doc rank window + prefix self-join on
+    // shingle (reused) + two verify joins off the persisted hx
+    "q104_jaccard_join_exact" -> 5,
     // q99: posting agg + shingle-key self-join (reused) + verify joins;
     // the df-capped blocking adds no exchange beyond the posting agg
     "q99_containment_pairs" -> 4,

@@ -257,4 +257,70 @@ class DedupSpec extends SparkTestBase {
     // every document appears exactly once
     assert(rows.map(_._1).distinct.length === rows.length)
   }
+
+  test("q104 prefix-filtered join ≡ plain-Scala brute force over all pairs") {
+    val sf = "/root/testdata/sf0.001"
+    def shingleHashes(text: String): Set[Long] = {
+      val ws = text.trim.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+      val grams =
+        if (ws.size >= 3)
+          (0 to ws.size - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+        else Seq.empty
+      grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 2147483647L
+      }.toSet
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleHashes(r.getString(1)))
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (da, ha) = docs(i); (db, hb) = docs(j)
+      inter = (ha & hb).size.toLong
+      union = ha.size + hb.size - inter
+      if inter * 1000000L >= Dedup.PfxJaccPpmMin * union
+    } yield (da, db, inter, union, inter * 1000000L / union)).toSeq
+    val got = Dedup.jaccardJoinExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // equality against brute force IS the completeness theorem: a pair
+    // the prefix join missed (or fabricated) fails this set compare
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus has no qualifying pairs — test is vacuous")
+  }
+
+  test("q102 leakage flag matches a recomputation from q52 × q48 outputs") {
+    val sf = "/root/testdata/sf0.001"
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val splits = DataPrep.hashSplit(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = clusters.groupBy(_._2).view
+      .mapValues(_.map(m => splits(m._1))).toMap
+      .filter(_._2.length >= 2)
+      .map { case (c, ss) =>
+        c -> (ss.length.toLong, ss.count(_ == "train").toLong,
+          ss.count(_ == "val").toLong, ss.count(_ == "test").toLong)
+      }
+    val got = Dedup.splitLeakage(spark, sf).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (c, (size, tr, va, te, leaky)) =>
+      val (esize, etr, eva, ete) = expected(c)
+      assert((size, tr, va, te) === (esize, etr, eva, ete), s"cluster $c census")
+      assert(leaky === (if (etr > 0 && (eva > 0 || ete > 0)) 1L else 0L),
+        s"cluster $c leaky")
+    }
+    // the flag must bind: a corpus where every multi-doc cluster is
+    // leaky (or none is) would make this audit vacuously green
+    assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
+  }
 }

@@ -250,4 +250,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.last._3 === first.size.toLong)
   }
+
+  test("q103 source divergence equals a plain-Scala chi-square build") {
+    val corpus = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = corpus
+      .flatMap { case (s, t) =>
+        t.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).map(w => (s, w))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val freq: Map[(String, String), Long] = counts.map { case ((s, w), c) =>
+      (s, w) -> c * 1000000L / totals(s)
+    }
+    val sumF = freq.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val sources = totals.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      a = sources(i); b = sources(j)
+      sharedWords = freq.keySet.collect { case (`a`, w) if freq.contains((b, w)) => w }
+      if sharedWords.nonEmpty
+    } yield {
+      val chiShared = sharedWords.toSeq.map { w =>
+        val (fa, fb) = (freq((a, w)), freq((b, w)))
+        if (fa + fb == 0) 0L else (fa - fb) * (fa - fb) / (fa + fb)
+      }.sum
+      val sharedFa = sharedWords.toSeq.map(w => freq((a, w))).sum
+      val sharedFb = sharedWords.toSeq.map(w => freq((b, w))).sum
+      (a, b, sharedWords.size.toLong,
+        chiShared + (sumF(a) - sharedFa) + (sumF(b) - sharedFb))
+    }).toSeq
+    val got = TextAnalysis.sourceDivergence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty && got.exists(_._4 > 0L))
+  }
 }
