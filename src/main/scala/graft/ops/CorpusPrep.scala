@@ -42,10 +42,10 @@ object CorpusPrep {
     * The max-run screen is computed with array lambdas: boundary
     * positions where ts[i] ≠ ts[i−1], run lengths as differences of
     * consecutive boundaries — O(n) per row, shuffle-free. */
-  private val MinTokens = 10L
-  private val MaxTokens = 100000L
-  private val MaxRun = 3L
-  private val StopWords = TextAnalysis.LangProfiles.head._2 // en profile
+  private[ops] val MinTokens = 10L
+  private[ops] val MaxTokens = 100000L
+  private[ops] val MaxRun = 3L
+  private[ops] val StopWords = TextAnalysis.LangProfiles.head._2 // en profile
 
   /** One-pass scan state over the token array: (prev token, current
     * run, longest run, stopword hits). A single `aggregate()` HOF
@@ -68,19 +68,26 @@ object CorpusPrep {
             .as("stops"))
       })
 
-  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document rule inputs, shared by q82 (rollup) and q106
+    * (quantile calibration) — one definition of "the quality stats"
+    * so the calibrated score can never drift from the rules. */
+  private[ops] def docQualityStats(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val perDoc = Tables.documents(s, dir)
-      .select(col("source"), t, words(t).as("ts")) // split ONCE per row
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), t, words(t).as("ts")) // split ONCE
       .withColumn("sc", scanStats(col("ts")))
       .select(
-        col("source"),
+        col("doc_id"), col("source"),
         when(length(trim(t)) === 0, lit(0L))
           .otherwise(size(col("ts"))).cast("long").as("n_tok"),
         length(regexp_replace(t, Det.WsClass, "")).cast("long").as("tok_chars"),
         size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
         col("sc.stops").as("stop_hits"),
         col("sc.max_run").as("max_run"))
+  }
+
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = docQualityStats(s, dir)
     val v = perDoc.select(
       col("source"),
       (col("n_tok") < MinTokens || col("n_tok") > MaxTokens).cast("long")
@@ -101,6 +108,110 @@ object CorpusPrep {
         sum("v_stop").as("v_stop"),
         sum("v_distinct").as("v_distinct"),
         sum("v_maxrun").as("v_maxrun"))
+      .orderBy("source")
+  }
+
+  // -------------------------------------------------------------- q106
+
+  /** Calibration quantile count (deciles). */
+  val CalibQuantiles = 10L
+
+  /** Per-source quality-score calibration (q106): exact decile
+    * boundaries of a per-doc quality score WITHIN each source — the
+    * table a curation pipeline thresholds against ("keep each
+    * source's top 30 %") instead of one global cutoff that a verbose
+    * source would dominate (the CCNet/RefinedWeb per-bucket
+    * discipline). The score is rule-aligned with q82 by construction:
+    * distinct-token ppm + stopword ppm over the SAME
+    * [[docQualityStats]] frame.
+    *
+    * Exact quantiles at 100 TB without a per-source sort: the score
+    * is integer ppm with a bounded range, so the corpus first
+    * collapses to a (source, score) HISTOGRAM via hash aggregation —
+    * the only corpus-sized pass, map-side combining — and the decile
+    * boundary d is min{score : cum(score)·10 ≥ d·n} computed by a
+    * cumulative window over the histogram, whose partition size is
+    * bounded by the VALUE RANGE (≤ 2·10⁶ rows per source) no matter
+    * how many documents a source has. A doc-level ntile would sort
+    * each source in one task; the histogram form is the same answer
+    * with a bounded window. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val score = docQualityStats(s, dir).select(
+      col("source"),
+      (when(col("n_tok") === 0, lit(0L))
+        .otherwise(expr("n_distinct * 1000000 div n_tok")) +
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr("stop_hits * 1000000 div n_tok"))).as("score_ppm"))
+    val hist = score.groupBy("source", "score_ppm")
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("score_ppm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    cum
+      .select(col("source"), col("score_ppm"), col("cum"), col("n"),
+        explode(sequence(lit(1L), lit(CalibQuantiles))).as("decile"))
+      .where(col("cum") * CalibQuantiles >= col("decile") * col("n"))
+      .groupBy("source", "decile")
+      .agg(min("score_ppm").as("q_ppm"), min("n").as("n_docs"))
+      .orderBy("source", "decile")
+  }
+
+  // -------------------------------------------------------------- q108
+
+  /** Curation-funnel census (q108): the per-source survivorship
+    * report a pipeline owner reads before training — how many
+    * documents survive each curation stage CUMULATIVELY, and how many
+    * tokens the final cut keeps. Stages, in pipeline order, each
+    * defined by the operator that already owns it (no re-derivation,
+    * so this census can never disagree with the stages themselves):
+    *   1. `n_lang`      — langid agrees with the labeled language
+    *                      (q26's predictor);
+    *   2. `n_quality`   — all five q82 rules pass;
+    *   3. `n_canonical` — the doc is its near-dup cluster's canonical
+    *                      representative (q91's keep rule);
+    *   4. `n_clean`     — not flagged by benchmark decontamination
+    *                      (q54); `tok_kept` sums surviving tokens.
+    *
+    * Scale shape: each stage frame is one already-audited pipeline
+    * (their plans carry their own shuffle budgets); the census itself
+    * adds only doc_id equi-joins and one per-source hash aggregation.
+    * The oracle splices the four stages' shared CTE chains
+    * ([[TextAnalysis.langPredCtes]], [[qualityDocCtes]],
+    * [[graft.ops.Dedup.canonicalRankCtes]],
+    * [[graft.ops.DataPrep.contamCtes]]) into one statement, so the
+    * green row certifies the COMPOSITION, not just each stage. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextAnalysis.langId(s, dir)
+      .select(col("doc_id"), col("is_match").as("lang_ok"))
+    val canon = Dedup.erCanonical(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val contam = DataPrep.decontaminate(s, dir)
+      .select(col("doc_id"), lit(1L).as("contaminated"))
+    val qual = docQualityStats(s, dir).select(
+      col("doc_id"), col("source"), col("n_tok"),
+      (col("n_tok") >= MinTokens && col("n_tok") <= MaxTokens &&
+        col("tok_chars") >= lit(3) * col("n_tok") &&
+        col("tok_chars") <= lit(10) * col("n_tok") &&
+        col("stop_hits") >= 2 &&
+        col("n_distinct") * 5 >= col("n_tok") &&
+        col("max_run") <= MaxRun).cast("long").as("qual_ok"))
+    qual.join(lang, "doc_id").join(canon, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("clean_ok",
+        when(col("contaminated").isNull, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("lang_ok")).as("n_lang"),
+        sum(col("lang_ok") * col("qual_ok")).as("n_quality"),
+        sum(col("lang_ok") * col("qual_ok") * col("is_canonical"))
+          .as("n_canonical"),
+        sum(col("lang_ok") * col("qual_ok") * col("is_canonical") *
+          col("clean_ok")).as("n_clean"),
+        sum(col("lang_ok") * col("qual_ok") * col("is_canonical") *
+          col("clean_ok") * col("n_tok")).as("tok_kept"))
       .orderBy("source")
   }
 
@@ -380,6 +491,8 @@ object CorpusPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_quality_rules" -> (qualityRules _),
+    "q106_quality_calibration" -> (qualityCalibration _),
+    "q108_curation_funnel" -> (curationFunnel _),
     "q83_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q84_source_sample" -> (perSourceSample _),
     "q94_paragraph_dedup" -> (paragraphDedup _),
@@ -414,29 +527,35 @@ object CorpusPrep {
        | FROM ${p}b, UNNEST(generate_series(1, len(bpos))) AS t(j))""".stripMargin
   }
 
+  /** The per-doc quality-stats CTE chain (tok → runs → mr), the SQL
+    * mirror of [[docQualityStats]] — shared prefix of the q82 and
+    * q106 oracles so both engines agree on ONE stats definition. */
+  private lazy val qualityDocCtes: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, source,
+       |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts,
+       |  CASE WHEN len(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '${Det.WsClass}+')) END AS n_tok,
+       |  len(regexp_replace(text, '${Det.WsClass}', '', 'g')) AS tok_chars
+       | FROM documents),
+       |runs AS (
+       | SELECT *,
+       |  len(list_distinct(ts)) AS n_distinct,
+       |  len(list_filter(ts, w -> w IN ($stopList))) AS stop_hits,
+       |  list_filter(generate_series(1, len(ts)),
+       |    i -> i = 1 OR ts[i] <> ts[i-1]) AS bpos
+       | FROM tok),
+       |mr AS (
+       | SELECT doc_id, source, n_tok, tok_chars, n_distinct, stop_hits,
+       |  CASE WHEN len(ts) = 0 THEN 0 ELSE coalesce(list_max(
+       |    list_transform(generate_series(1, len(bpos)), j ->
+       |      coalesce(bpos[j+1], len(ts) + 1) - bpos[j])), 0)
+       |  END AS max_run
+       | FROM runs)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q82_quality_rules" ->
-      s"""WITH tok AS (
-         | SELECT source,
-         |  string_split_regex(trim(text), '${Det.WsClass}+') AS ts,
-         |  CASE WHEN len(trim(text)) = 0 THEN 0
-         |       ELSE len(string_split_regex(trim(text), '${Det.WsClass}+')) END AS n_tok,
-         |  len(regexp_replace(text, '${Det.WsClass}', '', 'g')) AS tok_chars
-         | FROM documents),
-         |runs AS (
-         | SELECT *,
-         |  len(list_distinct(ts)) AS n_distinct,
-         |  len(list_filter(ts, w -> w IN ($stopList))) AS stop_hits,
-         |  list_filter(generate_series(1, len(ts)),
-         |    i -> i = 1 OR ts[i] <> ts[i-1]) AS bpos
-         | FROM tok),
-         |mr AS (
-         | SELECT source, n_tok, tok_chars, n_distinct, stop_hits,
-         |  CASE WHEN len(ts) = 0 THEN 0 ELSE coalesce(list_max(
-         |    list_transform(generate_series(1, len(bpos)), j ->
-         |      coalesce(bpos[j+1], len(ts) + 1) - bpos[j])), 0)
-         |  END AS max_run
-         | FROM runs),
+      s"""$qualityDocCtes,
          |flags AS (
          | SELECT source,
          |  CASE WHEN n_tok < $MinTokens OR n_tok > $MaxTokens
@@ -456,6 +575,61 @@ object CorpusPrep {
          | CAST(sum(v_distinct) AS BIGINT) AS v_distinct,
          | CAST(sum(v_maxrun) AS BIGINT) AS v_maxrun
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+    "q106_quality_calibration" ->
+      s"""$qualityDocCtes,
+         |sc AS (
+         | SELECT source,
+         |  (CASE WHEN n_tok = 0 THEN 0
+         |        ELSE n_distinct * 1000000 // n_tok END) +
+         |  (CASE WHEN n_tok = 0 THEN 0
+         |        ELSE stop_hits * 1000000 // n_tok END) AS score_ppm
+         | FROM mr),
+         |h AS (SELECT source, score_ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cu AS (
+         | SELECT source, score_ppm, c,
+         |  CAST(sum(c) OVER (PARTITION BY source ORDER BY score_ppm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+         | FROM h),
+         |x AS (
+         | SELECT source, score_ppm, cum, n,
+         |  unnest(generate_series(1, $CalibQuantiles)) AS decile
+         | FROM cu)
+         |SELECT source, CAST(decile AS BIGINT) AS decile,
+         | min(score_ppm) AS q_ppm, min(n) AS n_docs
+         |FROM x WHERE cum * $CalibQuantiles >= decile * n
+         |GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
+    // one statement splicing the four stage chains; `ranked`'s local
+    // alias `d` for documents shadows the contamination chain's `d`
+    // CTE only inside that subquery — both engines scope it the same
+    "q108_curation_funnel" ->
+      s"""${Dedup.canonicalRankCtes},
+         |${TextAnalysis.langPredCtes},
+         |${qualityDocCtes.stripPrefix("WITH ")},
+         |${DataPrep.contamCtes},
+         |census AS (
+         | SELECT mr.doc_id, mr.source, mr.n_tok,
+         |  CAST(lp.predicted = lp.lang AS BIGINT) AS lang_ok,
+         |  CASE WHEN mr.n_tok >= $MinTokens AND mr.n_tok <= $MaxTokens
+         |        AND mr.tok_chars >= 3 * mr.n_tok
+         |        AND mr.tok_chars <= 10 * mr.n_tok
+         |        AND mr.stop_hits >= 2 AND mr.n_distinct * 5 >= mr.n_tok
+         |        AND mr.max_run <= $MaxRun THEN 1 ELSE 0 END AS qual_ok,
+         |  CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS canon_ok,
+         |  CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS clean_ok
+         | FROM mr
+         | JOIN lpred lp ON lp.doc_id = mr.doc_id
+         | JOIN ranked r ON r.doc_id = mr.doc_id
+         | LEFT JOIN contam c ON c.doc_id = mr.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(lang_ok) AS BIGINT) AS n_lang,
+         | CAST(sum(lang_ok * qual_ok) AS BIGINT) AS n_quality,
+         | CAST(sum(lang_ok * qual_ok * canon_ok) AS BIGINT) AS n_canonical,
+         | CAST(sum(lang_ok * qual_ok * canon_ok * clean_ok) AS BIGINT)
+         |   AS n_clean,
+         | CAST(sum(lang_ok * qual_ok * canon_ok * clean_ok * n_tok)
+         |   AS BIGINT) AS tok_kept
+         |FROM census GROUP BY source ORDER BY source""".stripMargin,
     "q83_cdc_chunk_dedup" ->
       s"""WITH ${chunkCtesSql("documents", Seq("source"))},
          |chunks AS (SELECT source, md5(chunk) AS chunk_hash FROM ch),

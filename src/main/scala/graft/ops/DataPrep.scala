@@ -318,6 +318,50 @@ object DataPrep {
       .orderBy("doc_id")
   }
 
+  /** Contamination span coverage (q110): q54 counts HOW MANY distinct
+    * eval 8-grams a training document shares; this measures HOW MUCH
+    * of the document those hits cover — the union of the hit grams'
+    * token spans [i, i+7], as distinct covered token positions and an
+    * integer-ppm coverage ratio. The distinction drives different
+    * remediations: 40 scattered grams (paraphrase-level contamination,
+    * drop the doc) versus 40 grams in one 47-token run (a quoted
+    * benchmark item — excise the span, keep the doc).
+    *
+    * Scale shape: identical to q54 up to the broadcast semi-join —
+    * positional grams are a per-row array transform, the eval-side
+    * hash set broadcasts, so only HIT grams survive into the span
+    * explode (hits are rare by construction; the 8× position fan-out
+    * applies to hits, not to the corpus). Per-doc span union is one
+    * hash aggregation with two distinct counts over those hit rows.
+    * The oracle replays the same positional grams in SQL, so the green
+    * row pins span arithmetic, not just hit counting. */
+  def contamSpans(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= NgramN)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ws")) - (NgramN - 1)),
+          i => graft.functions.ArrayFunctions.md5Prefix(
+            concat_ws(" ", slice(col("ws"), i, lit(NgramN))), 15))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("i"), col("col").as("gh"))
+    val evalGrams = base.filter(col("doc_id") % EvalMod === 0)
+      .select("gh").distinct()
+    base.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "gh")
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        explode(sequence(col("i"), col("i") + (NgramN - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        countDistinct(col("i")).as("n_hit_grams"),
+        countDistinct(col("p")).as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hit_grams"),
+        col("covered_tokens"),
+        expr("covered_tokens * 1000000 div n_tokens").as("covered_ppm"))
+      .orderBy("doc_id")
+  }
+
   // ---- q55: sequence packing -----------------------------------------
 
   /** Context-window length (tokens) and shard fan-out for packing. */
@@ -365,10 +409,39 @@ object DataPrep {
     "q51_feature_binning" -> (featureBins _),
     "q53_pii_scrub" -> (piiScrub _),
     "q54_decontaminate" -> (decontaminate _),
-    "q55_sequence_pack" -> (sequencePack _)
+    "q55_sequence_pack" -> (sequencePack _),
+    "q110_contam_spans" -> (contamSpans _)
   )
 
   private def h8Sql(e: String): String = Det.h8Sql(e)
+
+  /** The distinct-8-gram contamination CTE chain (`d` → `g` → `th` →
+    * `eg` → `contam`), the SQL mirror of [[decontaminate]]'s hit
+    * logic. `contam` lists the contaminated training doc_ids; shared
+    * between the q54 oracle (which re-aggregates `th ⋈ eg` for its
+    * counts) and the q108 curation-funnel oracle. */
+  private[ops] lazy val contamCtes: String = {
+    val gramCat = (0 until NgramN)
+      .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    s"""d AS (
+       | SELECT doc_id, w FROM (
+       |  SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS w
+       |  FROM documents)
+       | WHERE len(w) >= $NgramN),
+       |g AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   generate_series(1, len(w) - ${NgramN - 1}),
+       |   i -> $gramCat)) AS gs
+       | FROM d),
+       |th AS (
+       | SELECT doc_id, len(gs) AS n_grams,
+       |  CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS gh
+       | FROM g),
+       |eg AS (SELECT DISTINCT gh FROM th WHERE doc_id % $EvalMod = 0),
+       |contam AS (
+       | SELECT DISTINCT doc_id FROM th JOIN eg USING (gh)
+       | WHERE doc_id % $EvalMod != 0)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q47_repetition_stats" ->
@@ -469,7 +542,14 @@ object DataPrep {
          | n_email, n_ip,
          | len(regexp_extract_all(r2, '$NumRe')) AS n_num
          |FROM s2 ORDER BY event_id""".stripMargin,
-    "q54_decontaminate" -> {
+    "q54_decontaminate" ->
+      s"""WITH $contamCtes
+         |SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_shared,
+         | (count(*) * 1000) // any_value(n_grams) AS contam_milli
+         |FROM th JOIN eg USING (gh)
+         |WHERE doc_id % $EvalMod != 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q110_contam_spans" -> {
       val gramCat = (0 until NgramN)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
       s"""WITH d AS (
@@ -477,21 +557,27 @@ object DataPrep {
          |  SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS w
          |  FROM documents)
          | WHERE len(w) >= $NgramN),
-         |g AS (
-         | SELECT doc_id, list_distinct(list_transform(
-         |   generate_series(1, len(w) - ${NgramN - 1}),
-         |   i -> $gramCat)) AS gs
+         |pos AS (
+         | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w,
+         |  unnest(generate_series(1, len(w) - ${NgramN - 1})) AS i
          | FROM d),
          |th AS (
-         | SELECT doc_id, len(gs) AS n_grams,
-         |  CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS gh
-         | FROM g),
-         |eg AS (SELECT DISTINCT gh FROM th WHERE doc_id % $EvalMod = 0)
-         |SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_shared,
-         | (count(*) * 1000) // any_value(n_grams) AS contam_milli
-         |FROM th JOIN eg USING (gh)
-         |WHERE doc_id % $EvalMod != 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         | SELECT doc_id, n_tokens, i,
+         |  CAST(concat('0x', substr(md5($gramCat), 1, 15)) AS BIGINT) AS gh
+         | FROM pos),
+         |eg AS (SELECT DISTINCT gh FROM th WHERE doc_id % $EvalMod = 0),
+         |hits AS (
+         | SELECT doc_id, n_tokens, i FROM th JOIN eg USING (gh)
+         | WHERE doc_id % $EvalMod != 0),
+         |cov AS (
+         | SELECT doc_id, n_tokens, i,
+         |  unnest(generate_series(i, i + ${NgramN - 1})) AS p
+         | FROM hits)
+         |SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         | count(DISTINCT i) AS n_hit_grams,
+         | count(DISTINCT p) AS covered_tokens,
+         | count(DISTINCT p) * 1000000 // any_value(n_tokens) AS covered_ppm
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q55_sequence_pack" ->
       s"""WITH t AS (

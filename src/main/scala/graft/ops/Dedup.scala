@@ -669,7 +669,8 @@ object Dedup {
     "q91_er_canonical" -> (erCanonical _),
     "q99_containment_pairs" -> (containmentPairs _),
     "q102_split_leakage" -> (splitLeakage _),
-    "q104_jaccard_join_exact" -> (jaccardJoinExact _)
+    "q104_jaccard_join_exact" -> (jaccardJoinExact _),
+    "q109_minhash_calibration" -> (minhashCalibration _)
   )
 
   /** q91: entity-resolution canonicalization — the step AFTER
@@ -839,6 +840,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- q109: minhash estimator calibration ----------
+
+  /** MinHash estimator calibration (q109): for every verified q28
+    * pair, the SIGNATURE-side Jaccard estimate (matching components
+    * of the two 16-perm minhash signatures, ·1000/16) next to the
+    * exact set Jaccard the verify step computed — the empirical error
+    * of the sketch on the pairs it actually surfaced. This is the
+    * q39/q40 verifiability pattern applied to q28: the expected
+    * |est − exact| is ~√(J(1−J)/16) ≈ 125 milli at J = 0.5, and a
+    * drifted permutation family or a broken band key shows up here as
+    * a biased err_milli long before recall visibly degrades. err is
+    * kept SIGNED and undivided — signed integer division is where the
+    * engines' floor/truncate semantics part ways.
+    *
+    * Scale shape: two hash joins of the (already materialized) pair
+    * list against the per-doc signature projection, then a 16-element
+    * zip per pair row — cost proportional to the PAIR count, with the
+    * signature pipeline shared with q28 through the same persisted
+    * shingle frame. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val hx = PipelineCache.getOrPersist(s, dir, "q28_minhash_lsh_pairs/hx") {
+      hashedShingles(s, dir)
+    }
+    val sig = hx.select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+    minhashPairs(s, dir).select("doc_a", "doc_b", "j_milli")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+        Seq("doc_b"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => (x === y).cast("long")), lit(0L), (acc, m) => acc + m))
+      .withColumn("est_milli", expr(s"n_match * 1000 div ${Perms.size}"))
+      .select(col("doc_a"), col("doc_b"), col("j_milli"), col("n_match"),
+        col("est_milli"), (col("est_milli") - col("j_milli")).as("err_milli"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------- q102: split-leakage audit (q52 clusters × q48 split) ----------
 
   /** Split-leakage audit (q102): near-dup clusters (q52) crossed with
@@ -952,6 +991,20 @@ object Dedup {
       s"""$minhashCtes
          |SELECT doc_a, doc_b, inter_sh, union_sh, j_milli
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // the sig CTE's g lists ARE the Spark-side signatures — component
+    // agreement against the verify-side exact Jaccard, per pair
+    "q109_minhash_calibration" ->
+      s"""$minhashCtes,
+         |m AS (SELECT p.doc_a, p.doc_b, p.j_milli,
+         |   CAST(len(list_filter(generate_series(1, ${Perms.size}),
+         |     i -> ga.g[i] = gb.g[i])) AS BIGINT) AS n_match
+         |   FROM pairs p
+         |   JOIN sig ga ON ga.doc_id = p.doc_a
+         |   JOIN sig gb ON gb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, j_milli, n_match,
+         | n_match * 1000 // ${Perms.size} AS est_milli,
+         | (n_match * 1000 // ${Perms.size}) - j_milli AS err_milli
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "q29_near_dedup" ->
       s"""$minhashCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
@@ -1030,15 +1083,7 @@ object Dedup {
     // connected component is, the Spark side is the HOW at scale.
     "q52_dedup_clusters" -> clustersOracle,
     "q91_er_canonical" ->
-      s"""$clusterChainCtes,
-         |sized AS (SELECT doc_id, cluster,
-         |   count(*) OVER (PARTITION BY cluster) AS cluster_size FROM comp),
-         |ranked AS (SELECT s.doc_id, s.cluster, s.cluster_size, d.n_chars,
-         |   row_number() OVER (PARTITION BY s.cluster
-         |     ORDER BY d.n_chars DESC, s.doc_id) AS rk
-         |   FROM sized s JOIN documents d USING (doc_id)),
-         |canon AS (SELECT cluster, doc_id AS canonical_id
-         |   FROM ranked WHERE rk = 1)
+      s"""$canonicalRankCtes
          |SELECT r.doc_id, r.cluster, c.canonical_id,
          |  CAST(CASE WHEN r.doc_id = c.canonical_id THEN 1 ELSE 0 END
          |    AS BIGINT) AS is_canonical,
@@ -1100,4 +1145,19 @@ object Dedup {
        |SELECT doc_id, cluster,
        |   count(*) OVER (PARTITION BY cluster) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** [[clusterChainCtes]] + the q91 canonical ranking (`sized` →
+    * `ranked` → `canon`): longest-doc-then-min-id representative per
+    * cluster. Shared by the q91 and q108 oracles — ONE definition of
+    * "which near-dup survives". */
+  private[ops] lazy val canonicalRankCtes: String =
+    s"""$clusterChainCtes,
+       |sized AS (SELECT doc_id, cluster,
+       |   count(*) OVER (PARTITION BY cluster) AS cluster_size FROM comp),
+       |ranked AS (SELECT s.doc_id, s.cluster, s.cluster_size, d.n_chars,
+       |   row_number() OVER (PARTITION BY s.cluster
+       |     ORDER BY d.n_chars DESC, s.doc_id) AS rk
+       |   FROM sized s JOIN documents d USING (doc_id)),
+       |canon AS (SELECT cluster, doc_id AS canonical_id
+       |   FROM ranked WHERE rk = 1)""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -67,9 +68,43 @@ object Funnels {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Event-type transition matrix (q107): for every ordered pair of
+    * event types, how often the second immediately follows the first
+    * in a user's timeline, with an integer-ppm row-normalized
+    * probability — the first-order Markov model behind journey
+    * analysis, anomaly scoring ("this transition never happens") and
+    * synthetic-session generation. Ordering is (event time, event_id):
+    * the same total order the sessionizer (q20) uses, with the id
+    * tie-break making the lead() deterministic when two events share a
+    * microsecond.
+    *
+    * Scale shape: ONE window exchange on user_id (the per-user
+    * timeline partition every behavioral op here already shuffles on),
+    * then a hash aggregation whose key space is |event types|² — the
+    * output and the row-normalizing window are constant-sized
+    * regardless of corpus scale, so the user_id exchange is the whole
+    * cost at 100 TB. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    trans.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div n_from").as("ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
-    "q61_cohort_retention" -> (cohortRetention _)
+    "q61_cohort_retention" -> (cohortRetention _),
+    "q107_markov_transitions" -> (markovTransitions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +123,20 @@ object Funnels {
          |SELECT user_id, ${FunnelSteps.indices.map(i => s"t${i + 1}").mkString(", ")}
          |FROM s1 $joins ORDER BY user_id""".stripMargin
     },
+    "q107_markov_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS to_type
+        | FROM e),
+        |c AS (
+        | SELECT from_type, to_type, count(*) AS n FROM p
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q61_cohort_retention" ->
       """WITH cohort AS (
         | SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week

@@ -65,8 +65,73 @@ object Mixing {
       .orderBy("doc_id", "copy_idx")
   }
 
+  // ---------------------------------------------------------------- q105
+
+  /** Hashed-feature space for the importance model: tokens hash into
+    * this many buckets, so both distributions are fixed-size vectors
+    * regardless of vocabulary (the DSIR trick — Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 — with hashed unigrams standing in for hashed
+    * bigrams). */
+  val DsirBuckets = 1024L
+
+  /** The target distribution is the high-quality slice the mixture
+    * (q73) up-samples: every source with epoch weight ≥ 1800 per
+    * mille. Deriving it from [[MixWeights]] keeps ONE declaration of
+    * "which sources do we trust" across both operators. */
+  def dsirTargetSources: Seq[String] = MixWeights.filter(_._2 >= 1800L).map(_._1)
+
+  /** DSIR-style importance scores (q105): score every document by how
+    * much more its hashed-unigram profile resembles the target
+    * distribution (the trusted sources) than the raw corpus — the
+    * data-selection signal used to pick pretraining documents that
+    * "look like" a curated reference. The log-likelihood-ratio weight
+    * log p_t(b)/p_r(b) is replaced by the integer ppm difference
+    * p_t(b)−p_r(b) so both engines agree bit-for-bit (same ranking
+    * direction, no transcendentals); a document's score is the SUM of
+    * its tokens' bucket deltas, and `keep` selects strictly positive
+    * scores. No division by token count: `keep` is scale-free under
+    * the sum (selection compares to 0), and signed integer division
+    * is the one operator the two engines floor differently.
+    *
+    * Scale shape: explode → groupBy(bucket) builds both distributions
+    * in one map-side-combining pass (1024-row result); the per-token
+    * scoring join broadcasts that 1024-row delta table; per-doc sums
+    * hash-aggregate on (doc_id, source). The token stream is scanned
+    * twice (once to fit, once to score) — the standard two-pass shape
+    * of any fitted transform, each pass embarrassingly parallel. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Det.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        (h8(col("w")) % DsirBuckets).as("b"))
+    val bcnt = tok.groupBy("b").agg(
+      count(lit(1)).as("c_all"),
+      sum(col("source").isin(dsirTargetSources: _*).cast("long")).as("c_tgt"))
+    // agg without groupBy: exactly one row even on a degenerate corpus
+    val totals = bcnt.agg(sum("c_all").as("t_all"), sum("c_tgt").as("t_tgt"))
+    val delta = bcnt.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr("c_tgt * 1000000 div t_tgt") -
+          expr("c_all * 1000000 div t_all")).as("delta_ppm"))
+    val scored = tok.join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("delta_ppm").as("score_sum"))
+    // left join keeps zero-token documents in the census (score 0)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("score_sum"), lit(0L)).as("score_ppm_sum"),
+        (coalesce(col("score_sum"), lit(0L)) > 0).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_dataset_mix" -> (mixture _)
+    "q73_dataset_mix" -> (mixture _),
+    "q105_dsir_weights" -> (dsirWeights _)
   )
 
   private def h8Sql(e: String): String = Det.h8Sql(e)
@@ -94,6 +159,38 @@ object Mixing {
          | ${h8Sql("concat('ord:', CAST(doc_id AS VARCHAR), ':', CAST(copy_idx AS VARCHAR))")}
          |   % $OrdBuckets AS ord_bucket
          |FROM e ORDER BY doc_id, copy_idx""".stripMargin
+    },
+    "q105_dsir_weights" -> {
+      val tgtList = dsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH tok AS (
+         | SELECT doc_id, source, unnest(${Det.wordsSql("text")}) AS w
+         | FROM documents),
+         |tk AS (
+         | SELECT doc_id, source, ${h8Sql("w")} % $DsirBuckets AS b
+         | FROM tok WHERE w <> ''),
+         |bcnt AS (
+         | SELECT b, count(*) AS c_all,
+         |  CAST(sum(CASE WHEN source IN ($tgtList) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS c_tgt
+         | FROM tk GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+         |        CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM bcnt),
+         |delta AS (
+         | SELECT b, (c_tgt * 1000000 // t_tgt) - (c_all * 1000000 // t_all)
+         |   AS delta_ppm
+         | FROM bcnt CROSS JOIN tot),
+         |sc AS (
+         | SELECT doc_id, source, count(*) AS n_tok,
+         |  CAST(sum(delta_ppm) AS BIGINT) AS ss
+         | FROM tk JOIN delta USING (b) GROUP BY 1, 2)
+         |SELECT d.doc_id, d.source,
+         | coalesce(n_tok, 0) AS n_tok,
+         | coalesce(ss, 0) AS score_ppm_sum,
+         | CAST(coalesce(ss, 0) > 0 AS BIGINT) AS keep
+         |FROM documents d
+         |LEFT JOIN sc ON d.doc_id = sc.doc_id AND d.source = sc.source
+         |ORDER BY d.doc_id""".stripMargin
     }
   )
 }

@@ -518,6 +518,25 @@ object TextAnalysis {
     s" len(list_filter(string_split_regex(trim(text), '${Det.WsClass}+'), x -> x IN (${inList(p)}))) AS h_$l"
   }.mkString(",\n")
 
+  /** Per-doc langid CTE chain (`h` hit counts → `lpred` argmax) — the
+    * SQL mirror of [[langId]], shared between the q26 oracle and the
+    * q108 curation-funnel oracle so "which language is this" has one
+    * cross-engine definition. */
+  private[ops] lazy val langPredCtes: String =
+    s"""h AS (
+       | SELECT doc_id, lang,
+       |$hitsSqlAll
+       | FROM documents),
+       |lpred AS (
+       | SELECT doc_id, lang,
+       |  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+       |       WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+       |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+       |       WHEN h_fr >= h_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted,
+       |  h_en, h_de, h_es, h_fr, h_zh
+       | FROM h)""".stripMargin
+
   /** q95's oracle: the same fixed merge rounds unrolled as CTE chains
     * (p{r} pair counts / t{r} winner / s{r} remapped sequences),
     * generated from the same constants — the q59-oracle pattern.
@@ -625,19 +644,11 @@ object TextAnalysis {
          |  ELSE 0 END AS quality_milli
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_doc_langid" ->
-      s"""WITH h AS (
-         | SELECT doc_id, lang,
-         |$hitsSqlAll
-         | FROM documents)
-         |SELECT doc_id, lang,
-         | CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-         |      WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-         |      WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-         |      WHEN h_fr >= h_zh THEN 'fr'
-         |      ELSE 'zh' END AS predicted,
+      s"""WITH $langPredCtes
+         |SELECT doc_id, lang, predicted,
          | CAST(predicted = lang AS BIGINT) AS is_match,
          | h_en, h_de, h_es, h_fr, h_zh
-         |FROM h ORDER BY doc_id""".stripMargin,
+         |FROM lpred ORDER BY doc_id""".stripMargin,
     "q27_doc_fingerprint" ->
       s"""SELECT doc_id, any_value(n_chars) AS n_chars,
          | CAST(sum((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % $HashMod)

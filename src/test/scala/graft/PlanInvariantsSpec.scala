@@ -27,7 +27,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q68_triangles", // 1-row stats × 1-row triangle count
     "q70_bm25", // 1-row corpus stats
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
-    "q75_pmi_pairs" // 1-row corpus count
+    "q75_pmi_pairs", // 1-row corpus count
+    "q105_dsir_weights" // 1-row distribution totals
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -133,6 +134,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q102: clusters(checkpointed leaf) ⋈ split on doc_id + the
     // cluster census groupBy
     "q102_split_leakage" -> 2,
+    // q105: bucket agg + 1-row totals agg + per-doc (doc,source) agg
+    // + census sort-merge join back to documents + presentation sort
+    "q105_dsir_weights" -> 6,
+    // q106: (source,score) histogram agg + bounded histogram window +
+    // decile regroup (presentation sort folds into the final agg key)
+    "q106_quality_calibration" -> 3,
+    // q107: user-timeline window + |E|² pair agg + tiny row-normalize
+    // window + presentation sort
+    "q107_markov_transitions" -> 4,
+    // q108: stage frames spliced by doc_id sort-merge joins (langid /
+    // quality / canonical off the checkpointed clusters / contam) +
+    // the per-source census agg + presentation sort
+    "q108_curation_funnel" -> 8,
+    // q109: pair list ⋈ two signature projections off the shared
+    // persisted hx + presentation sort
+    "q109_minhash_calibration" -> 3,
+    // q110: positional-gram eval broadcast semi-join + per-doc
+    // two-distinct span agg (expand) + presentation sort
+    "q110_contam_spans" -> 4,
     // q103: (source,token) agg + source totals agg + vocab-key
     // self-join (reused exchange) + pair groupBy + Σf agg
     "q103_source_divergence" -> 5,

@@ -263,4 +263,78 @@ class CorpusPrepSpec extends SparkTestBase {
         (1L to rows.length).toSeq, s"$src ranks dense")
     }
   }
+
+  test("q106 decile boundaries equal a plain-Scala histogram replay") {
+    val dir = "/root/testdata/sf0.001"
+    val stops = CorpusPrep.StopWords.toSet
+    val perDoc = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).trim
+          .split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+        val n = if (r.getString(1).trim.isEmpty) 0L else ws.size.toLong
+        val score = if (n == 0) 0L
+        else ws.distinct.size * 1000000L / n +
+          ws.count(stops) * 1000000L / n
+        (r.getString(0), score)
+      }
+    val expected = perDoc.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val scores = ds.map(_._2).sorted
+      val n = scores.size.toLong
+      val cums = scores.distinct.map(v =>
+        v -> scores.count(_ <= v).toLong)
+      (1L to CorpusPrep.CalibQuantiles).map { d =>
+        val q = cums.collectFirst {
+          case (v, cum) if cum * CorpusPrep.CalibQuantiles >= d * n => v
+        }.get
+        (src, d, q, n)
+      }
+    }.sortBy(p => (p._1, p._2))
+    val got = CorpusPrep.qualityCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // boundaries must vary within at least one source, or the score
+    // is degenerate and calibration measures nothing
+    assert(got.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1))
+  }
+
+  test("q108 census equals a recomputation from its four stage frames") {
+    val dir = "/root/testdata/sf0.001"
+    val lang = TextAnalysis.langId(spark, dir)
+      .select("doc_id", "is_match").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canon = Dedup.erCanonical(spark, dir)
+      .select("doc_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contam = DataPrep.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qual = CorpusPrep.docQualityStats(spark, dir).collect().map { r =>
+      val (nTok, tokChars) = (r.getAs[Long]("n_tok"), r.getAs[Long]("tok_chars"))
+      val ok = nTok >= CorpusPrep.MinTokens && nTok <= CorpusPrep.MaxTokens &&
+        tokChars >= 3 * nTok && tokChars <= 10 * nTok &&
+        r.getAs[Long]("stop_hits") >= 2 &&
+        r.getAs[Long]("n_distinct") * 5 >= nTok &&
+        r.getAs[Long]("max_run") <= CorpusPrep.MaxRun
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), nTok,
+        if (ok) 1L else 0L)
+    }
+    val expected = qual.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val st = ds.map { case (id, _, nTok, q) =>
+        val l = lang(id)
+        val c = canon(id)
+        val cl = if (contam(id)) 0L else 1L
+        (l, l * q, l * q * c, l * q * c * cl, l * q * c * cl * nTok)
+      }
+      (src, ds.size.toLong, st.map(_._1).sum, st.map(_._2).sum,
+        st.map(_._3).sum, st.map(_._4).sum, st.map(_._5).sum)
+    }.sortBy(_._1)
+    val got = CorpusPrep.curationFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // the funnel must narrow but not empty out
+    assert(got.map(_._6).sum > 0, "final stage keeps at least one doc")
+    assert(got.map(_._3).sum < got.map(_._2).sum, "langid stage binds")
+  }
 }

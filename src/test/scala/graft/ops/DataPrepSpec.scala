@@ -175,6 +175,38 @@ class DataPrepSpec extends SparkTestBase {
       s"only the contaminated train doc is flagged, got ${rows.toSeq}")
   }
 
+  test("q110: span coverage merges overlapping hit windows exactly") {
+    val d = tmpDir("contamspan")
+    val eval0 = "one two three four five six seven eight nine ten"
+    // 21: TWO overlapping hit grams (1..8 and 2..9) → spans [1,8] ∪
+    // [2,9] = 9 covered tokens of 12, NOT 16
+    val overlap = "one two three four five six seven eight nine AAA BBB CCC"
+    // 22: one hit gram in the middle of 12 tokens → 8 covered
+    val single = "XXX two three four five six seven eight nine YYY ZZZ WWW"
+    val clean = "totally different words with no shared window at all here ok"
+    Seq((0L, eval0), (21L, overlap), (22L, single), (23L, clean))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = DataPrep.contamSpans(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_hit_grams"), r.getAs[Long]("covered_tokens"),
+        r.getAs[Long]("covered_ppm")))
+    assert(rows === Array(
+      (21L, 12L, 2L, 9L, 9L * 1000000L / 12L),
+      (22L, 12L, 1L, 8L, 8L * 1000000L / 12L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("q110 agrees with q54 on WHICH docs are contaminated") {
+    val dir = "/root/testdata/sf0.001"
+    val spanDocs = DataPrep.contamSpans(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val q54Docs = DataPrep.decontaminate(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(spanDocs === q54Docs)
+  }
+
   test("q55: packing is a per-shard gapless token stream cut at SeqLen") {
     val got = DataPrep.sequencePack(spark, docsDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),

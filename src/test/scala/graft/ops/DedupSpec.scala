@@ -323,4 +323,41 @@ class DedupSpec extends SparkTestBase {
     // leaky (or none is) would make this audit vacuously green
     assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
   }
+
+  test("q109 signature estimates equal a plain-Scala minhash replay") {
+    val sf = "/root/testdata/sf0.001"
+    val P = 2147483647L
+    def shingleHashes(text: String): Set[Long] = {
+      val ws = text.trim.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+      val grams =
+        if (ws.size >= 3)
+          (0 to ws.size - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+        else Seq.empty
+      grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % P
+      }.toSet
+    }
+    def sig(hs: Set[Long]): Seq[Long] =
+      Dedup.Perms.map { case (a, b) => hs.map(x => (a * x + b) % P).min }
+    val sigs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleHashes(r.getString(1)))
+      .filter(_._2.nonEmpty).map { case (id, hs) => id -> sig(hs) }.toMap
+    val got = Dedup.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, j, nm, est, err) =>
+      val expNm = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(nm === expNm, s"pair ($a,$b) n_match")
+      assert(est === nm * 1000 / Dedup.Perms.size, s"pair ($a,$b) est")
+      assert(err === est - j, s"pair ($a,$b) err")
+    }
+    // the estimator must actually disagree with exact Jaccard
+    // somewhere, or the calibration measures nothing
+    assert(got.exists(_._6 != 0L))
+  }
 }

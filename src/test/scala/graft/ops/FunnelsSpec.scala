@@ -56,4 +56,33 @@ class FunnelsSpec extends SparkTestBase {
       ("2024-01-01", 0L) -> 4L,
       ("2024-01-01", 1L) -> 1L))
   }
+
+  test("q107: transitions follow per-user (time, event_id) order; ppm row-normalizes") {
+    // u1: signup→view→click→purchase; u2: signup→click→view (the 09:30
+    // click precedes the 11:00 view in TIME, regardless of insert
+    // order); u3/u4 have single events → no transitions
+    val got = Funnels.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      ("click", "purchase", 1L, 500000L),
+      ("click", "view", 1L, 500000L),
+      ("signup", "click", 1L, 500000L),
+      ("signup", "view", 1L, 500000L),
+      ("view", "click", 1L, 1000000L)))
+  }
+
+  test("q107: equal timestamps break ties by event_id") {
+    val d = tmpDir("markov_tie")
+    Seq(
+      (2L, ts("2024-01-01 10:00:00"), 9L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 9L, "signup", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 9L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    // event_id order pins signup (id 1) before view (id 2)
+    val got = Funnels.markovTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("signup", "view", 1L), ("view", "click", 1L)))
+  }
 }

@@ -57,6 +57,36 @@ class MixingSpec extends SparkTestBase {
       (bySource(src) > docs.count(_._2 == src))), "no up-sampling observed")
   }
 
+  test("q105 scores equal a plain-Scala replay of the hashed-bucket model") {
+    val full = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(t: String): Seq[Long] =
+      t.trim.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+        .map(w => h8(w) % Mixing.DsirBuckets)
+    val tgt = Mixing.dsirTargetSources.toSet
+    val toks = full.flatMap { case (_, src, t) => buckets(t).map((src, _)) }
+    val cAll = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cTgt = toks.filter(p => tgt(p._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tAll = cAll.values.sum
+    val tTgt = cTgt.values.sum
+    // both quotients non-negative, so Scala / matches Spark div
+    def delta(b: Long): Long =
+      cTgt.getOrElse(b, 0L) * 1000000L / tTgt - cAll(b) * 1000000L / tAll
+    val expected = full.sortBy(_._1).map { case (id, src, t) =>
+      val bs = buckets(t)
+      val ss = bs.map(delta).sum
+      (id, src, bs.size.toLong, ss, if (ss > 0) 1L else 0L)
+    }.toSeq
+    val got = Mixing.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the selector must bind: both kept and dropped docs exist
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   private implicit class BoolOps(a: Boolean) {
     def ==>(b: => Boolean): Boolean = !a || b
   }
