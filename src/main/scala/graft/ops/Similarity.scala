@@ -139,12 +139,13 @@ object Similarity {
   }
 
   /** Nearest-centroid ranks: vector × 16 broadcast centroids (linear
-    * N×K map-side work), row_number by (cos desc, cid). */
+    * N×K map-side work), row_number by (cos desc, cid). Preserves
+    * every input column (q111 threads `label` through). */
   private def centroidRanks(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     vecs.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
-        cosMicro(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("ccos"))
+      .select(vecs.columns.map(col).toSeq :+ col("cid") :+
+        cosMicro(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("ccos"): _*)
       .withColumn("crn", row_number().over(w))
   }
 
@@ -549,6 +550,55 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  // ---------- q111: hard-negative mining (IVF-probed, cross-label) ----------
+
+  /** q111: contrastive-training hard negatives — for each query vector,
+    * the TopK highest-cosine vectors carrying a DIFFERENT label, found
+    * through the q34 IVF probe (nprobe nearest centroid buckets), not a
+    * full scan. This is the mining step of a DPR/SimCSE-style
+    * contrastive fine-tune: "near in embedding space, wrong by label"
+    * examples sharpen the decision boundary, and at 100 TB the miner
+    * must be the bucketed scan — Q×N cross-label scoring is exactly the
+    * all-pairs shape the plan invariants forbid.
+    *
+    * Scale shape: identical to q34 (N×K broadcast centroid assignment,
+    * bucket equi-join on cid) plus a label inequality applied after the
+    * bucket join — negatives by definition live across label
+    * boundaries, so no label partitioning can narrow the probe; the
+    * filter runs on the joined row before the top-k window. Self-pairs
+    * need no guard: a vector shares its own label. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = quantizedLab(s, dir)
+    val cent = centroids(s, dir)
+    val assign = centroidRanks(base, cent).filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid"))
+    val probes = centroidRanks(base.filter(col("vec_id") < NQueries), cent)
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("n2").as("qn2"), col("cid"))
+    val cand = probes.join(assign, Seq("cid"))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_micro"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_micro").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "q_label", "rnk", "vec_id", "neg_label", "cos_micro")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** [[quantized]] with the vector's training label threaded through
+    * (cast to long so both engines emit BIGINT). */
+  private def quantizedLab(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+      .select(col("vec_id"), col("label"), col("q"),
+        graft.functions.ArrayFunctions.dotProductLong(col("q"), col("q")).as("n2"))
+      .filter(col("n2") > 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_ann_bruteforce" -> (annBruteForce _),
     "q34_ann_ivf" -> (annIvf _),
@@ -558,7 +608,8 @@ object Similarity {
     "q58_ann_ivfpq" -> (annIvfPq _),
     "q59_kmeans" -> (kmeansResult _),
     "q72_ann_ivfpq_residual" -> (annIvfPqResidual _),
-    "q93_sem_dedup" -> (semDedup _)
+    "q93_sem_dedup" -> (semDedup _),
+    "q111_hard_negatives" -> (hardNegatives _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -619,6 +670,31 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
          |   FROM c)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q111_hard_negatives" ->
+      s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         |   FROM embeddings),
+         |n AS (SELECT vec_id, label, q, ${dotSql("q", "q")} AS n2 FROM qv),
+         |nv AS (SELECT * FROM n WHERE n2 > 0),
+         |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
+         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+         |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
+         |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
+         |ranks AS (SELECT v.vec_id, v.label, v.q, v.n2, cent.cid,
+         |   row_number() OVER (PARTITION BY v.vec_id
+         |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
+         |   FROM nv v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, label, q, n2, cid FROM ranks WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, label AS q_label, q AS qq, n2 AS qn2, cid
+         |   FROM ranks WHERE crn <= $NProbe AND vec_id < $NQueries),
+         |c AS (SELECT q_id, q_label, a.vec_id AS vec_id, a.label AS neg_label,
+         |   ${cosSql(dotSql("qq", "a.q"), "qn2", "a.n2")} AS cos_micro
+         |   FROM probes JOIN assign a ON a.cid = probes.cid AND a.label != probes.q_label),
+         |r AS (SELECT q_id, q_label, vec_id, neg_label, cos_micro,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+         |   FROM c)
+         |SELECT q_id, q_label, CAST(rnk AS BIGINT) AS rnk, vec_id, neg_label, cos_micro
          |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "q35_emb_neardup" ->
       s"""$nearDupCtes

@@ -22,6 +22,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q34_ann_ivf", "q57_ann_pq", "q58_ann_ivfpq", "q59_kmeans", // K-row centroids/codebooks
     "q72_ann_ivfpq_residual", // K-row centroids/codebooks
     "q93_sem_dedup", // q59's K-row centroid assign, twice (members + rep)
+    "q111_hard_negatives", // q34's K-row centroid assign
+
     "q49_tfidf_topk", // 1-row corpus count
     "q66_resample_ffill", // 1-row grid bounds
     "q68_triangles", // 1-row stats × 1-row triangle count
@@ -83,6 +85,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q30_simhash" -> 1, "q31_simhash_pairs" -> 3,
     "q32_ngram_anchor_jaccard" -> 2, "q33_ann_bruteforce" -> 2,
     "q34_ann_ivf" -> 6, "q35_emb_neardup" -> 3,
+    // q111: q34's probe shape (assignment window + probe window +
+    // bucket join + top-k window) with the label threaded through
+    "q111_hard_negatives" -> 6,
     "q36_mm_metadata" -> 1, "q37_mm_features" -> 1,
     "q38_mm_frames" -> 1, "q39_sketch_distinct" -> 3,
     "q40_quantile_sketch" -> 5, "q41_range_join_attribution" -> 2,

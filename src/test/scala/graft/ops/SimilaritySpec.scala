@@ -66,6 +66,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQ.nonEmpty)
   }
 
+  test("q111 hard negatives exclude every same-label vector and keep exact scores") {
+    val hn = Similarity.hardNegatives(spark, dir)
+      .select("q_id", "q_label", "rnk", "vec_id", "neg_label", "cos_micro").collect()
+    assert(hn.nonEmpty)
+    // the defining property: no returned negative shares the query's label
+    hn.foreach(r => assert(r.getLong(4) !== r.getLong(1)))
+    // query 0 has label 0 — its same-label parallel (20) and
+    // antiparallel (21) vectors must never surface, however close
+    val q0 = hn.filter(_.getLong(0) == 0L).map(_.getLong(3)).toSet
+    assert(!q0.contains(20L) && !q0.contains(21L))
+    // scores are the exact cosines: any pair the label-blind IVF probe
+    // (same buckets) also surfaced carries the identical cos_micro
+    val ivf = Similarity.annIvf(spark, dir)
+      .select("q_id", "vec_id", "cos_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    hn.foreach { r =>
+      ivf.get((r.getLong(0), r.getLong(3))).foreach(s => assert(s === r.getLong(5)))
+    }
+    // ranks dense 1..n per query
+    hn.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("q57 PQ reranks with exact scores and finds the parallel vector for the axis query") {
     val bf = Similarity.annBruteForce(spark, dir)
       .select("q_id", "vec_id", "cos_micro").collect()
