@@ -489,7 +489,56 @@ object CorpusPrep {
       .orderBy("source", "doc_id")
   }
 
+  // ------------------------------------------------------------- q112
+  /** Sliding-window geometry: 64-token windows every 48 tokens (16
+    * tokens of overlap) — the fixed-stride retrieval-chunking default;
+    * production swaps the constants, not the shape. */
+  private[ops] val ChunkWin = 64
+  private[ops] val ChunkStride = 48
+
+  /** Fixed-stride sliding-window chunking (q112) — the retrieval/
+    * context-window complement to q83's content-defined chunks: every
+    * document becomes ⌈n/stride⌉ overlapping windows of [[ChunkWin]]
+    * tokens starting every [[ChunkStride]], the shape a RAG index or a
+    * fixed-context pretokenizer consumes. Overlap keeps boundary
+    * sentences inside at least one full window; CDC (q83) instead
+    * aligns boundaries to content so edits re-chunk locally — a
+    * pipeline typically runs BOTH (CDC for dedup, sliding for
+    * retrieval).
+    *
+    * Determinism: the pinned [[Det.WsClass]] tokenizer, integer start
+    * offsets from `sequence(0, n−1, stride)` (mirrored by DuckDB's
+    * exclusive-end `range(0, n, stride)`), and the chunk digest is
+    * [[Det.h8]] of the space-rejoined window — both engines hash the
+    * identical byte string.
+    *
+    * Scale shape: per-row tokenize + explode of ≤ ⌈n/stride⌉ offsets —
+    * map-side only (the explode multiplies rows ~n/stride ≈ 1.33×,
+    * nothing like a join); the single exchange is the output's
+    * (doc_id, chunk_idx) sort. Chunk rows carry the digest and
+    * geometry, not the window text — at 100 TB the chunk INDEX is what
+    * ships to the ANN/retrieval layer, and a consumer that wants bytes
+    * re-slices the one doc it fetched. */
+  def slidingChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Det.words(col("text")).as("ts"))
+    toks
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - 1,
+          lit(ChunkStride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / ChunkStride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        slice(col("ts"), col("start_tok") + 1, lit(ChunkWin)).as("ck"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ck")).cast("long").as("chunk_tokens"),
+        Det.h8(concat_ws(" ", col("ck"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_sliding_chunks" -> (slidingChunks _),
     "q82_quality_rules" -> (qualityRules _),
     "q106_quality_calibration" -> (qualityCalibration _),
     "q108_curation_funnel" -> (curationFunnel _),
@@ -554,6 +603,23 @@ object CorpusPrep {
        | FROM runs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q112_sliding_chunks" ->
+      s"""WITH t AS (
+         | SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ts
+         | FROM documents WHERE trim(text) != ''),
+         |st AS (
+         | SELECT doc_id, ts, unnest(range(0, len(ts), $ChunkStride)) AS start_tok
+         | FROM t),
+         |ck AS (
+         | SELECT doc_id,
+         |  CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  ts[start_tok + 1 : start_tok + $ChunkWin] AS ckl
+         | FROM st)
+         |SELECT doc_id, chunk_idx, start_tok,
+         | CAST(len(ckl) AS BIGINT) AS chunk_tokens,
+         | ${Det.h8Sql("array_to_string(ckl, ' ')")} AS chunk_hash
+         |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin,
     "q82_quality_rules" ->
       s"""$qualityDocCtes,
          |flags AS (

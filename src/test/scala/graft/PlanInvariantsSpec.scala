@@ -155,6 +155,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q109: pair list ⋈ two signature projections off the shared
     // persisted hx + presentation sort
     "q109_minhash_calibration" -> 3,
+    // q112: map-side tokenize/explode; the only exchange is the
+    // output's (doc_id, chunk_idx) range sort
+    "q112_sliding_chunks" -> 1,
     // q110: positional-gram eval broadcast semi-join + per-doc
     // two-distinct span agg (expand) + presentation sort
     "q110_contam_spans" -> 4,

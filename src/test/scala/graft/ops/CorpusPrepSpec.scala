@@ -337,4 +337,26 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got.map(_._6).sum > 0, "final stage keeps at least one doc")
     assert(got.map(_._3).sum < got.map(_._2).sum, "langid stage binds")
   }
+
+  test("q112 sliding chunks: stride/overlap geometry matches the reference") {
+    val d = tmpDir("slide")
+    val longDoc = (0 until 150).map(i => s"t$i").mkString(" ")
+    Seq((1L, longDoc, "en", "s1", longDoc.length.toLong),
+        (2L, "only three tokens", "en", "s2", 17L),
+        (3L, "   ", "en", "s3", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = CorpusPrep.slidingChunks(spark, d)
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // whitespace-only doc produces no chunks; a short doc one clamped window
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0L, 0L, 3L)))
+    // 150 tokens → starts every 48 (0,48,96,144), tail windows clamp
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 64L),
+      (1L, 2L, 96L, 54L), (1L, 3L, 144L, 6L)))
+    // adjacent full windows overlap by exactly win − stride tokens
+    assert(CorpusPrep.ChunkWin - CorpusPrep.ChunkStride === 16)
+  }
 }
