@@ -25,7 +25,7 @@ object SparkEntry {
       ops.Graphs.queries ++ ops.Search.queries ++ ops.HeavyHitters.queries ++
       ops.Mixing.queries ++ ops.Scd.queries ++ ops.Reshape.queries ++
       ops.CorpusPrep.queries ++ ops.Pruning.queries ++
-      ops.ScaleJoins.queries
+      ops.ScaleJoins.queries ++ ops.Profiling.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -36,5 +36,5 @@ object SparkEntry {
       ops.Graphs.oracles ++ ops.Search.oracles ++ ops.HeavyHitters.oracles ++
       ops.Mixing.oracles ++ ops.Scd.oracles ++ ops.Reshape.oracles ++
       ops.CorpusPrep.oracles ++ ops.Pruning.oracles ++
-      ops.ScaleJoins.oracles
+      ops.ScaleJoins.oracles ++ ops.Profiling.oracles
 }

@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Corpus- and key-distribution profiling — the monitoring queries a
+  * 100 TB ingest runs continuously to decide WHEN to act (re-mix,
+  * re-shard, salt a join) rather than to transform data:
+  *
+  *  - q113 per-language top-k word bigrams (what is this corpus made
+  *    of — the n-gram census behind boilerplate detection);
+  *  - q114 per-document character diversity (Gini–Simpson
+  *    concentration — the log-free cousin of char entropy, flags
+  *    mojibake / repeated-char junk that token-level stats miss);
+  *  - q115 per-source distributional drift as an exact integer
+  *    Kolmogorov–Smirnov statistic (one-vs-rest over a bounded value
+  *    grid);
+  *  - q116 join-key skew audit (the numbers that decide salting /
+  *    AQE skew handling before a join ships).
+  *
+  * Everything is integer arithmetic (counts, ppm/milli fixed-point by
+  * truncating div) — the [[Det]] discipline; no logs, no float sums.
+  */
+object Profiling {
+
+  // ---------------------------------------------------------------- q113
+  private[ops] val TopBigrams = 5
+
+  /** Top-k word bigrams per language (q113). Adjacent-pair explode is
+    * scan-proportional (one pass, map-side); the census groupBy is the
+    * only data shuffle; the per-language top-k is a rank window on the
+    * K-language key — tiny. Ties pinned by (w1, w2) so the cut is
+    * deterministic in both engines. */
+  def bigramTopk(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0 && size(ws) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = pairs.groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+    cnt.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopBigrams)
+      .orderBy("lang", "rk")
+  }
+
+  // ---------------------------------------------------------------- q114
+  /** Per-document character diversity (q114): distinct non-whitespace
+    * characters and the Gini–Simpson concentration Σcᵢ² · 10⁶ div n²
+    * in ppm (1e6 = one repeated character; 1e6/n = all distinct).
+    * Log-free by design — entropy needs ln, which the two engines
+    * round differently ([[TextAnalysis.sourceDivergence]] argument) —
+    * and Simpson ranks documents the same way for the junk screen.
+    *
+    * Scale shape: the char explode is scan-proportional; both
+    * aggregations shuffle on doc_id (the second reuses the first's
+    * key), so the cost is one wide pass — the same as any per-doc
+    * token statistic. Documents that are all whitespace drop out
+    * (n = 0 ⇒ no char rows) in both engines. */
+  def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), WsClass, "").as("cc"))
+      .filter(length(col("cc")) >= 1)
+      .select(col("doc_id"), length(col("cc")).cast("long").as("n"),
+        explode(transform(sequence(lit(1), length(col("cc"))),
+          i => substring(col("cc"), i, lit(1)))).as("ch"))
+    chars.groupBy("doc_id", "n", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).cast("long").as("distinct_chars"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), col("n").as("n_chars_ns"), col("distinct_chars"),
+        expr("sumsq * 1000000 div (n * n)").as("simpson_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q115
+  /** One-vs-rest Kolmogorov–Smirnov drift per source (q115), exact in
+    * integers: for each source s over the n_chars distribution,
+    *   KS·n_s·n_rest = max_v | cum_s(v)·n_rest − cum_rest(v)·n_s |
+    * evaluated on the grid of ALL distinct values, reported raw and in
+    * ppm. No interpolation, no doubles — the ECDF comparison is pure
+    * counting, so both engines agree bit-for-bit.
+    *
+    * Scale shape: the value grid is the distinct set of a BOUNDED
+    * statistic (like q62's profile, n_chars has ~hundreds of distinct
+    * values however many rows exist), so grid × sources is a K-row
+    * frame: the crossJoin(broadcast(grid)) is the declared K-row
+    * nested-loop pattern, and the per-source cumulative window is
+    * partitioned by source. The corpus-wide cumulative runs on the
+    * grid alone (bounded rows, single partition by construction). The
+    * only data-sized shuffle is the (source, v) census. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars").as("v"))
+    val cnts = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val srcs = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val grid = d.select("v").distinct()
+    val full = srcs.crossJoin(broadcast(grid))
+      .join(cnts, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val cumW = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.withColumn("cum_s", sum("c").over(cumW))
+    val tot = cum.groupBy("v").agg(sum("c").as("cv"))
+      .withColumn("cum_all", sum("cv").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "cum_all")
+    val nAll = d.agg(count(lit(1)).as("nn"))
+    cum.join(broadcast(tot), Seq("v"))
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("source"), col("n_s"), col("nn"))
+      .agg(max(abs(col("cum_s") * (col("nn") - col("n_s"))
+        - (col("cum_all") - col("cum_s")) * col("n_s"))).as("ks_num"))
+      .select(col("source"), col("n_s").cast("long").as("n_s"),
+        (col("nn") - col("n_s")).cast("long").as("n_rest"),
+        col("ks_num").cast("long").as("ks_num"),
+        expr("ks_num * 1000000 div (n_s * (nn - n_s))").as("ks_ppm"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q116
+  /** The audited join keys: (label, table loader, key column). */
+  private def keyCols(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "lineitem.l_partkey" -> Tables.lineitem(s, dir).select(col("l_partkey").as("k")),
+    "lineitem.l_suppkey" -> Tables.lineitem(s, dir).select(col("l_suppkey").as("k")),
+    "orders.o_custkey" -> Tables.orders(s, dir).select(col("o_custkey").as("k")),
+    "events.user_id" -> Tables.events(s, dir).select(col("user_id").as("k")))
+
+  /** Join-key skew audit (q116): per audited key — row and key
+    * cardinalities, the heaviest key and its share (ppm), and the
+    * max/mean skew ratio (milli) that decides whether the key needs
+    * salting ([[ScaleJoins]] q92) or plain hash partitioning. The
+    * heaviest key's tie-break is the SMALLEST key id (struct-max over
+    * (cnt, −k)), pinned in both engines.
+    *
+    * Scale shape: one groupBy per key (the same shuffle the audited
+    * join itself would pay) followed by an all-to-one aggregate of
+    * per-key counts — no windows, no sorts; branches union into a
+    * 4-row frame. */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    val branches = keyCols(s, dir).map { case (label, df) =>
+      df.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("cnt").as("c"), (-col("k")).as("nk"))).as("top"))
+        .select(lit(label).as("key_col"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_keys").cast("long").as("n_keys"),
+          col("top.c").cast("long").as("max_key_rows"),
+          (-col("top.nk")).cast("long").as("top_key"),
+          expr("top.c * 1000000 div n_rows").as("max_share_ppm"),
+          expr("top.c * n_keys * 1000 div n_rows").as("skew_ratio_milli"))
+    }
+    branches.reduce(_ unionByName _).orderBy("key_col")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bigram_topk" -> (bigramTopk _),
+    "q114_char_diversity" -> (charDiversity _),
+    "q115_ks_drift" -> (ksDrift _),
+    "q116_skew_audit" -> (skewAudit _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q113_bigram_topk" ->
+      s"""WITH t AS (SELECT lang, ${wordsSql("text")} AS ws
+         |  FROM documents WHERE length(trim(text)) > 0 AND len(${wordsSql("text")}) >= 2),
+         |b AS (SELECT lang, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+         |  FROM t, UNNEST(range(1, len(ws))) AS s(i)),
+         |c AS (SELECT lang, w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+         |r AS (SELECT lang, w1, w2, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w1, w2) AS BIGINT) AS rk
+         |  FROM c)
+         |SELECT lang, w1, w2, cnt, rk FROM r WHERE rk <= $TopBigrams
+         |ORDER BY lang, rk""".stripMargin,
+    "q114_char_diversity" ->
+      s"""WITH c0 AS (SELECT doc_id,
+         |   regexp_replace(text, '$WsClass', '', 'g') AS cc
+         |  FROM documents),
+         |ch AS (SELECT doc_id, CAST(len(cc) AS BIGINT) AS n,
+         |   substr(cc, CAST(i AS INT), 1) AS ch
+         |  FROM c0, UNNEST(range(1, len(cc) + 1)) AS s(i)
+         |  WHERE len(cc) >= 1),
+         |cnt AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3)
+         |SELECT doc_id, n AS n_chars_ns,
+         | CAST(count(*) AS BIGINT) AS distinct_chars,
+         | CAST(sum(c * c) * 1000000 // (n * n) AS BIGINT) AS simpson_ppm
+         |FROM cnt GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "q115_ks_drift" ->
+      """WITH srcs AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |grid AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |cnts AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |filled AS (SELECT s.source, s.n_s, g.v, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN cnts c ON c.source = s.source AND c.v = g.v),
+        |cum AS (SELECT source, n_s, v,
+        |   sum(c) OVER (PARTITION BY source ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |  FROM filled),
+        |tot AS (SELECT v, sum(cv) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM (SELECT v, sum(c) AS cv FROM filled GROUP BY v)),
+        |n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+        | CAST(nn - n_s AS BIGINT) AS n_rest,
+        | CAST(max(abs(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s)) AS BIGINT) AS ks_num,
+        | CAST(max(abs(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s)) * 1000000
+        |   // (n_s * (nn - n_s)) AS BIGINT) AS ks_ppm
+        |FROM cum JOIN tot USING (v), n
+        |GROUP BY source, n_s, nn ORDER BY source""".stripMargin,
+    "q116_skew_audit" -> {
+      val keys = Seq(("lineitem.l_partkey", "l_partkey", "lineitem"),
+        ("lineitem.l_suppkey", "l_suppkey", "lineitem"),
+        ("orders.o_custkey", "o_custkey", "orders"),
+        ("events.user_id", "user_id", "events"))
+      val ctes = keys.map { case (_, k, tbl) =>
+        s"""g_$k AS (SELECT $k AS k, count(*) AS cnt FROM $tbl GROUP BY 1),
+           |m_$k AS (SELECT max(cnt) AS mx FROM g_$k)""".stripMargin
+      }.mkString(",\n")
+      val branch = keys.map { case (label, k, _) =>
+        s"""SELECT '$label' AS key_col,
+           | CAST(sum(cnt) AS BIGINT) AS n_rows,
+           | CAST(count(*) AS BIGINT) AS n_keys,
+           | CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           | CAST(min(CASE WHEN cnt = mx THEN k END) AS BIGINT) AS top_key,
+           | CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS max_share_ppm,
+           | CAST(max(cnt) * count(*) * 1000 // sum(cnt) AS BIGINT) AS skew_ratio_milli
+           |FROM g_$k, m_$k GROUP BY mx""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\nSELECT * FROM (\n$branch\n) ORDER BY key_col"
+    }
+  )
+}

@@ -30,7 +30,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q70_bm25", // 1-row corpus stats
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
     "q75_pmi_pairs", // 1-row corpus count
-    "q105_dsir_weights" // 1-row distribution totals
+    "q105_dsir_weights", // 1-row distribution totals
+    "q115_ks_drift" // bounded value-grid × sources + 1-row corpus count
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -180,7 +181,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q101_incremental_dedup" -> 6,
     // merge rounds run eagerly (q87 pattern); declared plan = union of
     // BpeRounds one-row checkpoint leaves + presentation sort
-    "q95_bpe_merges" -> 1
+    "q95_bpe_merges" -> 1,
+    // q113: pair census groupBy + per-lang rank window + presentation
+    // sort — the explode itself is map-side
+    "q113_bigram_topk" -> 3,
+    // q114: (doc,char) census + doc regroup + presentation sort
+    "q114_char_diversity" -> 3,
+    // q115: the only data-sized exchange is the (source,v) census; the
+    // rest (source totals, value grid, grid-completion join, the two
+    // cumulative windows, final per-source agg) move the bounded
+    // grid × sources frame
+    "q115_ks_drift" -> 8,
+    // q116: per audited key (×4): the key groupBy the audited join
+    // itself would pay + the all-to-one agg of per-key counts
+    "q116_skew_audit" -> 8
   )
 
   /** Queries whose plans must statically reuse an exchange — the

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Behavior tests for the profiling family (q113–q116): bigram census
+  * edges, Simpson concentration extremes, KS drift's exact-integer
+  * identity on constructed distributions, and the skew audit's
+  * tie-break + ratio arithmetic. */
+class ProfilingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q113: single-word and empty documents contribute no bigrams; ties cut by (w1,w2)") {
+    val out = Profiling.bigramTopk(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..TopBigrams per lang, dense and deterministic
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1L to rows.length.toLong))
+      // counts non-increasing in rank order
+      val byRank = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("cnt"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q114: Simpson ppm is 1e6 for a one-char doc and 1e6/n for all-distinct chars") {
+    val docs = Seq(
+      (1L, "aaaa", "en", "s", 4L), // one repeated char → 16*1e6/16 = 1e6
+      (2L, "abcd", "en", "s", 4L), // all distinct → 4*1e6/16 = 250000
+      (3L, "  \t ", "en", "s", 4L) // all whitespace → drops out
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("x")
+    val cc = regexp_replace(col("text"), Det.WsClass, "")
+    val chars = docs
+      .select(col("doc_id"), cc.as("cc"))
+      .filter(length(col("cc")) >= 1)
+      .select(col("doc_id"), length(col("cc")).cast("long").as("n"),
+        explode(transform(sequence(lit(1), length(col("cc"))),
+          i => substring(col("cc"), i, lit(1)))).as("ch"))
+    val out = chars.groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), expr("sumsq * 1000000 div (n * n)").as("ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1000000L, 2L -> 250000L))
+  }
+
+  test("q115: identical distributions give ks=0; disjoint supports give ks_ppm=1e6") {
+    // 2 sources, one value each, disjoint: at the lower value the
+    // source holding it has full mass and the other none → D = 1.
+    val d = Seq(("a", 10L), ("a", 10L), ("b", 20L), ("b", 20L))
+      .toDF("source", "n_chars")
+    val ks = ksOn(d)
+    assert(ks("a") === 1000000L && ks("b") === 1000000L)
+    // identical per-source distributions → every cum ratio equal → 0
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L))
+      .toDF("source", "n_chars")
+    val ks2 = ksOn(same)
+    assert(ks2("a") === 0L && ks2("b") === 0L)
+  }
+
+  /** Run the q115 pipeline over an in-memory (source, n_chars) frame
+    * by mirroring its logic through a temp dir-free path: we inline
+    * the same column program against the given frame. */
+  private def ksOn(d: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.select(col("source"), col("n_chars").as("v"))
+    val cnts = base.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val srcs = base.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val grid = base.select("v").distinct()
+    val full = srcs.crossJoin(broadcast(grid))
+      .join(cnts, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+    val cumW = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.withColumn("cum_s", sum("c").over(cumW))
+    val tot = cum.groupBy("v").agg(sum("c").as("cv"))
+      .withColumn("cum_all", sum("cv").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "cum_all")
+    val nAll = base.agg(count(lit(1)).as("nn"))
+    cum.join(broadcast(tot), Seq("v")).crossJoin(broadcast(nAll))
+      .groupBy(col("source"), col("n_s"), col("nn"))
+      .agg(max(abs(col("cum_s") * (col("nn") - col("n_s"))
+        - (col("cum_all") - col("cum_s")) * col("n_s"))).as("ks_num"))
+      .select(col("source"), expr("ks_num * 1000000 div (n_s * (nn - n_s))").as("ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("q116: heaviest-key tie breaks to the smallest key id; ratios are floor-div") {
+    val out = Profiling.skewAudit(spark, sf).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_rows"); val k = r.getAs[Long]("n_keys")
+      val mx = r.getAs[Long]("max_key_rows")
+      assert(r.getAs[Long]("max_share_ppm") === mx * 1000000L / n)
+      assert(r.getAs[Long]("skew_ratio_milli") === mx * k * 1000L / n)
+      assert(mx * k >= n) // max ≥ mean ⇒ ratio ≥ 1
+    }
+    // tie-break: two keys with the same max count → smallest key wins
+    val tie = Seq(7L, 7L, 3L, 3L, 9L).toDF("k")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(max(struct(col("cnt").as("c"), (-col("k")).as("nk"))).as("top"))
+      .select((-col("top.nk")).as("top_key")).collect()(0).getLong(0)
+    assert(tie === 3L)
+  }
+}
