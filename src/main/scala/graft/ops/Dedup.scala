@@ -670,7 +670,8 @@ object Dedup {
     "q99_containment_pairs" -> (containmentPairs _),
     "q102_split_leakage" -> (splitLeakage _),
     "q104_jaccard_join_exact" -> (jaccardJoinExact _),
-    "q109_minhash_calibration" -> (minhashCalibration _)
+    "q109_minhash_calibration" -> (minhashCalibration _),
+    "q121_editdist_pairs" -> (editDistancePairs _)
   )
 
   /** q91: entity-resolution canonicalization — the step AFTER
@@ -905,6 +906,48 @@ object Dedup {
           .cast("long"))
       .orderBy("cluster")
 
+  // ---------- q121: prefix-blocked edit-distance pairs ----------
+
+  private[ops] val EditPrefixLen = 8
+  private[ops] val EditHeadLen = 40
+  private[ops] val EditMaxDist = 4
+
+  /** q121: field-level fuzzy matching — the record-linkage primitive
+    * the token/shingle family can't express (MinHash and Jaccard see
+    * transposed or misspelled CHARACTERS as different tokens; edit
+    * distance counts them as unit repairs). Candidate pairs are
+    * blocked on (lang, first-[[EditPrefixLen]] chars of the
+    * whitespace-collapsed text) — the standard blocking key, with the
+    * documented limitation that a repair inside the prefix escapes the
+    * block — then verified with exact Levenshtein over the
+    * [[EditHeadLen]]-char head, kept at distance ≤ [[EditMaxDist]].
+    *
+    * Scale shape: one equi-self-join on the block key (the exchange
+    * is reused for both sides) — never an all-pairs compare; block
+    * sizes are bounded by prefix diversity the same way q104's
+    * prefix filtering argues, and the Levenshtein verify runs only
+    * inside blocks. Levenshtein itself is a builtin codegen'd
+    * expression in both engines with the identical unit-cost
+    * insert/delete/substitute definition. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(col("text"), Det.WsClass + "+", " "))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(norm, 1, EditPrefixLen).as("blk"),
+        substring(norm, 1, EditHeadLen).as("head"))
+      .filter(length(col("blk")) === EditPrefixLen)
+    val a = d.select(col("lang"), col("blk"), col("doc_id").as("doc_a"),
+      col("head").as("head_a"))
+    val b = d.select(col("lang"), col("blk"), col("doc_id").as("doc_b"),
+      col("head").as("head_b"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
 
   private def h32sql(x: String): String = Det.h8Sql(x)
@@ -1125,6 +1168,19 @@ object Dedup {
          |SELECT doc_a, doc_b, inter_sh, union_sh,
          |  inter_sh * 1000000 // union_sh AS jacc_ppm
          |FROM pv WHERE inter_sh * 1000000 >= $PfxJaccPpmMin * union_sh
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q121_editdist_pairs" ->
+      s"""WITH d AS (
+         | SELECT doc_id, lang,
+         |  substr(trim(regexp_replace(text, '${Det.WsClass}+', ' ', 'g')), 1, $EditPrefixLen) AS blk,
+         |  substr(trim(regexp_replace(text, '${Det.WsClass}+', ' ', 'g')), 1, $EditHeadLen) AS head
+         | FROM documents),
+         |f AS (SELECT * FROM d WHERE len(blk) = $EditPrefixLen)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+         | CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+         |FROM f a JOIN f b ON a.lang = b.lang AND a.blk = b.blk
+         | AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.head, b.head) <= $EditMaxDist
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 

@@ -101,10 +101,40 @@ object Funnels {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------- q120
+  private[ops] val TopTriples = 20
+
+  /** Frequent length-3 event sequences (q120): the trigram extension
+    * of q107's transition matrix — which three-step journeys dominate,
+    * the input to funnel DISCOVERY (q60 checks a declared funnel;
+    * this surfaces candidates). Same per-user total order (event
+    * time, event_id), two lead() taps over the one user_id window,
+    * global census, deterministic top-k with (types) tie-break.
+    *
+    * Scale shape: the single user_id window exchange is the whole
+    * data-sized cost (both leads share it); the census key space is
+    * |event types|³ — constant — and the top-k is a TakeOrdered, no
+    * extra shuffle. */
+  def eventTriples(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+    tri.groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(TopTriples)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
-    "q107_markov_transitions" -> (markovTransitions _)
+    "q107_markov_transitions" -> (markovTransitions _),
+    "q120_event_triples" -> (eventTriples _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +179,20 @@ object Funnels {
         | count(DISTINCT user_id) AS n_users
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q120_event_triples" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         | FROM events),
+         |p AS (
+         | SELECT event_type AS e1,
+         |  lead(event_type, 1) OVER w AS e2,
+         |  lead(event_type, 2) OVER w AS e3
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         |SELECT e1, e2, e3, count(*) AS cnt
+         |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY cnt DESC, e1, e2, e3
+         |LIMIT $TopTriples""".stripMargin
   )
 }

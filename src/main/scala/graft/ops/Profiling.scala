@@ -35,13 +35,19 @@ object Profiling {
     * K-language key — tiny. Ties pinned by (w1, w2) so the cut is
     * deterministic in both engines. */
   def bigramTopk(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // Materialize the token array BEFORE the pairing lambda: an
+    // expression referenced inside a higher-order-function lambda is
+    // re-evaluated per element (no CSE across lambda scope), which
+    // turns adjacent pairing into O(tokens²) re-splitting. One
+    // projection + zip_with of the two shifted slices is O(tokens).
     val pairs = Tables.documents(s, dir)
-      .filter(length(trim(col("text"))) > 0 && size(ws) >= 2)
-      .select(col("lang"), explode(transform(
-        sequence(lit(1), size(ws) - 1),
-        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
-        .as("b"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cnt = pairs.groupBy("lang", "w1", "w2")
       .agg(count(lit(1)).as("cnt"))
@@ -66,13 +72,15 @@ object Profiling {
     * token statistic. Documents that are all whitespace drop out
     * (n = 0 ⇒ no char rows) in both engines. */
   def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    // split(cc, "") yields the char array in ONE pass; the per-index
+    // substring(cc, i, 1) form re-scans the string per element
+    // (O(n²) per document — measured 3.3 s → sub-second at sf0.1).
     val chars = Tables.documents(s, dir)
       .select(col("doc_id"),
         regexp_replace(col("text"), WsClass, "").as("cc"))
       .filter(length(col("cc")) >= 1)
       .select(col("doc_id"), length(col("cc")).cast("long").as("n"),
-        explode(transform(sequence(lit(1), length(col("cc"))),
-          i => substring(col("cc"), i, lit(1)))).as("ch"))
+        explode(split(col("cc"), "")).as("ch"))
     chars.groupBy("doc_id", "n", "ch")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n")

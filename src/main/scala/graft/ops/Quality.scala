@@ -170,11 +170,52 @@ object Quality {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---------------------------------------------------------------- q117
+  /** q117: per-group winsorized mean — clamp each value into the
+    * rank-exact [p05, p95] band before averaging, the robust
+    * aggregation a metrics pipeline uses where a single corrupt row
+    * would drag a plain mean. Bounds are defined by RANK like q78's
+    * quartiles (lo = value at rank ⌈n/20⌉, hi at ⌈19n/20⌉ in cents
+    * order), so both engines agree exactly; the mean is emitted in
+    * milli-cents by truncating div over non-negative operands.
+    *
+    * Scale shape: identical to q78 — one window shuffle on the group
+    * key to rank, the bound pick reuses that exchange, and the clamp
+    * pass joins the K-group bounds frame by broadcast. */
+  def winsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cents").asc_nulls_last)
+    val bounds = e.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .groupBy("event_type", "n")
+      .agg(
+        max(when(col("r") === expr("(n + 19) div 20"), col("cents")))
+          .as("lo_cents"),
+        max(when(col("r") === expr("(19 * n + 19) div 20"), col("cents")))
+          .as("hi_cents"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type", "n", "lo_cents", "hi_cents")
+      .agg(
+        sum((col("cents") < col("lo_cents")).cast("long")).as("n_clipped_low"),
+        sum((col("cents") > col("hi_cents")).cast("long")).as("n_clipped_high"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("win_sum_cents"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        col("win_sum_cents").cast("long").as("win_sum_cents"),
+        expr("win_sum_cents * 1000 div n").as("win_mean_milli"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_data_profile" -> (profile _),
     "q63_constraints" -> (constraints _),
     "q78_iqr_outliers" -> (iqrOutliers _),
-    "q90_rolling_wavg" -> (rollingWavg _)
+    "q90_rolling_wavg" -> (rollingWavg _),
+    "q117_winsorized_mean" -> (winsorizedMean _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,6 +306,28 @@ object Quality {
         |       + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
         |       + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
         |  AS BIGINT) AS wavg_milli
-        |FROM l ORDER BY user_id, us, event_id""".stripMargin
+        |FROM l ORDER BY user_id, us, event_id""".stripMargin,
+    "q117_winsorized_mean" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM e),
+        |b AS (
+        | SELECT event_type, n,
+        |  max(CASE WHEN r = (n + 19) // 20 THEN cents END) AS lo_cents,
+        |  max(CASE WHEN r = (19 * n + 19) // 20 THEN cents END) AS hi_cents
+        | FROM r GROUP BY 1, 2)
+        |SELECT e.event_type, b.n, b.lo_cents, b.hi_cents,
+        | CAST(sum(CAST(e.cents < b.lo_cents AS BIGINT)) AS BIGINT) AS n_clipped_low,
+        | CAST(sum(CAST(e.cents > b.hi_cents AS BIGINT)) AS BIGINT) AS n_clipped_high,
+        | CAST(sum(greatest(least(e.cents, b.hi_cents), b.lo_cents)) AS BIGINT) AS win_sum_cents,
+        | CAST(sum(greatest(least(e.cents, b.hi_cents), b.lo_cents)) * 1000 // b.n AS BIGINT) AS win_mean_milli
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY e.event_type""".stripMargin
   )
 }

@@ -442,6 +442,62 @@ object Relational {
       .orderBy("user_id", "tick_us")
   }
 
+  // ---------------------------------------------------------------- q119
+  /** q66's grid with LINEAR INTERPOLATION instead of forward fill:
+    * each hourly tick carries the value interpolated between the
+    * user's last event at-or-before and first event at-or-after —
+    * both through the custom as-of operator (backward + forward
+    * pass over the same grid). The fraction is integer ppm
+    * ((tick−t_prev)·10⁶ div (t_next−t_prev), non-negative) and the
+    * delta term uses truncating div, identical in both engines for
+    * either sign of the delta. Edges extrapolate flat (prev-only →
+    * prev; next-only → next); an event exactly on the tick makes
+    * prev = next and short-circuits to its value (division guard).
+    *
+    * Numeric bound: (tick−t_prev)·10⁶ stays in 64-bit while the
+    * largest per-user event gap is < ~106 days — gaps, not corpus
+    * size, bound the product, so the ppm discipline holds at any
+    * volume (a wider-spanned deployment drops to milli fractions).
+    *
+    * Scale shape: two as-of merges, each one Exchange+Sort per side
+    * on user_id (the q66 argument, twice); the grid build reuses
+    * q66's broadcast-bounds pattern (no data shuffle). */
+  def q119Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Det.cents(col("value")).cast("long").as("value_cents"))
+    val bounds = Tables.events(s, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = Tables.events(s, dir).select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("tick"))
+    val back = graft.plans.AsOf.join(grid, e, keys = Seq("user_id"),
+        leftTs = "tick", rightTs = "ts", tieBreak = Seq("event_id"))
+      .toDF("user_id", "tick", "r_user_id", "ts", "event_id", "value_cents")
+      .select(col("user_id"), col("tick"),
+        unix_micros(col("ts")).as("prev_us"), col("value_cents").as("prev_cents"))
+    val fwd = graft.plans.AsOf.join(back, e, keys = Seq("user_id"),
+        leftTs = "tick", rightTs = "ts", direction = "forward",
+        tieBreak = Seq("event_id"))
+      .toDF("user_id", "tick", "prev_us", "prev_cents",
+        "r_user_id", "ts", "event_id", "next_cents")
+      .select(col("user_id"), unix_micros(col("tick")).as("tick_us"),
+        col("prev_us"), col("prev_cents"),
+        unix_micros(col("ts")).as("next_us"), col("next_cents"))
+    fwd.withColumn("interp_cents",
+        when(col("prev_us").isNull, col("next_cents"))
+          .when(col("next_us").isNull, col("prev_cents"))
+          .when(col("next_us") === col("prev_us"), col("prev_cents"))
+          .otherwise(col("prev_cents") + expr(
+            "(next_cents - prev_cents) * ((tick_us - prev_us) * 1000000" +
+              " div (next_us - prev_us)) div 1000000")))
+      .select("user_id", "tick_us", "prev_us", "next_us", "interp_cents")
+      .orderBy("user_id", "tick_us")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Union + exact dedup: two overlapping slices, distinct, aggregate. */
   def q22UnionDedup(s: SparkSession, dir: String): DataFrame = {
@@ -479,7 +535,8 @@ object Relational {
     "q22_union_dedup" -> (q22UnionDedup _),
     "q45_asof_custom" -> (q45AsOfJoinCustom _),
     "q46_asof_forward" -> (q46AsOfForward _),
-    "q66_resample_ffill" -> (q66Resample _)
+    "q66_resample_ffill" -> (q66Resample _),
+    "q119_interp_resample" -> (q119Interpolate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -676,6 +733,33 @@ object Relational {
         |FROM grid g ASOF LEFT JOIN e
         | ON g.user_id = e.user_id AND e.ts <= g.tick
         |ORDER BY g.user_id, tick_us""".stripMargin,
+    "q119_interp_resample" ->
+      """WITH b AS (
+        | SELECT date_trunc('hour', min(ts)) AS lo,
+        |        date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (
+        | SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick
+        | FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN b),
+        |e AS (SELECT user_id, ts,
+        |      CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+        |bk AS (
+        | SELECT g.user_id, g.tick, epoch_us(p.ts) AS prev_us,
+        |  p.value_cents AS prev_cents
+        | FROM grid g ASOF LEFT JOIN e p
+        |  ON g.user_id = p.user_id AND p.ts <= g.tick),
+        |fw AS (
+        | SELECT bk.user_id, epoch_us(bk.tick) AS tick_us, bk.prev_us,
+        |  bk.prev_cents, epoch_us(n.ts) AS next_us, n.value_cents AS next_cents
+        | FROM bk ASOF LEFT JOIN e n
+        |  ON bk.user_id = n.user_id AND n.ts >= bk.tick)
+        |SELECT user_id, tick_us, prev_us, next_us,
+        | CASE WHEN prev_us IS NULL THEN next_cents
+        |      WHEN next_us IS NULL THEN prev_cents
+        |      WHEN next_us = prev_us THEN prev_cents
+        |      ELSE prev_cents + (next_cents - prev_cents)
+        |        * ((tick_us - prev_us) * 1000000 // (next_us - prev_us)) // 1000000
+        | END AS interp_cents
+        |FROM fw ORDER BY user_id, tick_us""".stripMargin,
     "q22_union_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT * FROM events WHERE value > 100

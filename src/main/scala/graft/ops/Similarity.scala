@@ -588,6 +588,63 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // ---------------------------------------------------------------- q118
+  /** q118: int8 scalar quantization audit — per-dimension min/max
+    * affine quantization of the embedding column to 8-bit codes and
+    * the exact reconstruction error per label, the go/no-go check
+    * before shipping a 4× smaller vector store (PQ's q57 cousin with
+    * one codebook per DIMENSION instead of per subspace).
+    *
+    * All arithmetic is integer: components are the family's QScale
+    * longs; the code is round-to-nearest computed as
+    * (510·(x−mn)+rng) div (2·rng) (exact half-up over non-negative
+    * operands) and the dequantized value as mn + (2·u·rng+255) div
+    * 510 — no IEEE doubles anywhere, so both engines agree
+    * bit-for-bit, and the squared error is an exact long in QScale²
+    * units.
+    *
+    * Scale shape: pass 1 aggregates 64 (min,max) rows (posexplode +
+    * groupBy pos — one shuffle of dim-keyed partials); the bounds are
+    * then embedded as ARRAY LITERALS (the q85 bloom-bitset pattern:
+    * the driver holds 2·dim longs, never rows), so pass 2 is one
+    * scan with a per-row transform + the label aggregation. A
+    * constant dimension means the literal never grows with data. */
+  def int8QuantError(s: SparkSession, dir: String): DataFrame =
+    int8QuantErrorOn(Tables.embeddings(s, dir))
+
+  /** [[int8QuantError]] over an explicit (vec_id, label, embedding)
+    * frame — the spec drives it with grids whose reconstruction is
+    * provably exact / off-by-one. */
+  private[ops] def int8QuantErrorOn(emb: DataFrame): DataFrame = {
+    val qv = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+    val stats = qv.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+    val mnArr = stats.map(_.getAs[Long]("mn"))
+      .mkString("array(", "L, ", "L)")
+    val rngArr = stats.map(r => r.getAs[Long]("mx") - r.getAs[Long]("mn"))
+      .mkString("array(", "L, ", "L)")
+    def mn(i: String) = s"element_at($mnArr, $i + 1)"
+    def rng(i: String) = s"element_at($rngArr, $i + 1)"
+    // dq = x when the dim is constant (rng 0 ⇒ mn = x), else the
+    // round-trip through the 8-bit code; err array = (x − dq)².
+    val dqLambda =
+      s"""transform(q, (x, i) -> CASE WHEN ${rng("i")} = 0L THEN x
+         | ELSE ${mn("i")} + (2 * ((510 * (x - ${mn("i")}) + ${rng("i")})
+         |   div (2 * ${rng("i")})) * ${rng("i")} + 255) div 510 END)"""
+        .stripMargin.replace("\n", " ")
+    qv.selectExpr("vec_id", "label",
+        s"aggregate(zip_with(q, $dqLambda, (x, d) -> (x - d) * (x - d)), 0L, (a, b) -> a + b) AS vec_sse")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_sse").cast("long").as("sse_q2"),
+        max("vec_sse").cast("long").as("max_vec_sse"))
+      .orderBy("label")
+  }
+
   /** [[quantized]] with the vector's training label threaded through
     * (cast to long so both engines emit BIGINT). */
   private def quantizedLab(s: SparkSession, dir: String): DataFrame =
@@ -609,7 +666,8 @@ object Similarity {
     "q59_kmeans" -> (kmeansResult _),
     "q72_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "q93_sem_dedup" -> (semDedup _),
-    "q111_hard_negatives" -> (hardNegatives _)
+    "q111_hard_negatives" -> (hardNegatives _),
+    "q118_int8_quant" -> (int8QuantError _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -863,7 +921,26 @@ object Similarity {
          |   FROM c)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
          |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
-    }
+    },
+    "q118_int8_quant" ->
+      s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         |   FROM embeddings),
+         |ex AS (SELECT vec_id, label, i, q[i] AS x
+         |   FROM qv, UNNEST(generate_series(1, len(q))) AS s(i)),
+         |st AS (SELECT i, min(x) AS mn, max(x) - min(x) AS rng FROM ex GROUP BY i),
+         |er AS (SELECT vec_id, label,
+         |   CASE WHEN rng = 0 THEN CAST(0 AS BIGINT) ELSE
+         |    (x - (mn + (2 * ((510 * (x - mn) + rng) // (2 * rng)) * rng + 255) // 510))
+         |    * (x - (mn + (2 * ((510 * (x - mn) + rng) // (2 * rng)) * rng + 255) // 510))
+         |   END AS e
+         |   FROM ex JOIN st USING (i)),
+         |v AS (SELECT vec_id, label, CAST(sum(e) AS BIGINT) AS vec_sse
+         |   FROM er GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_vecs,
+         | CAST(sum(vec_sse) AS BIGINT) AS sse_q2,
+         | CAST(max(vec_sse) AS BIGINT) AS max_vec_sse
+         |FROM v GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** The unrolled fixed-round Lloyd CTE chain (assign{i} / cent{i}),

@@ -26,6 +26,7 @@ class PlanInvariantsSpec extends SparkTestBase {
 
     "q49_tfidf_topk", // 1-row corpus count
     "q66_resample_ffill", // 1-row grid bounds
+    "q119_interp_resample", // 1-row grid bounds (q66's build, twice as-of'd)
     "q68_triangles", // 1-row stats × 1-row triangle count
     "q70_bm25", // 1-row corpus stats
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
@@ -194,7 +195,24 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q115_ks_drift" -> 8,
     // q116: per audited key (×4): the key groupBy the audited join
     // itself would pay + the all-to-one agg of per-key counts
-    "q116_skew_audit" -> 8
+    "q116_skew_audit" -> 8,
+    // q117: the q78 shape — one rank window on the group key, the
+    // bound pick reuses it, clamp joins by broadcast + final sort
+    "q117_winsorized_mean" -> 3,
+    // q118: pass 2 only (pass 1's 64-row min/max agg runs eagerly at
+    // plan-build, q85 pattern): label agg + presentation sort
+    "q118_int8_quant" -> 2,
+    // q119: two as-of merges × one user_id Exchange+Sort per side
+    // sharing the grid's partitioning + presentation sort (q66 is 4
+    // with ONE as-of; the second merge rides the first's exchange)
+    "q119_interp_resample" -> 4,
+    // q120: one user_id window exchange (both leads share it) + the
+    // |types|³ census; top-k is a TakeOrdered, no exchange
+    "q120_event_triples" -> 2,
+    // q121: the block-key equi-self-join plans broadcast at this SF
+    // (shuffle-free; at scale it becomes one reused (lang,blk)
+    // exchange), leaving the presentation sort as the only exchange
+    "q121_editdist_pairs" -> 1
   )
 
   /** Queries whose plans must statically reuse an exchange — the
