@@ -401,7 +401,54 @@ object DataPrep {
       .orderBy("doc_id")
   }
 
+  // ---- q122: systematic PPS sampling ---------------------------------
+
+  /** Target sample size per source for q122. */
+  val PpsPerSource = 25L
+
+  /** Systematic probability-proportional-to-size sampling (q122): pick
+    * ~[[PpsPerSource]] docs per source with inclusion probability
+    * proportional to length — the subsample you train scouts on when
+    * token (not document) coverage is what matters. The classic
+    * A-ES/exponential-key weighted reservoir needs logs and pow —
+    * float territory the differential harness bans — so this is the
+    * equally standard SYSTEMATIC form, exact in integers: order docs
+    * by the cross-engine hash (a deterministic "random" permutation),
+    * take the running length total, and select every doc whose
+    * cumulative interval [cw−w, cw) crosses a multiple of
+    * step = total div target. Longer docs span more multiples —
+    * inclusion ∝ length. A doc spanning several multiples is emitted
+    * ONCE, so the realized count is ≤ target+1 and shrinks when
+    * weights are heavy relative to step (docs with w ≥ step are
+    * always selected — the spec's sharp bound).
+    *
+    * Scale shape: the window cumsum is PARTITIONED by source (same
+    * shape as q55's per-shard pack and q97's per-source budget —
+    * never a global sort); the per-source totals are a K-row
+    * broadcast. Zero-length docs carry zero mass and can never be
+    * selected (w > 0 filter keeps step well-defined). */
+  def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+        h8(concat(lit("pps:"), col("doc_id").cast("string"))).as("h"))
+      .filter(col("w") > 0)
+    val totals = d.groupBy("source")
+      .agg(sum("w").as("total_w"))
+      .select(col("source"),
+        greatest(expr(s"total_w div $PpsPerSource"), lit(1L)).as("step"))
+    val cw = sum("w").over(
+      Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d.withColumn("cw", cw)
+      .join(broadcast(totals), "source")
+      .filter(expr("(cw - w) div step") < expr("cw div step"))
+      .select(col("source"), col("doc_id"), col("w"), col("cw"),
+        expr("cw div step").as("pick_bucket"))
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_pps_sample" -> (ppsSample _),
     "q47_repetition_stats" -> (repetitionStats _),
     "q48_hash_split" -> (hashSplit _),
     "q49_tfidf_topk" -> (tfIdfTopTerms _),
@@ -595,6 +642,23 @@ object DataPrep {
          |SELECT doc_id, shard, n_tokens,
          | start_tok // $SeqLen AS seq_id,
          | start_tok % $SeqLen AS seq_offset
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q122_pps_sample" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source, n_chars AS w,
+         |  ${h8Sql("concat('pps:', CAST(doc_id AS VARCHAR))")} AS h
+         | FROM documents WHERE n_chars > 0),
+         |t AS (SELECT source,
+         |  greatest(sum(w) // $PpsPerSource, 1) AS step
+         | FROM d GROUP BY source),
+         |c AS (SELECT doc_id, source, w,
+         |  CAST(sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+         | FROM d)
+         |SELECT source, doc_id, CAST(w AS BIGINT) AS w, cw,
+         | CAST(cw // step AS BIGINT) AS pick_bucket
+         |FROM c JOIN t USING (source)
+         |WHERE (cw - w) // step < cw // step
+         |ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -130,11 +130,43 @@ object Funnels {
       .limit(TopTriples)
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Day-of-week seasonality profile (q123): per (event type, weekday)
+    * — count, mean value in milli-cents, and a seasonal index in
+    * milli (weekday mean ÷ the type's overall mean) — the baseline a
+    * metrics monitor divides out before alerting, so Monday's dip
+    * isn't an incident. Weekday is pinned cross-engine as Sunday=0
+    * (Spark's `dayofweek` is 1-based Sunday=1, DuckDB's 0-based; the
+    * −1 shift makes them agree). The index divides two already-exact
+    * integers (never a product of sums that could overflow at
+    * volume), truncating div over non-negative operands.
+    *
+    * Scale shape: one groupBy on the constant-sized (type, dow) key
+    * with map-side partials; the per-type totals derive from the
+    * 35-row result itself — no second scan, no window. */
+  def dowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(s, dir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"),
+        Det.cents(col("value")).cast("long").as("cents"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val typ = Window.partitionBy("event_type")
+    cell
+      .withColumn("n_type", sum("n").over(typ))
+      .withColumn("sum_type", sum("sum_cents").over(typ))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n"), expr("sum_cents * 1000 div n").as("mean_milli"),
+        expr("(sum_cents * 1000 div n) * 1000 div (sum_type * 1000 div n_type)")
+          .as("index_milli"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
     "q107_markov_transitions" -> (markovTransitions _),
-    "q120_event_triples" -> (eventTriples _)
+    "q120_event_triples" -> (eventTriples _),
+    "q123_dow_seasonality" -> (dowSeasonality _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +225,21 @@ object Funnels {
          |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
          |GROUP BY 1, 2, 3
          |ORDER BY cnt DESC, e1, e2, e3
-         |LIMIT $TopTriples""".stripMargin
+         |LIMIT $TopTriples""".stripMargin,
+    "q123_dow_seasonality" ->
+      """WITH c AS (
+        | SELECT event_type, dayofweek(ts) AS dow,
+        |  count(*) AS n,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT event_type, sum(n) AS n_type, sum(sum_cents) AS sum_type
+        | FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n,
+        | CAST(c.sum_cents * 1000 // c.n AS BIGINT) AS mean_milli,
+        | CAST((c.sum_cents * 1000 // c.n) * 1000
+        |   // (t.sum_type * 1000 // t.n_type) AS BIGINT) AS index_milli
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.dow""".stripMargin
   )
 }

@@ -210,12 +210,52 @@ object Quality {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q124
+  /** q124: median-absolute-deviation outlier screen per group — the
+    * robust scale estimator that, unlike q78's IQR, stays meaningful
+    * when up to half the data is corrupt (50% breakdown point). Both
+    * medians are rank-exact LOWER medians (the value at rank
+    * ⌈n/2⌉ = (n+1) div 2 in sorted order — a value the multiset
+    * determines, q78's argument), deviations are exact integer
+    * |cents − median|, and the fence is the standard 3·MAD.
+    *
+    * Scale shape: two rank-window passes on the SAME group key (the
+    * deviation pass reuses the first exchange's partitioning) + two
+    * broadcast joins of the K-group median frames — q78's shape run
+    * twice, no global sort. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col(valueCol).asc_nulls_last)
+      df.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(gw))
+        .groupBy("event_type")
+        .agg(max(when(col("r") === expr("(n + 1) div 2"), col(valueCol)))
+          .as(out))
+    }
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("cents"))
+    val med = lowerMedian(e, "cents", "med_cents")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("cents") - col("med_cents")))
+    val mad = lowerMedian(dev, "ad", "mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type", "med_cents", "mad_cents")
+      .agg(count(lit(1)).as("n"),
+        sum((col("ad") > col("mad_cents") * 3).cast("long")).as("n_outliers"),
+        max("ad").cast("long").as("max_ad"))
+      .select("event_type", "n", "med_cents", "mad_cents", "n_outliers", "max_ad")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_data_profile" -> (profile _),
     "q63_constraints" -> (constraints _),
     "q78_iqr_outliers" -> (iqrOutliers _),
     "q90_rolling_wavg" -> (rollingWavg _),
-    "q117_winsorized_mean" -> (winsorizedMean _)
+    "q117_winsorized_mean" -> (winsorizedMean _),
+    "q124_mad_outliers" -> (madOutliers _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +368,33 @@ object Quality {
         | CAST(sum(greatest(least(e.cents, b.hi_cents), b.lo_cents)) * 1000 // b.n AS BIGINT) AS win_mean_milli
         |FROM e JOIN b USING (event_type)
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+    "q124_mad_outliers" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |m1 AS (
+        | SELECT event_type,
+        |  max(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med_cents
+        | FROM (SELECT event_type, cents,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+        |   count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        | GROUP BY event_type),
+        |d AS (
+        | SELECT e.event_type, abs(e.cents - m1.med_cents) AS ad, m1.med_cents
+        | FROM e JOIN m1 USING (event_type)),
+        |m2 AS (
+        | SELECT event_type,
+        |  max(CASE WHEN r = (n + 1) // 2 THEN ad END) AS mad_cents
+        | FROM (SELECT event_type, ad,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY ad) AS r,
+        |   count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        | GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, d.med_cents, m2.mad_cents,
+        | CAST(sum(CAST(d.ad > m2.mad_cents * 3 AS BIGINT)) AS BIGINT) AS n_outliers,
+        | CAST(max(d.ad) AS BIGINT) AS max_ad
+        |FROM d JOIN m2 USING (event_type)
+        |GROUP BY 1, 3, 4
+        |ORDER BY d.event_type""".stripMargin
   )
 }

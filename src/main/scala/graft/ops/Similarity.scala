@@ -645,6 +645,46 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- q125
+  /** q125: nearest-label-centroid confusion matrix — assign every
+    * vector to the closest per-LABEL mean and count (label, predicted)
+    * cells: the cheapest semantic-quality check an embedding pipeline
+    * runs (a healthy space puts most mass on the diagonal; an off-
+    * diagonal spike names the confused class pair). Centroids are
+    * truncated integer means of the QScale components (sum div count
+    * — both engines truncate identically), distance is the exact
+    * integer squared Euclidean Σ(x−c)², and the argmin tie-breaks on
+    * the smaller label.
+    *
+    * Scale shape: the centroid pass is posexplode + groupBy
+    * (label, dim) — one shuffle of dim-keyed partials; assignment is
+    * the K-row broadcast crossJoin (the declared q34/q59 pattern, K =
+    * |labels|) with a per-vector argmin window, and the confusion
+    * census is a |labels|² hash agg. */
+  def centroidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+    val cent = qv
+      .select(col("label").as("clabel"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("clabel", "pos")
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("clabel"), transform(col("ps"), p => p("c")).as("cq"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("clabel").asc)
+    qv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(zip_with(col("q"), col("cq"), (x, c) => (x - c) * (x - c)),
+          lit(0L), _ + _).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
   /** [[quantized]] with the vector's training label threaded through
     * (cast to long so both engines emit BIGINT). */
   private def quantizedLab(s: SparkSession, dir: String): DataFrame =
@@ -667,7 +707,8 @@ object Similarity {
     "q72_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "q93_sem_dedup" -> (semDedup _),
     "q111_hard_negatives" -> (hardNegatives _),
-    "q118_int8_quant" -> (int8QuantError _)
+    "q118_int8_quant" -> (int8QuantError _),
+    "q125_centroid_confusion" -> (centroidConfusion _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -940,7 +981,25 @@ object Similarity {
          |SELECT label, count(*) AS n_vecs,
          | CAST(sum(vec_sse) AS BIGINT) AS sse_q2,
          | CAST(max(vec_sse) AS BIGINT) AS max_vec_sse
-         |FROM v GROUP BY label ORDER BY label""".stripMargin
+         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    "q125_centroid_confusion" ->
+      s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         |   FROM embeddings),
+         |vx AS (SELECT vec_id, label, i, q[i] AS x
+         |   FROM qv, UNNEST(generate_series(1, len(q))) AS s(i)),
+         |ct AS (SELECT label AS clabel, i,
+         |   CAST(sum(x) // count(*) AS BIGINT) AS c
+         |   FROM vx GROUP BY 1, 2),
+         |d AS (SELECT v.vec_id, v.label, ct.clabel,
+         |   CAST(sum((v.x - ct.c) * (v.x - ct.c)) AS BIGINT) AS dist
+         |   FROM vx v JOIN ct ON ct.i = v.i GROUP BY 1, 2, 3),
+         |a AS (SELECT vec_id, label, clabel,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+         |   FROM d)
+         |SELECT label, clabel AS pred_label, count(*) AS n
+         |FROM a WHERE rn = 1 GROUP BY 1, 2
+         |ORDER BY label, pred_label""".stripMargin
   )
 
   /** The unrolled fixed-round Lloyd CTE chain (assign{i} / cent{i}),

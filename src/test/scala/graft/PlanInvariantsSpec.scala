@@ -32,7 +32,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q71_heavy_hitters", // 1-row totals × 1-row sketch
     "q75_pmi_pairs", // 1-row corpus count
     "q105_dsir_weights", // 1-row distribution totals
-    "q115_ks_drift" // bounded value-grid × sources + 1-row corpus count
+    "q115_ks_drift", // bounded value-grid × sources + 1-row corpus count
+    "q125_centroid_confusion" // K-row label-centroid frame (q34/q59 pattern)
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -212,7 +213,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q121: the block-key equi-self-join plans broadcast at this SF
     // (shuffle-free; at scale it becomes one reused (lang,blk)
     // exchange), leaving the presentation sort as the only exchange
-    "q121_editdist_pairs" -> 1
+    "q121_editdist_pairs" -> 1,
+    // q122: source totals agg + per-source cumsum window (+ the
+    // broadcast-join build) + presentation sort
+    "q122_pps_sample" -> 3,
+    // q123: (type,dow) census + the two per-type total windows on the
+    // 35-row result + presentation sort
+    "q123_dow_seasonality" -> 3,
+    // q124: q78's rank-window shape run twice (median, then MAD) —
+    // the deviation pass reuses the group partitioning
+    "q124_mad_outliers" -> 4,
+    // q125: centroid posexplode agg (×2: groupBy (label,dim) then
+    // label) + per-vector argmin window + |labels|² census + sort
+    "q125_centroid_confusion" -> 5
   )
 
   /** Queries whose plans must statically reuse an exchange — the
