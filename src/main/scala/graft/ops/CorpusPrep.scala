@@ -86,6 +86,34 @@ object CorpusPrep {
         col("sc.max_run").as("max_run"))
   }
 
+  // ---------------------------------------------------------------- q126
+  /** q126: per-source percentile-rank normalization of the q106
+    * quality score — map each doc's score to its rank position
+    * (r−1)·10⁶ div (n−1) within its source, the standard transform
+    * before mixing sources whose raw score SCALES are incomparable
+    * (q106 shows the deciles differ per source; this makes a 0.9
+    * mean the same thing everywhere). Rank ties break on doc_id so
+    * the mapping is a deterministic function of the corpus.
+    *
+    * Scale shape: one rank window partitioned by source (the n-count
+    * window reuses its exchange) — per-source, never global. */
+  def rankNormalize(s: SparkSession, dir: String): DataFrame = {
+    val score = docQualityStats(s, dir).select(
+      col("doc_id"), col("source"),
+      (when(col("n_tok") === 0, lit(0L))
+        .otherwise(expr("n_distinct * 1000000 div n_tok")) +
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr("stop_hits * 1000000 div n_tok"))).as("score_ppm"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_ppm").asc, col("doc_id").asc)
+    score.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("score_ppm"), col("r"),
+        when(col("n") > 1, expr("(r - 1) * 1000000 div (n - 1)"))
+          .otherwise(lit(0L)).as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
   def qualityRules(s: SparkSession, dir: String): DataFrame = {
     val perDoc = docQualityStats(s, dir)
     val v = perDoc.select(
@@ -541,6 +569,7 @@ object CorpusPrep {
     "q112_sliding_chunks" -> (slidingChunks _),
     "q82_quality_rules" -> (qualityRules _),
     "q106_quality_calibration" -> (qualityCalibration _),
+    "q126_rank_normalize" -> (rankNormalize _),
     "q108_curation_funnel" -> (curationFunnel _),
     "q83_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "q84_source_sample" -> (perSourceSample _),
@@ -665,6 +694,25 @@ object CorpusPrep {
          | min(score_ppm) AS q_ppm, min(n) AS n_docs
          |FROM x WHERE cum * $CalibQuantiles >= decile * n
          |GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
+    "q126_rank_normalize" ->
+      s"""$qualityDocCtes,
+         |sc AS (
+         | SELECT doc_id, source,
+         |  (CASE WHEN n_tok = 0 THEN 0
+         |        ELSE n_distinct * 1000000 // n_tok END) +
+         |  (CASE WHEN n_tok = 0 THEN 0
+         |        ELSE stop_hits * 1000000 // n_tok END) AS score_ppm
+         | FROM mr),
+         |r AS (
+         | SELECT doc_id, source, CAST(score_ppm AS BIGINT) AS score_ppm,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY score_ppm, doc_id) AS BIGINT) AS r,
+         |  count(*) OVER (PARTITION BY source) AS n
+         | FROM sc)
+         |SELECT doc_id, source, score_ppm, r,
+         | CAST(CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1)
+         |      ELSE 0 END AS BIGINT) AS pct_ppm
+         |FROM r ORDER BY doc_id""".stripMargin,
     // one statement splicing the four stage chains; `ranked`'s local
     // alias `d` for documents shadows the contamination chain's `d`
     // CTE only inside that subquery — both engines scope it the same

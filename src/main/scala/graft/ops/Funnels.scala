@@ -161,12 +161,44 @@ object Funnels {
       .orderBy("event_type", "dow")
   }
 
+  // ---------------------------------------------------------------- q127
+  /** Inter-event gap histogram (q127): per event type, the log₂
+    * distribution of the time since the user's previous event (any
+    * type; the gap is attributed to the LATER event). The bucket is
+    * the BIT LENGTH of the gap in milliseconds — an integer stand-in
+    * for ⌊log₂⌋+1 that both engines compute from the binary rendering
+    * (Spark `bin`, DuckDB `format('{:b}')`), keeping the log-free
+    * discipline — plus a per-type ppm share. The latency-shape
+    * diagnostic behind session-timeout tuning (q20 hardcodes a gap
+    * threshold; this shows where the bimodal valley actually is).
+    *
+    * Scale shape: the one user_id window exchange every timeline op
+    * here pays, then a (type × ~40 buckets) census with map-side
+    * partials — constant output, window on the tiny census. */
+  def gapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        length(bin(expr("(us - prev_us) div 1000"))).cast("long").as("bucket"))
+    gaps.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum("n").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("n * 1000000 div n_type").as("ppm"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
     "q107_markov_transitions" -> (markovTransitions _),
     "q120_event_triples" -> (eventTriples _),
-    "q123_dow_seasonality" -> (dowSeasonality _)
+    "q123_dow_seasonality" -> (dowSeasonality _),
+    "q127_gap_histogram" -> (gapHistogram _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +272,21 @@ object Funnels {
         | CAST((c.sum_cents * 1000 // c.n) * 1000
         |   // (t.sum_type * 1000 // t.n_type) AS BIGINT) AS index_milli
         |FROM c JOIN t USING (event_type)
-        |ORDER BY c.event_type, c.dow""".stripMargin
+        |ORDER BY c.event_type, c.dow""".stripMargin,
+    "q127_gap_histogram" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |g AS (
+        | SELECT event_type,
+        |  CAST(length(format('{:b}',
+        |    (us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id))
+        |      // 1000)) AS BIGINT) AS bucket
+        | FROM e),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM g
+        | WHERE bucket IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        | n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS ppm
+        |FROM c ORDER BY event_type, bucket""".stripMargin
   )
 }

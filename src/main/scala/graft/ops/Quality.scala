@@ -249,13 +249,68 @@ object Quality {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q128
+  /** Anonymity threshold for the q128 privacy audit. */
+  val KAnon = 5L
+
+  /** q128: k-anonymity audit — the quasi-identifier combinations
+    * (order status, priority, order month) shared by fewer than
+    * [[KAnon]] rows, i.e. the cells where releasing the "aggregate"
+    * would single out individuals. The governance check a pipeline
+    * runs before publishing a cube; at 100 TB it is ONE hash
+    * aggregation on the quasi-identifier key with map-side partials,
+    * and only the (rare) risky cells come back. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .groupBy("o_orderstatus", "o_orderpriority", "month")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < KAnon)
+      .orderBy("o_orderstatus", "o_orderpriority", "month")
+
+  // ---------------------------------------------------------------- q129
+  /** q129: cross-table totals reconciliation — per order status, how
+    * many orders' stored `o_totalprice` agrees with the lineitem-
+    * derived charge Σ price·(1−disc)·(1+tax), within a 1-cent
+    * rounding slop. The referential AMOUNT check (q63 checks key
+    * existence; this checks the money), and on this synthetic data a
+    * deliberate total-mismatch detector. Charges accumulate in exact
+    * per-row e6 fixed-point (q01's measure), orders without any
+    * lineitem are counted separately, and all divs are non-negative.
+    *
+    * Scale shape: one groupBy on l_orderkey (the join's own key, so
+    * the derived frame arrives pre-partitioned for the sort-merge
+    * join) + a status-keyed census of the joined row — two data-sized
+    * exchanges total, no window. */
+  def totalsReconcile(s: SparkSession, dir: String): DataFrame = {
+    val derived = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.lsum(Det.fixed(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax")), 6)).as("charge_e6"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Det.cents(col("o_totalprice")).cast("long").as("total_cents"))
+      .join(derived, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff_cents",
+        abs(col("total_cents") - expr("charge_e6 div 10000")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("charge_e6").isNull.cast("long")).as("n_no_items"),
+        sum((col("diff_cents") >= 2).cast("long")).as("n_mismatch"),
+        max("diff_cents").cast("long").as("max_diff_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_data_profile" -> (profile _),
     "q63_constraints" -> (constraints _),
     "q78_iqr_outliers" -> (iqrOutliers _),
     "q90_rolling_wavg" -> (rollingWavg _),
     "q117_winsorized_mean" -> (winsorizedMean _),
-    "q124_mad_outliers" -> (madOutliers _)
+    "q124_mad_outliers" -> (madOutliers _),
+    "q128_k_anonymity" -> (kAnonymity _),
+    "q129_totals_reconcile" -> (totalsReconcile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,6 +450,31 @@ object Quality {
         | CAST(max(d.ad) AS BIGINT) AS max_ad
         |FROM d JOIN m2 USING (event_type)
         |GROUP BY 1, 3, 4
-        |ORDER BY d.event_type""".stripMargin
+        |ORDER BY d.event_type""".stripMargin,
+    "q128_k_anonymity" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         | count(*) AS n
+         |FROM orders
+         |GROUP BY 1, 2, 3
+         |HAVING count(*) < $KAnon
+         |ORDER BY o_orderstatus, o_orderpriority, month""".stripMargin,
+    "q129_totals_reconcile" ->
+      """WITH d AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)) AS BIGINT)
+        |   AS charge_e6
+        | FROM lineitem GROUP BY 1),
+        |j AS (
+        | SELECT o.o_orderstatus,
+        |  abs(CAST(round(o.o_totalprice * 100) AS BIGINT) - d.charge_e6 // 10000)
+        |   AS diff_cents,
+        |  d.charge_e6
+        | FROM orders o LEFT JOIN d ON o.o_orderkey = d.l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(charge_e6 IS NULL AS BIGINT)) AS BIGINT) AS n_no_items,
+        | CAST(sum(CAST(diff_cents >= 2 AS BIGINT)) AS BIGINT) AS n_mismatch,
+        | CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -225,7 +225,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q124_mad_outliers" -> 4,
     // q125: centroid posexplode agg (×2: groupBy (label,dim) then
     // label) + per-vector argmin window + |labels|² census + sort
-    "q125_centroid_confusion" -> 5
+    "q125_centroid_confusion" -> 5,
+    // q126: one source-key rank window (the n-count window reuses its
+    // exchange) + presentation sort
+    "q126_rank_normalize" -> 2,
+    // q127: user_id timeline window + (type × bucket) census + the
+    // tiny per-type share window + presentation sort
+    "q127_gap_histogram" -> 4,
+    // q128: quasi-identifier groupBy + presentation sort
+    "q128_k_anonymity" -> 2,
+    // q129: l_orderkey derive agg + status census (the orders side
+    // broadcasts at this SF; at scale the agg's partitioning feeds
+    // the sort-merge join directly) + presentation sort
+    "q129_totals_reconcile" -> 3
   )
 
   /** Queries whose plans must statically reuse an exchange — the
