@@ -447,8 +447,45 @@ object DataPrep {
       .orderBy("source", "doc_id")
   }
 
+  // ---- q133: equi-width histogram -------------------------------------
+
+  /** Bin count for q133. */
+  val HistBins = 20L
+
+  /** q133: equi-width histogram of the event value in cents —
+    * [[featureBins]] (q51) is the equi-DEPTH (quantile) form; this is
+    * the fixed-grid companion a profiler draws. Bounds come from one
+    * 1-row min/max aggregate broadcast into the binning scan (q66's
+    * bounds pattern); bin = (cents−mn)·B div (mx−mn+1) — the +1 makes
+    * the top value land in bin B−1 without a special case, and every
+    * operand is non-negative so div ≡ //. Emitted with each bin's
+    * exact integer bounds and a ppm share.
+    *
+    * Scale shape: two scans (bounds, then binning — a production
+    * profiler fuses these into one pass with an accumulator; two
+    * declarative passes keep the oracle exact), one constant-sized
+    * census, no window over data. */
+  def equiWidthHist(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(Det.cents(col("value")).cast("long").as("cents"))
+    val bounds = e.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val n1 = e.crossJoin(broadcast(bounds))
+      .select(expr(s"(cents - mn) * $HistBins div (mx - mn + 1)").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy("bin", "mn", "mx")
+      .agg(count(lit(1)).as("n"))
+    n1.withColumn("n_total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("bin"),
+        expr(s"mn + bin * (mx - mn + 1) div $HistBins").as("lo_cents"),
+        expr(s"mn + (bin + 1) * (mx - mn + 1) div $HistBins - 1").as("hi_cents"),
+        col("n"), expr("n * 1000000 div n_total").as("ppm"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_pps_sample" -> (ppsSample _),
+    "q133_equiwidth_hist" -> (equiWidthHist _),
     "q47_repetition_stats" -> (repetitionStats _),
     "q48_hash_split" -> (hashSplit _),
     "q49_tfidf_topk" -> (tfIdfTopTerms _),
@@ -659,6 +696,19 @@ object DataPrep {
          | CAST(cw // step AS BIGINT) AS pick_bucket
          |FROM c JOIN t USING (source)
          |WHERE (cw - w) // step < cw // step
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+    "q133_equiwidth_hist" ->
+      s"""WITH e AS (
+         | SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+         |h AS (
+         | SELECT (cents - mn) * $HistBins // (mx - mn + 1) AS bin, mn, mx,
+         |  count(*) AS n
+         | FROM e, b GROUP BY 1, 2, 3)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         | CAST(mn + bin * (mx - mn + 1) // $HistBins AS BIGINT) AS lo_cents,
+         | CAST(mn + (bin + 1) * (mx - mn + 1) // $HistBins - 1 AS BIGINT) AS hi_cents,
+         | n, CAST(n * 1000000 // (SELECT sum(n) FROM h) AS BIGINT) AS ppm
+         |FROM h ORDER BY bin""".stripMargin
   )
 }

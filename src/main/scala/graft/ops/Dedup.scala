@@ -671,7 +671,8 @@ object Dedup {
     "q102_split_leakage" -> (splitLeakage _),
     "q104_jaccard_join_exact" -> (jaccardJoinExact _),
     "q109_minhash_calibration" -> (minhashCalibration _),
-    "q121_editdist_pairs" -> (editDistancePairs _)
+    "q121_editdist_pairs" -> (editDistancePairs _),
+    "q130_dedup_savings" -> (dedupSavings _)
   )
 
   /** q91: entity-resolution canonicalization — the step AFTER
@@ -948,6 +949,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- q130: dedup savings report ----------
+
+  /** q130: the dedup ROI report — per source, how many documents and
+    * characters canonicalization (q91) actually removes, in exact
+    * counts and ppm. The number a pipeline owner looks at before
+    * paying for the near-dup pass at full scale, and the composition
+    * certificate that clusters → canonical → corpus accounting agree
+    * end-to-end (documents outside any cluster are their own
+    * canonical). Pure integer arithmetic over the q91 frame joined
+    * back to `documents`; one source-keyed census. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val keepFlag = erCanonical(s, dir).select(col("doc_id"), col("is_canonical"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(keepFlag, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_kept"),
+        sum("n_chars").as("chars_total"),
+        sum(col("n_chars") * col("keep")).as("chars_kept"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_kept").cast("long").as("n_kept"),
+        (col("n_docs") - col("n_kept")).cast("long").as("n_dropped"),
+        col("chars_total").cast("long").as("chars_total"),
+        col("chars_kept").cast("long").as("chars_kept"),
+        expr("(chars_total - chars_kept) * 1000000 div chars_total")
+          .as("savings_ppm"))
+      .orderBy("source")
+  }
+
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
 
   private def h32sql(x: String): String = Det.h8Sql(x)
@@ -1181,7 +1213,21 @@ object Dedup {
          |FROM f a JOIN f b ON a.lang = b.lang AND a.blk = b.blk
          | AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.head, b.head) <= $EditMaxDist
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q130_dedup_savings" ->
+      s"""$canonicalRankCtes,
+         |k AS (
+         | SELECT d.doc_id, d.source, d.n_chars,
+         |  coalesce(CAST(r.rk = 1 AS BIGINT), 1) AS keep
+         | FROM documents d LEFT JOIN ranked r USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(keep) AS BIGINT) AS n_kept,
+         | CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+         | CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         | CAST(sum(n_chars * keep) AS BIGINT) AS chars_kept,
+         | CAST((sum(n_chars) - sum(n_chars * keep)) * 1000000
+         |   // sum(n_chars) AS BIGINT) AS savings_ppm
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** minhash pairs → undirected edges → recursive reachability →

@@ -274,11 +274,55 @@ object Graphs {
       .orderBy("part_id")
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Top-k for the q134 candidate list. */
+  val LinkTopK = 20
+
+  /** Hub cap: wedges are centered only at shared neighbors of degree
+    * ≤ this. Without it the wedge census is Σ deg² — measured 49 s at
+    * sf0.1 on this graph's hubs — and a hub's common-neighbor signal
+    * is uninformative anyway (the Adamic-Adar 1/log deg weight ≈ 0);
+    * with it the census is ≤ cap·2|E| rows, LINEAR in edges. */
+  val LinkHubCap = 64L
+
+  /** q134: common-neighbors link prediction — for part pairs NOT yet
+    * co-purchased, how many low-degree shared neighbors the
+    * co-purchase graph gives them; the top-[[LinkTopK]] are the "you
+    * may also like" candidates (hub-filtered common neighbors — the
+    * log-free Adamic-Adar: a count restricted to neighbors whose
+    * degree carries signal). Wedge generation is the q68 shape — one
+    * self-join of the degree-filtered adjacency on the shared
+    * neighbor — with the [[LinkHubCap]] making it linear in |E| by
+    * construction; the non-adjacency test is an anti-join against the
+    * edge set; top-k is a TakeOrdered with (a, b) tie-break. */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val low = adj
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .filter(col("deg") <= LinkHubCap)
+    val wedges = low.select(col("src").as("n"), col("dst").as("x"))
+      .join(low.select(col("src").as("n"), col("dst").as("y")), Seq("n"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("part_a").asc,
+        col("part_b").asc)
+      .limit(LinkTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pagerank" -> (pagerank _),
     "q68_triangles" -> (triangles _),
     "q87_kcore" -> (kcore _),
-    "q88_bfs_hops" -> (bfsHops _)
+    "q88_bfs_hops" -> (bfsHops _),
+    "q134_link_prediction" -> (linkPrediction _)
   )
 
   /** The oracle mirrors the Spark-side [[LshSkew.capBuckets]] guard
@@ -367,6 +411,21 @@ object Graphs {
          |$rounds
          |SELECT node AS part_id, hop FROM d$BfsRounds
          |ORDER BY part_id""".stripMargin
-    }
+    },
+    "q134_link_prediction" ->
+      s"""WITH $edgeCtes,
+         |low AS (
+         | SELECT src, dst FROM adj
+         | QUALIFY count(*) OVER (PARTITION BY src) <= $LinkHubCap),
+         |w AS (
+         | SELECT a1.dst AS x, a2.dst AS y, count(*) AS common_neighbors
+         | FROM low a1 JOIN low a2 ON a1.src = a2.src AND a1.dst < a2.dst
+         | GROUP BY 1, 2)
+         |SELECT x AS part_a, y AS part_b,
+         | CAST(common_neighbors AS BIGINT) AS common_neighbors
+         |FROM w
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)
+         |ORDER BY common_neighbors DESC, part_a, part_b
+         |LIMIT $LinkTopK""".stripMargin
   )
 }

@@ -80,6 +80,42 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  // ---------------------------------------------------------------- q132
+  /** Top-N for the q132 report. */
+  val TopNOther = 10
+
+  /** q132: top-N-plus-OTHER rollup — revenue by nation with everything
+    * past rank [[TopNOther]] lumped into one 'OTHER' row, the
+    * presentation rollup behind every BI "top 10 + rest" chart. Rank
+    * is over the aggregated K-nation frame (revenue desc, name
+    * tie-break), so the window moves K rows, never data; the regroup
+    * is a second pass over the same K rows.
+    *
+    * Scale shape: the data-sized work is exactly q03's aggregation;
+    * everything after it is constant-sized. */
+  def topNOther(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("cents"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(lsum(col("cents")).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    base.withColumn("rk", row_number().over(w))
+      .select(
+        when(col("rk") <= TopNOther, col("n_name")).otherwise(lit("OTHER"))
+          .as("bucket"),
+        col("revenue_cents"), col("n_orders"))
+      .groupBy("bucket")
+      .agg(sum("revenue_cents").cast("long").as("revenue_cents"),
+        sum("n_orders").cast("long").as("n_orders"))
+      .orderBy(col("revenue_cents").desc, col("bucket").asc)
+  }
+
   // ---------------------------------------------------------------- q04
   /** TPC-H Q3-style shipping priority: large-large join then top-10 via
     * TakeOrderedAndProject (no global sort — each partition keeps 10). */
@@ -536,7 +572,8 @@ object Relational {
     "q45_asof_custom" -> (q45AsOfJoinCustom _),
     "q46_asof_forward" -> (q46AsOfForward _),
     "q66_resample_ffill" -> (q66Resample _),
-    "q119_interp_resample" -> (q119Interpolate _)
+    "q119_interp_resample" -> (q119Interpolate _),
+    "q132_topn_other" -> (topNOther _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -760,6 +797,24 @@ object Relational {
         |        * ((tick_us - prev_us) * 1000000 // (next_us - prev_us)) // 1000000
         | END AS interp_cents
         |FROM fw ORDER BY user_id, tick_us""".stripMargin,
+    "q132_topn_other" ->
+      s"""WITH base AS (
+         | SELECT n_name,
+         |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_orders
+         | FROM orders
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY n_name),
+         |r AS (
+         | SELECT *, row_number() OVER
+         |   (ORDER BY revenue_cents DESC, n_name) AS rk
+         | FROM base)
+         |SELECT CASE WHEN rk <= $TopNOther THEN n_name ELSE 'OTHER' END AS bucket,
+         | CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+         | CAST(sum(n_orders) AS BIGINT) AS n_orders
+         |FROM r GROUP BY 1
+         |ORDER BY revenue_cents DESC, bucket""".stripMargin,
     "q22_union_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT * FROM events WHERE value > 100

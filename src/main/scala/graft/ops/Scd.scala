@@ -48,8 +48,33 @@ object Scd {
       .orderBy("user_id", "version")
   }
 
+  // ---------------------------------------------------------------- q131
+  /** q131: latest-wins compaction — materialize each user's CURRENT
+    * row from the event stream, the Type-1 counterpart of q76's
+    * Type-2 history and the compaction every CDC ingest runs to turn
+    * an append log into an upsert table (Hudi/Delta `merge` semantics
+    * as a query). "Latest" is the same total order as q76 —
+    * (event time, event_id) — so the pick is deterministic under
+    * equal timestamps.
+    *
+    * Scale shape: one rank window on the natural key (the partition a
+    * 100 TB upsert table is bucketed by); nothing else. */
+  def latestCompaction(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        Det.cents(col("value")).cast("long").as("value_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "us", "value_cents")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q76_scd2_history" -> (scd2History _)
+    "q76_scd2_history" -> (scd2History _),
+    "q131_latest_compaction" -> (latestCompaction _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +99,18 @@ object Scd {
         | lead(valid_from_us) OVER
         |   (PARTITION BY user_id ORDER BY version) AS valid_to_us,
         | n_events
-        |FROM hist ORDER BY user_id, version""".stripMargin
+        |FROM hist ORDER BY user_id, version""".stripMargin,
+    "q131_latest_compaction" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        | FROM events),
+        |r AS (
+        | SELECT user_id, event_id, event_type, us, value_cents,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn
+        | FROM e)
+        |SELECT user_id, event_id, event_type, us, value_cents
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -33,7 +33,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q75_pmi_pairs", // 1-row corpus count
     "q105_dsir_weights", // 1-row distribution totals
     "q115_ks_drift", // bounded value-grid × sources + 1-row corpus count
-    "q125_centroid_confusion" // K-row label-centroid frame (q34/q59 pattern)
+    "q125_centroid_confusion", // K-row label-centroid frame (q34/q59 pattern)
+    "q133_equiwidth_hist" // 1-row min/max bounds (q66's pattern)
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -237,7 +238,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q129: l_orderkey derive agg + status census (the orders side
     // broadcasts at this SF; at scale the agg's partitioning feeds
     // the sort-merge join directly) + presentation sort
-    "q129_totals_reconcile" -> 3
+    "q129_totals_reconcile" -> 3,
+    // q130: q91's post-checkpoint shape (clusters ⋈ chars + rank
+    // window + canon join) + the documents left-join + source census
+    "q130_dedup_savings" -> 6,
+    // q131: one natural-key rank window + presentation sort
+    "q131_latest_compaction" -> 2,
+    // q132: q03's aggregation; the K-row rank window and regroup ride
+    // the agg's single-partition output + presentation sort
+    "q132_topn_other" -> 2,
+    // q133: bounds agg (1-row) + bin census + presentation sort
+    "q133_equiwidth_hist" -> 3,
+    // q134: incidence self-join (reused exchange) + wedge census +
+    // the anti-join against the edge set + TakeOrdered
+    "q134_link_prediction" -> 5
   )
 
   /** Queries whose plans must statically reuse an exchange — the
