@@ -192,13 +192,91 @@ object Funnels {
       .orderBy("event_type", "bucket")
   }
 
+  // ---------------------------------------------------------------- q135
+  /** q135: growth accounting — per day: active users, first-ever-seen
+    * (new) vs returning, and the cumulative user base; the
+    * new/returning split every growth dashboard leads with. First-seen
+    * is one min-agg on user_id; activity is a distinct projection; the
+    * cumulative sum runs over the bounded day grid.
+    *
+    * Scale shape: two user_id-keyed passes (first-seen agg, distinct
+    * activity) that share a partitioning + a join on the same key,
+    * then a day census — constant-sized — carrying the running total. */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+    val firstSeen = e.groupBy("user_id").agg(min("day").as("first_day"))
+    val active = e.distinct()
+    val daily = active.join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("first_day")).cast("long")).as("n_new"))
+    daily
+      .withColumn("cum_users", sum("n_new").over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n_active"),
+        col("n_new").cast("long").as("n_new"),
+        (col("n_active") - col("n_new")).cast("long").as("n_returning"),
+        col("cum_users").cast("long").as("cum_users"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- q137
+  /** q137: week-over-week change — per (event type, week): the count
+    * and its signed delta vs the previous week in ppm, the trend line
+    * behind every "up/down X% WoW" alert. The delta divides two exact
+    * counts with truncating div; both engines truncate toward zero for
+    * NEGATIVE deltas too (verified: Spark `div` ≡ DuckDB `//`). First
+    * week per type has no baseline → NULL delta.
+    *
+    * Scale shape: one (type, week) census with map-side partials; the
+    * lag window runs over the bounded census. */
+  def wowChange(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .select(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        expr("(n - prev_n) * 1000000 div prev_n").as("delta_ppm"))
+      .orderBy("event_type", "week")
+  }
+
+  // ---------------------------------------------------------------- q138
+  /** q138: conversion-latency histogram — among users who completed
+    * the whole q60 funnel, the log₂ distribution of signup→purchase
+    * seconds (q127's bit-length bucket over the funnel's output).
+    * Funnel completion times are q60's exactly; the histogram is a
+    * constant-sized census of the K-user funnel frame.
+    *
+    * Scale shape: q60's agg/join chain (all user_id-keyed) + one
+    * census over its output — no new data-sized exchange. */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val lastT = s"t${FunnelSteps.size}"
+    funnel(s, dir)
+      .filter(col(lastT).isNotNull)
+      .select(length(bin(expr(s"($lastT - t1) div 1000000"))).cast("long")
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("ppm", expr(
+        "n_users * 1000000 div sum(n_users) over ()"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
     "q107_markov_transitions" -> (markovTransitions _),
     "q120_event_triples" -> (eventTriples _),
     "q123_dow_seasonality" -> (dowSeasonality _),
-    "q127_gap_histogram" -> (gapHistogram _)
+    "q127_gap_histogram" -> (gapHistogram _),
+    "q135_growth_accounting" -> (growthAccounting _),
+    "q137_wow_change" -> (wowChange _),
+    "q138_conversion_latency" -> (conversionLatency _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,6 +365,54 @@ object Funnels {
         | WHERE bucket IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, bucket, n,
         | n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS ppm
-        |FROM c ORDER BY event_type, bucket""".stripMargin
+        |FROM c ORDER BY event_type, bucket""".stripMargin,
+    "q135_growth_accounting" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        | FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+        |d AS (
+        | SELECT day, count(*) AS n_active,
+        |  CAST(sum(CAST(e.day = fs.first_day AS BIGINT)) AS BIGINT) AS n_new
+        | FROM e JOIN fs USING (user_id) GROUP BY day)
+        |SELECT day, n_active, n_new,
+        | CAST(n_active - n_new AS BIGINT) AS n_returning,
+        | CAST(sum(n_new) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    "q137_wow_change" ->
+      """WITH w AS (
+        | SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |l AS (
+        | SELECT event_type, week, n,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        | FROM w)
+        |SELECT event_type, week, n, prev_n,
+        | CAST((n - prev_n) * 1000000 // prev_n AS BIGINT) AS delta_ppm
+        |FROM l ORDER BY event_type, week""".stripMargin,
+    "q138_conversion_latency" -> {
+      val stepCtes = FunnelSteps.zipWithIndex.drop(1).map { case (typ, i) =>
+        s"""s${i + 1} AS (SELECT e.user_id, min(us) AS t${i + 1}
+           |  FROM e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$typ' AND us > t$i GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val lastT = s"t${FunnelSteps.size}"
+      val lastS = s"s${FunnelSteps.size}"
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+         |  WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id),
+         |$stepCtes,
+         |h AS (
+         | SELECT CAST(length(format('{:b}', ($lastT - t1) // 1000000)) AS BIGINT)
+         |   AS bucket
+         | FROM s1 JOIN $lastS USING (user_id)),
+         |c AS (SELECT bucket, count(*) AS n_users FROM h GROUP BY bucket)
+         |SELECT bucket, n_users,
+         | CAST(n_users * 1000000 // (SELECT sum(n_users) FROM c) AS BIGINT) AS ppm
+         |FROM c ORDER BY bucket""".stripMargin
+    }
   )
 }

@@ -89,10 +89,42 @@ object MultiModal {
           col("flen").cast("int"))).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** q139: media dedup accounting — per media type: items, distinct
+    * payloads (by content digest), duplicate items, and exact byte
+    * totals before/after dedup. THE first step of every media
+    * pipeline: dedup on the cheap digest BEFORE paying for decode —
+    * at 100 TB of video the decode you skip is the budget. One
+    * (type, digest) census (the digest is computed in the scan — the
+    * payload itself never shuffles), then a constant-sized type
+    * census; bytes of a digest group counted once via min (identical
+    * payloads have identical length). */
+  def mmDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(digest(col("payload")).as("dg"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (hex32(digest(col("payload")), 1, 4) % 3 + 1).cast("int"))
+          .as("media_type"))
+      .groupBy("media_type", "dg")
+      .agg(count(lit(1)).as("n"), min("n_bytes").as("bytes_one"))
+      .groupBy("media_type")
+      .agg(sum("n").as("n_items"), count(lit(1)).as("n_payloads"),
+        sum(col("n") * col("bytes_one")).as("bytes_total"),
+        sum("bytes_one").as("bytes_dedup"))
+      .select(col("media_type"), col("n_items").cast("long").as("n_items"),
+        col("n_payloads").cast("long").as("n_payloads"),
+        (col("n_items") - col("n_payloads")).cast("long").as("n_dup_items"),
+        col("bytes_total").cast("long").as("bytes_total"),
+        col("bytes_dedup").cast("long").as("bytes_dedup"),
+        expr("(bytes_total - bytes_dedup) * 1000000 div bytes_total")
+          .as("savings_ppm"))
+      .orderBy("media_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_mm_metadata" -> (mmMetadata _),
     "q37_mm_features" -> (mmFeatures _),
-    "q38_mm_frames" -> (mmFrames _)
+    "q38_mm_frames" -> (mmFrames _),
+    "q139_mm_dedup" -> (mmDedup _)
   )
 
   private def h32sql(x: String): String = Det.h8Sql(x)
@@ -128,6 +160,23 @@ object MultiModal {
          |    FROM m WHERE flen >= 1)
          |SELECT doc_id, frame_idx, flen,
          |  md5(substring(text, CAST(frame_idx * flen + 1 AS INT), CAST(flen AS INT))) AS frame_md5
-         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q139_mm_dedup" ->
+      """WITH d AS (
+        | SELECT md5(text) AS dg, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  (['image', 'audio', 'video'])[CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 3 + 1 AS INT)] AS media_type
+        | FROM documents),
+        |g AS (
+        | SELECT media_type, dg, count(*) AS n, min(n_bytes) AS bytes_one
+        | FROM d GROUP BY 1, 2)
+        |SELECT media_type,
+        | CAST(sum(n) AS BIGINT) AS n_items,
+        | CAST(count(*) AS BIGINT) AS n_payloads,
+        | CAST(sum(n) - count(*) AS BIGINT) AS n_dup_items,
+        | CAST(sum(n * bytes_one) AS BIGINT) AS bytes_total,
+        | CAST(sum(bytes_one) AS BIGINT) AS bytes_dedup,
+        | CAST((sum(n * bytes_one) - sum(bytes_one)) * 1000000
+        |   // sum(n * bytes_one) AS BIGINT) AS savings_ppm
+        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin
   )
 }

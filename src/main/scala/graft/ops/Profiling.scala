@@ -170,14 +170,57 @@ object Profiling {
     branches.reduce(_ unionByName _).orderBy("key_col")
   }
 
+  // ---------------------------------------------------------------- q136
+  /** q136: language × source association lift — for every cell of the
+    * contingency table, observed·N·1000 div (row·col): 1000 = the
+    * languages distribute independently of the source, above = this
+    * source skews toward this language (the log-free PMI, same
+    * reasoning as q75's integer PMI surrogate). The mixing diagnostic
+    * that says WHERE language balance has to be enforced per source
+    * rather than globally.
+    *
+    * Overflow bound: o·N·1000 needs o·N < 2^63/10³ — fine to ~3·10⁹
+    * rows per cell; a larger deployment drops the scale factor or
+    * pre-divides (documented, not silently wrong: longs would throw
+    * on overflow under ANSI mode, and the census is the place you'd
+    * notice first).
+    *
+    * Scale shape: one (lang, source) census with map-side partials;
+    * margins derive from the constant-sized census itself via two
+    * windows over K rows. */
+  def langSourceLift(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    cell
+      .withColumn("r", sum("o").over(Window.partitionBy("lang")))
+      .withColumn("c", sum("o").over(Window.partitionBy("source")))
+      .withColumn("nn", sum("o").over(Window.partitionBy(lit(1))))
+      .select(col("lang"), col("source"), col("o").cast("long").as("n_docs"),
+        expr("o * nn * 1000 div (r * c)").as("lift_milli"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bigram_topk" -> (bigramTopk _),
+    "q136_lang_source_lift" -> (langSourceLift _),
     "q114_char_diversity" -> (charDiversity _),
     "q115_ks_drift" -> (ksDrift _),
     "q116_skew_audit" -> (skewAudit _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_lang_source_lift" ->
+      """WITH cell AS (
+        | SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |m AS (
+        | SELECT lang, source, o,
+        |  sum(o) OVER (PARTITION BY lang) AS r,
+        |  sum(o) OVER (PARTITION BY source) AS c,
+        |  sum(o) OVER () AS nn
+        | FROM cell)
+        |SELECT lang, source, CAST(o AS BIGINT) AS n_docs,
+        | CAST(o * nn * 1000 // (r * c) AS BIGINT) AS lift_milli
+        |FROM m ORDER BY lang, source""".stripMargin,
     "q113_bigram_topk" ->
       s"""WITH t AS (SELECT lang, ${wordsSql("text")} AS ws
          |  FROM documents WHERE length(trim(text)) > 0 AND len(${wordsSql("text")}) >= 2),

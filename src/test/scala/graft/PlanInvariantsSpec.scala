@@ -251,7 +251,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q133_equiwidth_hist" -> 3,
     // q134: incidence self-join (reused exchange) + wedge census +
     // the anti-join against the edge set + TakeOrdered
-    "q134_link_prediction" -> 5
+    "q134_link_prediction" -> 5,
+    // q135: first-seen agg + distinct + the user_id join + day census
+    // (the cumulative window rides the bounded census)
+    "q135_growth_accounting" -> 4,
+    // q136: (lang, source) census + the margin windows over K rows
+    "q136_lang_source_lift" -> 2,
+    // q137: (type, week) census + bounded lag window + sort
+    "q137_wow_change" -> 3,
+    // q138: q60's user_id-keyed chain + the constant bucket census
+    "q138_conversion_latency" -> 4,
+    // q139: (type, digest) census + type census + sort — the payload
+    // itself never shuffles (digested in the scan)
+    "q139_mm_dedup" -> 3
   )
 
   /** Queries whose plans must statically reuse an exchange — the
