@@ -114,9 +114,75 @@ object Sketches {
         col("exact_p50_e4"), col("exact_p95_e4"), col("within_bound"))
       .orderBy("orderstatus")
 
+  // ---------------------------------------------------------------- q140
+  /** q140: mergeable-sketch rollup — daily HLL sketches of active
+    * users union-merged into weekly estimates, WITHOUT re-touching the
+    * events. Mergeability is THE property that makes sketches work at
+    * 100 TB (pre-aggregate once per partition/day, roll up any window
+    * from the stored sketches); this query certifies it end-to-end:
+    * `merge_consistent` pins the merged estimate EQUAL to the
+    * sketch-of-the-whole-week estimate (HLL union is register-wise
+    * max, so same-configured sketches merge losslessly), and
+    * `within_bound` pins the estimate to ±5 % of the exact distinct
+    * (the q39 discipline — exact side + flags is what the oracle
+    * hashes; sketch bits stay out).
+    *
+    * Scale shape: the daily sketch agg has map-side partials; the
+    * weekly union moves one fixed-size sketch per (day) — bytes per
+    * merge are O(sketch), never O(users). */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+    val daily = e.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val direct = e.groupBy("week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"),
+        countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "week")
+      .select(col("week"), col("exact_users"),
+        when(abs(col("merged_est") - col("exact_users")) * 20
+          <= col("exact_users"), 1L).otherwise(0L).as("within_bound"),
+        when(col("merged_est") === col("direct_est"), 1L).otherwise(0L)
+          .as("merge_consistent"))
+      .orderBy("week")
+  }
+
+  // ---------------------------------------------------------------- q141
+  /** q141: algebraic statistics rollup — table stats (count, sum,
+    * min, max) maintained as per-day PARTIALS and merged, the
+    * incremental-stats pattern behind every partition-pruning index
+    * and cost model: a new day's load computes only its own partial;
+    * the table totals are a merge, never a rescan. The merged totals
+    * are exact (count/sum/min/max are algebraic), so the oracle
+    * recomputes them directly over the raw table — equality IS the
+    * maintenance-correctness proof.
+    *
+    * Scale shape: one (day) census with map-side partials + a
+    * constant-sized merge; at 100 TB the daily frame is what you'd
+    * persist beside the data as the stats index. */
+  def statsRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        Det.cents(col("value")).cast("long").as("cents"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+    daily.agg(count(lit(1)).cast("long").as("n_days"),
+        sum("n").cast("long").as("n_rows"),
+        sum("s").cast("long").as("sum_cents"),
+        min("mn").cast("long").as("min_cents"),
+        max("mx").cast("long").as("max_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_sketch_distinct" -> (sketchDistinct _),
-    "q40_quantile_sketch" -> (quantileSketch _)
+    "q40_quantile_sketch" -> (quantileSketch _),
+    "q140_sketch_rollup" -> (sketchRollup _),
+    "q141_stats_rollup" -> (statsRollup _)
   )
 
   /** Exact sides recomputed in DuckDB; `within_bound` pinned to 1 —
@@ -147,6 +213,23 @@ object Sketches {
          | ${contrib(95)} AS exact_p95_e4,
          | 1 AS within_bound
          |FROM r GROUP BY orderstatus ORDER BY orderstatus""".stripMargin
-    }
+    },
+    "q140_sketch_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        | count(DISTINCT user_id) AS exact_users,
+        | 1 AS within_bound,
+        | 1 AS merge_consistent
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+    "q141_stats_rollup" ->
+      """WITH d AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT count(DISTINCT day) AS n_days,
+        | count(*) AS n_rows,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM d""".stripMargin
   )
 }

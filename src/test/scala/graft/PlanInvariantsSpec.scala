@@ -263,7 +263,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q138_conversion_latency" -> 4,
     // q139: (type, digest) census + type census + sort — the payload
     // itself never shuffles (digested in the scan)
-    "q139_mm_dedup" -> 3
+    "q139_mm_dedup" -> 3,
+    // q140: daily sketch agg + weekly union merge + the direct-path
+    // (week) sketch+distinct aggs joined on week + presentation sort
+    "q140_sketch_rollup" -> 5,
+    // q141: day census + the constant-sized merge
+    "q141_stats_rollup" -> 2
   )
 
   /** Queries whose plans must statically reuse an exchange — the

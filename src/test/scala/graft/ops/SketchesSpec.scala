@@ -68,4 +68,29 @@ class SketchesSpec extends SparkTestBase {
     val b = Sketches.sketchDistinctDetail(spark, dir).collect().toSeq
     assert(a === b)
   }
+
+  test("q140: merged weekly sketches equal the direct weekly sketch, inside the bound") {
+    val out = Sketches.sketchRollup(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("merge_consistent") === 1L,
+        "HLL union of daily sketches must equal the sketch of the week")
+      assert(r.getAs[Long]("within_bound") === 1L)
+    }
+  }
+
+  test("q141: merged daily partials equal a direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = Sketches.statsRollup(spark, sf).collect()(0)
+    val direct = graft.Tables.events(spark, sf)
+      .agg(count(lit(1)), sum(graft.ops.Det.cents(col("value")).cast("long")),
+        min(graft.ops.Det.cents(col("value")).cast("long")),
+        max(graft.ops.Det.cents(col("value")).cast("long")))
+      .collect()(0)
+    assert(out.getAs[Long]("n_rows") === direct.getLong(0))
+    assert(out.getAs[Long]("sum_cents") === direct.getLong(1))
+    assert(out.getAs[Long]("min_cents") === direct.getLong(2))
+    assert(out.getAs[Long]("max_cents") === direct.getLong(3))
+  }
 }
