@@ -120,11 +120,65 @@ object MultiModal {
           .as("savings_ppm"))
       .orderBy("media_type")
 
+  /** q142 block geometry: fixed [[BlockBytes]]-byte blocks (the
+    * ragged tail drops), pairs must share ≥ [[MinSharedBlocks]]
+    * distinct block digests, and a digest seen in more than
+    * [[BlockDfCap]] docs is boilerplate (intros, color bars) and
+    * generates no candidates — the q99 rare-key blocking argument,
+    * which also bounds the self-join fan-out. FIXED stride, unlike
+    * q38's length-relative frames: a length-relative boundary moves
+    * with any edit, so near-identical payloads would share nothing;
+    * fixed blocks keep every block before the first edit colliding. */
+  val BlockBytes = 64L
+  val MinSharedBlocks = 2L
+  val BlockDfCap = 32L
+
+  /** q142: block-overlap near-dup — media pairs sharing ≥
+    * [[MinSharedBlocks]] fixed-stride block digests, the sub-file
+    * dedup that catches the trims, re-muxes and tail edits q139's
+    * whole-payload digest misses (one changed byte breaks the file
+    * hash; every block before the edit still collides). The pair
+    * census counts DISTINCT shared digests so a block repeated inside
+    * one file can't inflate the overlap, and the overlap is reported
+    * against the SMALLER file's block count (the q99 containment
+    * convention).
+    *
+    * Scale shape: the digest df census and the digest-keyed self-join
+    * share one exchange; fan-out per digest is ≤ cap² by the blocking
+    * rule — never all-pairs; payload bytes never shuffle (digests are
+    * computed in the scan projection). */
+  def mmFrameOverlap(s: SparkSession, dir: String): DataFrame = {
+    val blocks = media(s, dir)
+      .select(col("doc_id"), col("payload"),
+        expr(s"CAST(length(payload) AS BIGINT) DIV $BlockBytes").as("nb"))
+      .filter(col("nb") >= 1)
+      .select(col("doc_id"), col("payload"), col("nb"),
+        explode(expr(s"sequence(0L, nb - 1L)")).as("bi"))
+      .select(col("doc_id"), col("nb"),
+        md5(col("payload").substr((col("bi") * BlockBytes + 1).cast("int"),
+          lit(BlockBytes.toInt))).as("block_md5"))
+    val f = blocks.select("doc_id", "nb", "block_md5").distinct()
+    val df = f.groupBy("block_md5").agg(count(lit(1)).as("dfreq"))
+    val rare = f.join(df.filter(col("dfreq") <= BlockDfCap), "block_md5")
+    rare.select(col("block_md5"), col("doc_id").as("doc_a"), col("nb").as("nb_a"))
+      .join(rare.select(col("block_md5"), col("doc_id").as("doc_b"),
+        col("nb").as("nb_b")), Seq("block_md5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "nb_a", "nb_b")
+      .agg(countDistinct("block_md5").as("shared_blocks"))
+      .filter(col("shared_blocks") >= MinSharedBlocks)
+      .select(col("doc_a"), col("doc_b"),
+        col("shared_blocks").cast("long").as("shared_blocks"),
+        expr("shared_blocks * 1000 div least(nb_a, nb_b)").as("overlap_milli"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_mm_metadata" -> (mmMetadata _),
     "q37_mm_features" -> (mmFeatures _),
     "q38_mm_frames" -> (mmFrames _),
-    "q139_mm_dedup" -> (mmDedup _)
+    "q139_mm_dedup" -> (mmDedup _),
+    "q142_frame_overlap" -> (mmFrameOverlap _)
   )
 
   private def h32sql(x: String): String = Det.h8Sql(x)
@@ -177,6 +231,28 @@ object MultiModal {
         | CAST(sum(bytes_one) AS BIGINT) AS bytes_dedup,
         | CAST((sum(n * bytes_one) - sum(bytes_one)) * 1000000
         |   // sum(n * bytes_one) AS BIGINT) AS savings_ppm
-        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin
+        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q142_frame_overlap" ->
+      s"""WITH m AS (SELECT doc_id, text,
+         |    CAST(strlen(text) // $BlockBytes AS BIGINT) AS nb FROM documents),
+         |fr AS (SELECT DISTINCT doc_id, nb,
+         |    md5(substring(text, CAST(bi * $BlockBytes + 1 AS INT), ${BlockBytes.toInt})) AS block_md5
+         |    FROM m, UNNEST(generate_series(0, CAST(nb - 1 AS INT))) AS s(bi)
+         |    WHERE nb >= 1),
+         |df AS (SELECT block_md5 FROM fr GROUP BY 1
+         |    HAVING count(*) <= $BlockDfCap),
+         |r AS (SELECT fr.doc_id, fr.nb, fr.block_md5
+         |    FROM fr JOIN df USING (block_md5)),
+         |p AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  least(a.nb, b.nb) AS nb_min,
+         |  count(DISTINCT a.block_md5) AS shared_blocks
+         | FROM r a JOIN r b ON a.block_md5 = b.block_md5
+         |  AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, CAST(shared_blocks AS BIGINT) AS shared_blocks,
+         | CAST(shared_blocks * 1000 // nb_min AS BIGINT) AS overlap_milli
+         |FROM p WHERE shared_blocks >= $MinSharedBlocks
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -268,7 +268,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // (week) sketch+distinct aggs joined on week + presentation sort
     "q140_sketch_rollup" -> 5,
     // q141: day census + the constant-sized merge
-    "q141_stats_rollup" -> 2
+    "q141_stats_rollup" -> 2,
+    // q142: block distinct + digest df census + digest self-join
+    // (reused exchange) + pair census + presentation sort
+    "q142_frame_overlap" -> 5
   )
 
   /** Queries whose plans must statically reuse an exchange — the

@@ -72,4 +72,40 @@ class GrowthSpec extends SparkTestBase {
       assert(ppm >= 0 && ppm < 1000000L)
     }
   }
+
+  test("q142: overlap pairs are symmetric-canonical, above threshold, and include a planted tail-edit pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = MultiModal.mmFrameOverlap(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("shared_blocks") >= MultiModal.MinSharedBlocks)
+      assert(r.getAs[Long]("overlap_milli") >= 0 &&
+        r.getAs[Long]("overlap_milli") <= 1000)
+    }
+    // mechanism check: two payloads identical in their first 128 bytes
+    // (2 full 64B blocks) then diverging must pair; a fully distinct
+    // payload must not
+    // non-repeating prefix so the two leading 64B blocks have DISTINCT
+    // digests (repeated content would collapse under the distinct())
+    val base = (0 until 128).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, base + "tailA"), (2L, base + "tailB"),
+      (3L, "9" * 200)).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val blocks = docs
+      .select(col("doc_id"), col("payload"),
+        expr(s"CAST(length(payload) AS BIGINT) DIV ${MultiModal.BlockBytes}").as("nb"))
+      .filter(col("nb") >= 1)
+      .select(col("doc_id"), col("payload"), col("nb"),
+        explode(expr("sequence(0L, nb - 1L)")).as("bi"))
+      .select(col("doc_id"),
+        md5(col("payload").substr((col("bi") * MultiModal.BlockBytes + 1).cast("int"),
+          lit(MultiModal.BlockBytes.toInt))).as("b"))
+      .distinct()
+    val pairs = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id"), col("y.doc_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 2L)), s"got $pairs")
+  }
 }
