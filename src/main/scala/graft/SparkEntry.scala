@@ -25,7 +25,8 @@ object SparkEntry {
       ops.Graphs.queries ++ ops.Search.queries ++ ops.HeavyHitters.queries ++
       ops.Mixing.queries ++ ops.Scd.queries ++ ops.Reshape.queries ++
       ops.CorpusPrep.queries ++ ops.Pruning.queries ++
-      ops.ScaleJoins.queries ++ ops.Profiling.queries
+      ops.ScaleJoins.queries ++ ops.Profiling.queries ++
+      ops.Temporal.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.FlightQueries.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       ops.Graphs.oracles ++ ops.Search.oracles ++ ops.HeavyHitters.oracles ++
       ops.Mixing.oracles ++ ops.Scd.oracles ++ ops.Reshape.oracles ++
       ops.CorpusPrep.oracles ++ ops.Pruning.oracles ++
-      ops.ScaleJoins.oracles ++ ops.Profiling.oracles
+      ops.ScaleJoins.oracles ++ ops.Profiling.oracles ++
+      ops.Temporal.oracles
 }

@@ -200,7 +200,118 @@ object Profiling {
       .orderBy("lang", "source")
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Target rows per compacted output file (the planner's bin size). */
+  val CompactTargetRows = 4000L
+
+  /** q150: compaction plan — greedy first-fit-in-order bin packing of
+    * per-day lineitem "files" (row counts) into ~[[CompactTargetRows]]
+    * output bins: the planner step of every small-file compaction job
+    * (Delta OPTIMIZE / Iceberg rewrite). Bin id = running row total
+    * BEFORE the file, DIV the target — files land in date order, a
+    * file larger than the target gets a bin (or several dates' worth)
+    * to itself, and the assignment is a pure prefix-sum function (no
+    * driver loop, no RNG).
+    *
+    * Per bin: file count, exact row total, and the date span the bin
+    * covers (compaction preserving rough date locality is what keeps
+    * date-range scans cheap AFTER the rewrite).
+    *
+    * Scale shape: the per-day census is one hash-agg shuffle of
+    * day-keyed partials; the prefix sum runs on the O(days) census
+    * (single-partition window over a constant-bounded frame — days,
+    * not rows); the bin rollup is a hash agg on bin id. At 100 TB the
+    * census is still O(days·partitions-per-day) rows. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(s, dir)
+      .select(date_trunc("day", col("l_shipdate")).cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy("day")
+    files
+      .withColumn("prev_rows", coalesce(sum("n_rows").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"prev_rows div $CompactTargetRows"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum("n_rows").cast("long").as("n_rows"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy("bin")
+  }
+
+  // ---------------------------------------------------------------- q151
+  /** Hapax-dominance flag threshold (≥ 50% corpus-unique tokens). */
+  val HapaxFlagPpm = 500000L
+
+  /** q151: hapax-ratio screen — per document, the fraction of its
+    * tokens that are corpus-hapax (occur exactly once in the whole
+    * corpus). OCR garbage, mojibake and random-string spam are hapax-
+    * dominated; natural text is not. This is the corpus-STATISTICS
+    * complement of q82's doc-local rules: the same document can pass
+    * every local rule and still be flagged here.
+    *
+    * Scale shape: one token-keyed shuffle builds the global census;
+    * the per-doc tally joins the exploded stream to the census on the
+    * SAME token key (exchange-aligned hash join — hot tokens stay on
+    * the build side) and re-aggregates by doc. Empty docs survive via
+    * the final doc-keyed left join. */
+  def hapaxRatio(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Det.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val census = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val perDoc = toks.join(census, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("n") === 1).cast("long")).as("n_hapax"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("n_hapax"), lit(0L)).cast("long").as("n_hapax"))
+      .withColumn("hapax_ppm",
+        expr("n_hapax * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("flag_garbage",
+        (col("hapax_ppm") >= HapaxFlagPpm).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q152
+  /** q152: source novelty — per source, the fraction of its distinct
+    * token 5-grams that appear in NO other source. The inter-source
+    * diversity audit a mixture designer reads next to q73's weights:
+    * a source whose grams all exist elsewhere adds volume, not
+    * coverage.
+    *
+    * Scale shape: grams explode linearly (q74's kernel) and are
+    * immediately reduced to DISTINCT (source, gram) — the gram-keyed
+    * shuffle carries per-source distinct grams, so a gram repeated
+    * across a million docs of one source is ONE row; the spread
+    * census groups the same key (exchange reuse), and the per-source
+    * rollup moves O(sources) rows. */
+  def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val n = Dedup.DupGramN
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), Det.words(col("text")).as("ts"))
+    val grams = toks.select(col("source"),
+      explode(when(size(col("ts")) >= n,
+        transform(sequence(lit(0), size(col("ts")) - lit(n)),
+          i => array_join(slice(col("ts"), i + lit(1), lit(n)), " ")))
+        .otherwise(array())).as("g"))
+      .distinct()
+    val spread = grams.groupBy("g").agg(count(lit(1)).as("n_sources"))
+    grams.join(spread, "g")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum((col("n_sources") === 1).cast("long")).cast("long").as("n_exclusive"))
+      .withColumn("novelty_ppm",
+        expr("n_exclusive * 1000000 div greatest(n_grams, 1)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_compaction_plan" -> (compactionPlan _),
+    "q151_hapax_ratio" -> (hapaxRatio _),
+    "q152_source_novelty" -> (sourceNovelty _),
     "q113_bigram_topk" -> (bigramTopk _),
     "q136_lang_source_lift" -> (langSourceLift _),
     "q114_char_diversity" -> (charDiversity _),
@@ -209,6 +320,60 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_hapax_ratio" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS tok
+         |  FROM documents) t
+         | WHERE len(tok) > 0),
+         |g AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         |pd AS (
+         | SELECT doc_id, count(*) AS n_tokens,
+         |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+         | FROM toks JOIN g USING (tok) GROUP BY doc_id),
+         |f AS (
+         | SELECT d.doc_id,
+         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax
+         | FROM documents d LEFT JOIN pd USING (doc_id))
+         |SELECT doc_id, n_tokens, n_hapax,
+         | n_hapax * 1000000 // greatest(n_tokens, 1) AS hapax_ppm,
+         | CAST(n_hapax * 1000000 // greatest(n_tokens, 1) >= $HapaxFlagPpm
+         |   AS BIGINT) AS flag_garbage
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q152_source_novelty" ->
+      s"""WITH toks AS (
+         | SELECT source, ${Det.wordsSql("text")} AS ts FROM documents),
+         |grams AS (
+         | SELECT DISTINCT source,
+         |  array_to_string(ts[i:i+${Dedup.DupGramN - 1}], ' ') AS g
+         | FROM toks, UNNEST(range(1, len(ts) - ${Dedup.DupGramN - 2})) AS t(i)),
+         |spread AS (SELECT g, count(*) AS n_sources FROM grams GROUP BY g),
+         |r AS (
+         | SELECT source, count(*) AS n_grams,
+         |  sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS n_exclusive
+         | FROM grams JOIN spread USING (g) GROUP BY source)
+         |SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
+         | CAST(n_exclusive AS BIGINT) AS n_exclusive,
+         | n_exclusive * 1000000 // greatest(n_grams, 1) AS novelty_ppm
+         |FROM r ORDER BY source""".stripMargin,
+    "q150_compaction_plan" ->
+      s"""WITH files AS (
+         | SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+         |  count(*) AS n_rows
+         | FROM lineitem GROUP BY 1),
+         |pre AS (
+         | SELECT day, n_rows,
+         |  coalesce(sum(n_rows) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_rows
+         | FROM files),
+         |b AS (
+         | SELECT day, n_rows, prev_rows // $CompactTargetRows AS bin FROM pre)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         | CAST(count(*) AS BIGINT) AS n_files,
+         | CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         | min(day) AS min_day, max(day) AS max_day
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q136_lang_source_lift" ->
       """WITH cell AS (
         | SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),

@@ -685,6 +685,80 @@ object Similarity {
       .orderBy("label", "pred_label")
   }
 
+  // ---------------------------------------------------------------- q143
+  /** q143: ANN recall audit — recall@k of the IVF index (q34) against
+    * the exact brute-force baseline (q33), per query. The number every
+    * vector-store deployment watches when tuning nprobe/K: the two
+    * pipelines run EXACTLY as their standalone queries do (same
+    * centroids, same probes, same rerank), and the audit is a left
+    * join of the exact top-k onto the approximate top-k counting
+    * survivors — all integer.
+    *
+    * Scale shape: the baseline side is the declared Q×N linear scan
+    * (an EVALUATION is the one place the exact pass is the point —
+    * run on a Q-sized query sample, not the corpus); the IVF side is
+    * the bucketed probe. The audit join keys on (q_id, vec_id) —
+    * k·|queries| rows per side, broadcast-able at any corpus size
+    * because it scales with the query sample, not N. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(s, dir).select(col("q_id"), col("vec_id"))
+    val approx = annIvf(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  // ---------------------------------------------------------------- q144
+  /** Matryoshka prefix dimensions kept by the truncation audit. */
+  val PrefixDim = 16
+
+  /** q144: Matryoshka truncation audit — top-k overlap between the
+    * full-dimension ranking and the ranking by the first [[PrefixDim]]
+    * components only. Matryoshka-style embeddings promise that a
+    * prefix is a usable cheap index; this measures exactly what that
+    * truncation costs on THIS corpus (overlap@k per query, ppm).
+    *
+    * One Q×N pass computes BOTH cosines (the prefix slice adds a
+    * 16-element dot to a row already paying the 64-element one), then
+    * two rank windows over the SAME q_id partitioning — one exchange,
+    * two sorts. A zero prefix norm (vector orthogonal to the prefix
+    * subspace) scores cos 0 by definition in both engines. */
+  def matryoshkaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+      .select(col("vec_id"), col("q"), col("n2"),
+        slice(col("q"), 1, PrefixDim).as("p"))
+      .withColumn("pn2",
+        graft.functions.ArrayFunctions.dotProductLong(col("p"), col("p")))
+    val qs = base
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("p").as("qp"), col("pn2").as("qpn2"))
+    val pairs = base.join(broadcast(qs), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosMicro(dot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos_full"),
+        when(col("qpn2") > 0 && col("pn2") > 0,
+          cosMicro(dot(col("qp"), col("p")), col("qpn2"), col("pn2")))
+          .otherwise(lit(0L)).as("cos_pre"))
+    val wf = Window.partitionBy("q_id").orderBy(col("cos_full").desc, col("vec_id"))
+    val wp = Window.partitionBy("q_id").orderBy(col("cos_pre").desc, col("vec_id"))
+    pairs
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rf") <= TopK || col("rp") <= TopK)
+      .groupBy("q_id")
+      .agg(sum(when(col("rf") <= TopK && col("rp") <= TopK, lit(1L))
+        .otherwise(lit(0L))).cast("long").as("n_overlap"))
+      .select(col("q_id"), lit(PrefixDim.toLong).as("prefix_dim"),
+        col("n_overlap"),
+        expr(s"n_overlap * 1000000 div $TopK").as("overlap_ppm"))
+      .orderBy("q_id")
+  }
+
   /** [[quantized]] with the vector's training label threaded through
     * (cast to long so both engines emit BIGINT). */
   private def quantizedLab(s: SparkSession, dir: String): DataFrame =
@@ -708,7 +782,9 @@ object Similarity {
     "q93_sem_dedup" -> (semDedup _),
     "q111_hard_negatives" -> (hardNegatives _),
     "q118_int8_quant" -> (int8QuantError _),
-    "q125_centroid_confusion" -> (centroidConfusion _)
+    "q125_centroid_confusion" -> (centroidConfusion _),
+    "q143_ann_recall" -> (annRecall _),
+    "q144_matryoshka_overlap" -> (matryoshkaOverlap _)
   )
 
   // ---------- DuckDB oracle SQL (same constants, same arithmetic) ----------
@@ -736,40 +812,46 @@ object Similarity {
       s"(CASE WHEN ${dotSql("q", planeListSql(t, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** q33's full oracle text, shared verbatim by q143's exact side. */
+  private val q33Sql: String =
+    s"""WITH $qCte,
+       |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
+       |p AS (SELECT q_id, b.vec_id AS vec_id,
+       |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
+       |   FROM qs JOIN nv b ON b.vec_id != qs.q_id),
+       |r AS (SELECT q_id, vec_id, cos_micro,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+       |   FROM p)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+       |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  /** q34's full oracle text, shared verbatim by q143's approximate side. */
+  private val q34Sql: String =
+    s"""WITH $qCte,
+       |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
+       |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+       |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
+       |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
+       |ranks AS (SELECT v.vec_id, v.q, v.n2, cent.cid,
+       |   ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} AS ccos,
+       |   row_number() OVER (PARTITION BY v.vec_id
+       |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
+       |   FROM nv v CROSS JOIN cent),
+       |assign AS (SELECT vec_id, q, n2, cid FROM ranks WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cid FROM ranks
+       |   WHERE crn <= $NProbe AND vec_id < $NQueries),
+       |c AS (SELECT q_id, a.vec_id AS vec_id,
+       |   ${cosSql(dotSql("qq", "a.q"), "qn2", "a.n2")} AS cos_micro
+       |   FROM probes JOIN assign a ON a.cid = probes.cid AND a.vec_id != probes.q_id),
+       |r AS (SELECT q_id, vec_id, cos_micro,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
+       |   FROM c)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
+       |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q33_ann_bruteforce" ->
-      s"""WITH $qCte,
-         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM nv WHERE vec_id < $NQueries),
-         |p AS (SELECT q_id, b.vec_id AS vec_id,
-         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_micro
-         |   FROM qs JOIN nv b ON b.vec_id != qs.q_id),
-         |r AS (SELECT q_id, vec_id, cos_micro,
-         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
-         |   FROM p)
-         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
-         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
-    "q34_ann_ivf" ->
-      s"""WITH $qCte,
-         |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM nv
-         |   ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
-         |   LIMIT greatest($KCentroidsFloor, least($KCentroidsCap,
-         |     CAST(round(sqrt((SELECT count(*) FROM embeddings) / 64.0)) AS BIGINT)))),
-         |ranks AS (SELECT v.vec_id, v.q, v.n2, cent.cid,
-         |   ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} AS ccos,
-         |   row_number() OVER (PARTITION BY v.vec_id
-         |     ORDER BY ${cosSql(dotSql("v.q", "cent.cq"), "v.n2", "cent.cn2")} DESC, cent.cid) AS crn
-         |   FROM nv v CROSS JOIN cent),
-         |assign AS (SELECT vec_id, q, n2, cid FROM ranks WHERE crn = 1),
-         |probes AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2, cid FROM ranks
-         |   WHERE crn <= $NProbe AND vec_id < $NQueries),
-         |c AS (SELECT q_id, a.vec_id AS vec_id,
-         |   ${cosSql(dotSql("qq", "a.q"), "qn2", "a.n2")} AS cos_micro
-         |   FROM probes JOIN assign a ON a.cid = probes.cid AND a.vec_id != probes.q_id),
-         |r AS (SELECT q_id, vec_id, cos_micro,
-         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, vec_id) AS rnk
-         |   FROM c)
-         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_micro
-         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "q33_ann_bruteforce" -> q33Sql,
+    "q34_ann_ivf" -> q34Sql,
     "q111_hard_negatives" ->
       s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
@@ -999,7 +1081,37 @@ object Similarity {
          |   FROM d)
          |SELECT label, clabel AS pred_label, count(*) AS n
          |FROM a WHERE rn = 1 GROUP BY 1, 2
-         |ORDER BY label, pred_label""".stripMargin
+         |ORDER BY label, pred_label""".stripMargin,
+    "q143_ann_recall" ->
+      s"""WITH ex AS ($q33Sql),
+         |ap AS ($q34Sql)
+         |SELECT ex.q_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+         |  count(ap.vec_id) * 1000000 // count(*) AS recall_ppm
+         |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
+    "q144_matryoshka_overlap" ->
+      s"""WITH $qCte,
+         |pv AS (SELECT vec_id, q, n2, q[1:$PrefixDim] AS p FROM nv),
+         |pn AS (SELECT vec_id, q, n2, p, ${dotSql("p", "p")} AS pn2 FROM pv),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2, p AS qp, pn2 AS qpn2
+         |   FROM pn WHERE vec_id < $NQueries),
+         |pr AS (SELECT q_id, b.vec_id AS vec_id,
+         |   ${cosSql(dotSql("qq", "b.q"), "qn2", "b.n2")} AS cos_full,
+         |   CASE WHEN qpn2 > 0 AND b.pn2 > 0
+         |     THEN ${cosSql(dotSql("qp", "b.p"), "qpn2", "b.pn2")}
+         |     ELSE 0 END AS cos_pre
+         |   FROM qs JOIN pn b ON b.vec_id != qs.q_id),
+         |r AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id) AS rf,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_pre DESC, vec_id) AS rp
+         |   FROM pr)
+         |SELECT q_id, CAST($PrefixDim AS BIGINT) AS prefix_dim,
+         |  CAST(sum(CASE WHEN rf <= $TopK AND rp <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |  sum(CASE WHEN rf <= $TopK AND rp <= $TopK THEN 1 ELSE 0 END) * 1000000 // $TopK AS overlap_ppm
+         |FROM r WHERE rf <= $TopK OR rp <= $TopK
+         |GROUP BY q_id ORDER BY q_id""".stripMargin
   )
 
   /** The unrolled fixed-round Lloyd CTE chain (assign{i} / cent{i}),

@@ -1,0 +1,430 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream temporal operators: EWMA forecasting with anomaly
+  * flags (q146), activity streaks (q147), last-touch revenue
+  * attribution (q148), and top session paths (q149) — the monitoring
+  * and product-analytics layer above q60/q107/q135's funnels.
+  *
+  * Cross-engine determinism: timestamps flow as epoch micros
+  * (`unix_micros` / DuckDB `epoch_us`), days as DATE via
+  * `date_trunc`, all rates in integer ppm/milli with truncating
+  * division — the family's standard playbook.
+  *
+  * Scale design: every operator here shuffles on user or
+  * (type, period) keys with map-side partial aggregation. Per-type
+  * day series are O(types·days) — window work after the first census
+  * is constant-sized. Nothing sorts globally except the q149 top-k
+  * head (TakeOrdered on an O(|paths|) frame).
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------- q146
+  /** Halving EWMA weights for lags 1..7 (64,32,…,1; denominator 127):
+    * α=½ exponential decay in exact integer form. */
+  val EwmaWeights: Seq[Long] = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
+  /** Anomaly threshold: |deviation| ≥ 500 milli (±50% of forecast). */
+  val AnomalyMilli = 500L
+
+  /** q146: EWMA anomaly flags — per (event type, day): the day's
+    * event count, a 7-observation exponentially-weighted forecast
+    * (integer halving weights), the signed deviation in milli, and an
+    * anomaly flag at ±[[AnomalyMilli]]. The standard volume monitor:
+    * the EWMA absorbs drift, the deviation flags the incident.
+    *
+    * Forecast = Σ wᵢ·lagᵢ div Σ wᵢ over the previous 7 OBSERVED days
+    * (rows, not calendar positions — a silent day simply doesn't
+    * advance the window), emitted only once 7 lags exist. All
+    * arithmetic is exact integer; deviation divides by
+    * greatest(pred, 1) so a zero forecast can't divide by zero.
+    *
+    * Scale shape: one hash-agg shuffle to the (type, day) census —
+    * map-side combine carries the weight — then lag windows over
+    * O(types·days) rows partitioned by type. */
+  def ewmaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = EwmaWeights.zipWithIndex.foldLeft(
+      daily.withColumn("rn", row_number().over(w))) { case (df, (_, i)) =>
+      df.withColumn(s"l${i + 1}", lag(col("n_events"), i + 1).over(w))
+    }
+    val num = EwmaWeights.zipWithIndex
+      .map { case (wgt, i) => s"$wgt * l${i + 1}" }.mkString(" + ")
+    lagged
+      .filter(col("rn") > EwmaWeights.size)
+      .withColumn("pred", expr(s"($num) div ${EwmaWeights.sum}"))
+      .withColumn("dev_milli",
+        expr("(n_events - pred) * 1000 div greatest(pred, 1L)"))
+      .select(col("event_type"), col("day"),
+        col("n_events").cast("long").as("n_events"),
+        col("pred").cast("long").as("pred"),
+        col("dev_milli").cast("long").as("dev_milli"),
+        (abs(col("dev_milli")) >= AnomalyMilli).cast("long").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  // ---------------------------------------------------------------- q147
+  /** q147: activity streaks — per user: active-day count, number of
+    * maximal consecutive-day runs, and the longest run. The classic
+    * gaps-and-islands census behind every engagement dashboard.
+    *
+    * Island id = day_number − row_number (constant within a
+    * consecutive run, strictly monotone across gaps) over the
+    * per-user distinct-day frame.
+    *
+    * Scale shape: distinct (user, day) is one hash-agg shuffle; the
+    * window and both re-aggregations group by keys PREFIXED by
+    * user_id, so the single user-keyed exchange serves all three
+    * stages (islands are a user-local concept). */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).as("dn"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    days
+      .withColumn("isl", col("dn") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max("len").cast("long").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q148
+  /** Attribution lookback horizon: 30 minutes of micros (the q20
+    * session gap — a purchase is credited within its session). */
+  val AttributionHorizonMicros = 1800000000L
+
+  /** q148: last-touch revenue attribution — every purchase is
+    * credited to the most recent PRECEDING non-purchase event of the
+    * same user within [[AttributionHorizonMicros]]; purchases with no
+    * in-horizon touch fall into the `direct` bucket. Per channel:
+    * purchase count and exact revenue cents.
+    *
+    * The touch lookup is `last(..., ignoreNulls)` over the user
+    * timeline frame `(unbounded, −1)` ordered by (us, event_id) —
+    * ties at the same microsecond resolve to the larger event id in
+    * both engines. No self-join: one window pass finds every
+    * purchase's predecessor.
+    *
+    * Scale shape: one user-keyed exchange for the timeline window,
+    * then a |channels|-sized hash agg. Revenue is per-row integer
+    * cents (order-free exact sums). */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchUs = when(col("event_type") =!= "purchase", col("us"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("attr_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("attr_us", last(touchUs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("attr_us").isNotNull &&
+          col("us") - col("attr_us") <= AttributionHorizonMicros,
+          col("attr_type")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_purchases"),
+        Det.lsum(Det.cents(col("value"))).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------- q149
+  /** Steps kept per session path and paths kept in the league table. */
+  val PathSteps = 3
+  val PathTopK = 20
+
+  /** The sessionized event frame shared by q149/q154: per event its
+    * session id (q20's 30-minute gap rule, running flag sum) and its
+    * 1-based position within the session. One user-keyed exchange
+    * serves the gap-flag window, the running sum, and the position
+    * window (all partitionings prefixed by user_id). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > AttributionHorizonMicros, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sess_id").orderBy(col("us"), col("event_id"))))
+  }
+
+  /** q149: top session paths — sessionize (q20's 30-minute gap),
+    * take each session's first [[PathSteps]] event types in arrival
+    * order, and rank the most frequent paths. Funnel DISCOVERY: q60
+    * checks a declared funnel, q120 counts raw trigrams anywhere in
+    * the stream; this counts how sessions actually BEGIN.
+    *
+    * Path assembly sorts (rn, type) structs inside the group — the
+    * collect is per-session (≤ [[PathSteps]] elements), never
+    * corpus-wide. Rank ties break on the path string.
+    *
+    * Scale shape: one user-keyed exchange serves the session-flag
+    * window, the running session-id sum, AND the per-(user, session)
+    * path assembly (grouping keys prefixed by user_id); the path
+    * census is a hash agg on the path string; the league table is a
+    * TakeOrdered head. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val paths = sessionized(s, dir)
+      .filter(col("rn") <= PathSteps)
+      .groupBy("user_id", "sess_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        p => p.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+    paths
+      .orderBy(col("n_sessions").desc, col("path")).limit(PathTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n_sessions").cast("long").as("n_sessions"))
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------- q153
+  /** q153: RFM feature export — the per-user feature row a churn /
+    * LTV model trains on: recency (days since last event, against the
+    * corpus's last day), frequency (events, distinct active days),
+    * monetary (exact purchase cents), and the user's modal event type
+    * (ties break alphabetically). The feature-store materialization
+    * every product-ML pipeline runs nightly.
+    *
+    * Scale shape: two user-keyed aggregations (the flat rollup and
+    * the modal-type rank) joined on user_id — the same exchange
+    * serves the (user, type) census, its rank window and the join;
+    * the corpus last-day is a 1-row broadcast (declared BNLJ). */
+  def rfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"), col("value"))
+    val corpusLast = e.agg(max("day").as("corpus_last_day"))
+    val flat = e.groupBy("user_id").agg(
+      max("day").as("last_day"),
+      count(lit(1)).cast("long").as("n_events"),
+      countDistinct("day").cast("long").as("n_active_days"),
+      Det.lsum(when(col("event_type") === "purchase",
+        Det.cents(col("value"))).otherwise(lit(0.0d))).as("revenue_cents"))
+    val topType = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("trn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    flat.join(topType, "user_id")
+      .crossJoin(broadcast(corpusLast))
+      .select(col("user_id"),
+        datediff(col("corpus_last_day"), col("last_day")).cast("long").as("recency_days"),
+        col("n_events"), col("n_active_days"), col("revenue_cents"), col("top_type"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q154
+  /** Session positions reported individually; deeper events pool into
+    * the [[PosCap]] bucket. */
+  val PosCap = 10
+
+  /** q154: position-conversion profile — per within-session event
+    * position (1..[[PosCap]], deeper pooled): event count, purchase
+    * count, purchase rate ppm. The "how deep into a session do users
+    * buy" curve that ranking and UI changes are judged against.
+    *
+    * Scale shape: the q149 sessionized frame (one user exchange),
+    * then a ≤[[PosCap]]-key hash agg. */
+  def positionConversion(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .select(least(col("rn"), lit(PosCap)).cast("long").as("position"),
+        col("event_type"))
+      .groupBy("position")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).cast("long")
+          .as("n_purchases"))
+      .withColumn("purchase_ppm",
+        expr("n_purchases * 1000000 div n_events"))
+      .orderBy("position")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_ewma_anomaly" -> (ewmaAnomaly _),
+    "q147_activity_streaks" -> (activityStreaks _),
+    "q148_last_touch" -> (lastTouchAttribution _),
+    "q149_session_paths" -> (sessionPaths _),
+    "q153_rfm_features" -> (rfmFeatures _),
+    "q154_position_conversion" -> (positionConversion _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q146_ewma_anomaly" -> {
+      val lags = EwmaWeights.indices.map(i =>
+        s"lag(n_events, ${i + 1}) OVER (PARTITION BY event_type ORDER BY day) AS l${i + 1}")
+        .mkString(",\n |  ")
+      val num = EwmaWeights.zipWithIndex
+        .map { case (wgt, i) => s"$wgt * l${i + 1}" }.mkString(" + ")
+      s"""WITH daily AS (
+         | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  count(*) AS n_events
+         | FROM events GROUP BY 1, 2),
+         |lagged AS (
+         | SELECT event_type, day, n_events,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |  $lags
+         | FROM daily),
+         |p AS (
+         | SELECT event_type, day, n_events,
+         |  ($num) // ${EwmaWeights.sum} AS pred
+         | FROM lagged WHERE rn > ${EwmaWeights.size}),
+         |d AS (
+         | SELECT event_type, day, n_events, pred,
+         |  (n_events - pred) * 1000 // greatest(pred, 1) AS dev_milli
+         | FROM p)
+         |SELECT event_type, day,
+         | CAST(n_events AS BIGINT) AS n_events,
+         | CAST(pred AS BIGINT) AS pred,
+         | CAST(dev_milli AS BIGINT) AS dev_milli,
+         | CAST(abs(dev_milli) >= $AnomalyMilli AS BIGINT) AS is_anomaly
+         |FROM d ORDER BY event_type, day""".stripMargin
+    },
+    "q147_activity_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id,
+        |  date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('day', ts) AS DATE)) AS dn
+        | FROM events),
+        |isl AS (
+        | SELECT user_id,
+        |  dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS isl
+        | FROM days),
+        |runs AS (
+        | SELECT user_id, isl, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id,
+        | CAST(sum(len) AS BIGINT) AS n_active_days,
+        | CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q148_last_touch" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+         | FROM events),
+         |t AS (
+         | SELECT user_id, event_type, us, value,
+         |  last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_type,
+         |  last_value(CASE WHEN event_type != 'purchase' THEN us END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_us
+         | FROM e),
+         |p AS (
+         | SELECT CASE WHEN attr_us IS NOT NULL
+         |     AND us - attr_us <= $AttributionHorizonMicros
+         |   THEN attr_type ELSE 'direct' END AS channel, value
+         | FROM t WHERE event_type = 'purchase')
+         |SELECT channel,
+         | CAST(count(*) AS BIGINT) AS n_purchases,
+         | CAST(sum(round(value * 100)) AS BIGINT) AS revenue_cents
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+    "q149_session_paths" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |f AS (
+         | SELECT user_id, event_id, event_type, us,
+         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+         |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |       > $AttributionHorizonMicros THEN 1 ELSE 0 END AS new_sess
+         | FROM e),
+         |sess AS (
+         | SELECT user_id, event_id, event_type, us,
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess_id
+         | FROM f),
+         |rn AS (
+         | SELECT user_id, sess_id, event_type, us,
+         |  row_number() OVER (PARTITION BY user_id, sess_id
+         |    ORDER BY us, event_id) AS rn
+         | FROM sess),
+         |paths AS (
+         | SELECT user_id, sess_id,
+         |  string_agg(event_type, '>' ORDER BY rn) AS path
+         | FROM rn WHERE rn <= $PathSteps GROUP BY 1, 2),
+         |census AS (
+         | SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+         |top AS (
+         | SELECT path, n_sessions,
+         |  row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+         | FROM census)
+         |SELECT CAST(rank AS BIGINT) AS rank, path,
+         | CAST(n_sessions AS BIGINT) AS n_sessions
+         |FROM top WHERE rank <= $PathTopK ORDER BY rank""".stripMargin,
+    "q153_rfm_features" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day, value
+        | FROM events),
+        |m AS (SELECT max(day) AS corpus_last_day FROM e),
+        |b AS (
+        | SELECT user_id, max(day) AS last_day,
+        |  count(*) AS n_events,
+        |  count(DISTINCT day) AS n_active_days,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN round(value * 100) ELSE 0 END) AS BIGINT) AS revenue_cents
+        | FROM e GROUP BY 1),
+        |t AS (
+        | SELECT user_id, event_type AS top_type FROM (
+        |  SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY count(*) DESC, event_type) AS trn
+        |  FROM e GROUP BY user_id, event_type) x
+        | WHERE trn = 1)
+        |SELECT b.user_id,
+        | CAST(date_diff('day', last_day, corpus_last_day) AS BIGINT) AS recency_days,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(n_active_days AS BIGINT) AS n_active_days,
+        | revenue_cents, top_type
+        |FROM b JOIN t USING (user_id) CROSS JOIN m
+        |ORDER BY b.user_id""".stripMargin,
+    "q154_position_conversion" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |f AS (
+         | SELECT user_id, event_id, event_type, us,
+         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+         |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |       > $AttributionHorizonMicros THEN 1 ELSE 0 END AS new_sess
+         | FROM e),
+         |sess AS (
+         | SELECT user_id, event_id, event_type, us,
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess_id
+         | FROM f),
+         |rn AS (
+         | SELECT event_type,
+         |  row_number() OVER (PARTITION BY user_id, sess_id
+         |    ORDER BY us, event_id) AS rn
+         | FROM sess),
+         |p AS (
+         | SELECT least(rn, $PosCap) AS position, event_type FROM rn)
+         |SELECT CAST(position AS BIGINT) AS position,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 // count(*) AS purchase_ppm
+         |FROM p GROUP BY position ORDER BY position""".stripMargin
+  )
+}

@@ -498,6 +498,54 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Ranked-vocabulary cap for the coverage curve. Top-N by frequency
+    * is where the curve is decided (the tail contributes one token per
+    * type); the cap bounds the single-partition cumulative window to a
+    * constant row count — at 100 TB the ranked head is still 4096
+    * rows, selected by TakeOrdered (no global sort). */
+  val CoverageVocabCap = 4096
+
+  /** Coverage thresholds the vocab is sized for (ppm of all tokens). */
+  val CoverageThresholdsPpm: Seq[Long] = Seq(500000L, 750000L, 900000L, 990000L)
+
+  /** q145: token-coverage curve — the smallest frequency-ranked
+    * vocabulary covering X ppm of the corpus token stream, the number
+    * that sizes a tokenizer's vocab (and explains its OOV rate). For
+    * each threshold: the minimal rank whose cumulative count reaches
+    * the threshold, plus the exact tokens covered at that rank.
+    *
+    * Shape: one explode → hash-agg on token (map-side combine), a
+    * TakeOrdered head of [[CoverageVocabCap]] rows, ONE
+    * single-partition window over that constant-size head for the
+    * cumulative sum, and a 4-row threshold frame joined by broadcast.
+    * The corpus-wide total is a 1-row broadcast (declared BNLJ, q49's
+    * pattern). Cumulative count is monotone in rank, so min(rank) and
+    * min(cum) pick the same row — no argmin struct needed. */
+  def tokenCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val rankW = Window.orderBy(col("n").desc, col("tok"))
+    val ranked = counts
+      .orderBy(col("n").desc, col("tok")).limit(CoverageVocabCap)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("cum", sum("n").over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val total = counts.agg(sum("n").cast("long").as("total_tokens"))
+    val thresholds = CoverageThresholdsPpm.toDF("thr_ppm")
+    ranked.crossJoin(broadcast(total))
+      .crossJoin(broadcast(thresholds))
+      .filter(col("cum") * lit(1000000L) >= col("thr_ppm") * col("total_tokens"))
+      .groupBy("thr_ppm")
+      .agg(min("rank").as("vocab_size"),
+        min("cum").as("covered_tokens"),
+        min("total_tokens").as("total_tokens"))
+      .orderBy("thr_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
     "q103_source_divergence" -> (sourceDivergence _),
@@ -508,7 +556,8 @@ object TextAnalysis {
     "q89_vocab_growth" -> (vocabGrowth _),
     "q95_bpe_merges" -> (bpeMerges _),
     "q96_bpe_tokenize" -> (bpeTokenize _),
-    "q98_lm_fluency" -> (lmFluency _)
+    "q98_lm_fluency" -> (lmFluency _),
+    "q145_token_coverage" -> (tokenCoverage _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -734,6 +783,27 @@ object TextAnalysis {
          |SELECT bucket, new_tokens,
          | CAST(sum(new_tokens) OVER (ORDER BY bucket
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-         |FROM b ORDER BY bucket""".stripMargin
+         |FROM b ORDER BY bucket""".stripMargin,
+    "q145_token_coverage" ->
+      s"""WITH toks AS (
+         | SELECT tok FROM (
+         |  SELECT unnest(${Det.wordsSql("text")}) AS tok FROM documents) t
+         | WHERE len(tok) > 0),
+         |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+         |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT $CoverageVocabCap),
+         |r AS (SELECT tok, n,
+         |   CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+         |   CAST(sum(n) OVER (ORDER BY n DESC, tok
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |   FROM top),
+         |th AS (SELECT CAST(unnest([${CoverageThresholdsPpm.mkString(", ")}]) AS BIGINT) AS thr_ppm)
+         |SELECT thr_ppm,
+         |  CAST(min(rank) AS BIGINT) AS vocab_size,
+         |  CAST(min(cum) AS BIGINT) AS covered_tokens,
+         |  CAST(min(total_tokens) AS BIGINT) AS total_tokens
+         |FROM r CROSS JOIN tot CROSS JOIN th
+         |WHERE cum * 1000000 >= thr_ppm * total_tokens
+         |GROUP BY thr_ppm ORDER BY thr_ppm""".stripMargin
   )
 }

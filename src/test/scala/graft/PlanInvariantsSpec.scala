@@ -34,7 +34,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q105_dsir_weights", // 1-row distribution totals
     "q115_ks_drift", // bounded value-grid × sources + 1-row corpus count
     "q125_centroid_confusion", // K-row label-centroid frame (q34/q59 pattern)
-    "q133_equiwidth_hist" // 1-row min/max bounds (q66's pattern)
+    "q133_equiwidth_hist", // 1-row min/max bounds (q66's pattern)
+    "q143_ann_recall", // composes q33's declared baseline + q34's probes
+    "q144_matryoshka_overlap", // declared Q×N truncation audit
+    "q145_token_coverage", // 1-row corpus total + 4-row threshold frame
+    "q153_rfm_features" // 1-row corpus last-day frame
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -269,6 +273,39 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q140_sketch_rollup" -> 5,
     // q141: day census + the constant-sized merge
     "q141_stats_rollup" -> 2,
+    // q143: q33's plan (2) + q34's plan (6) + the (q_id, vec_id)
+    // audit join and per-query rollup over two k·|queries| frames
+    "q143_ann_recall" -> 10,
+    // q144: ONE Q×N broadcast pass computes both cosines; both rank
+    // windows partition by q_id (one exchange, two sorts) + rollup
+    "q144_matryoshka_overlap" -> 2,
+    // q145: token census + single-partition cumulative window over the
+    // constant-size ranked head + threshold rollup
+    "q145_token_coverage" -> 3,
+    // q146: (type, day) census + type-keyed lag window + sort
+    "q146_ewma_anomaly" -> 3,
+    // q147: (user, day) distinct + user window (islands + rollup
+    // reuse the user exchange) + sort
+    "q147_activity_streaks" -> 3,
+    // q148: user timeline window + channel rollup + sort
+    "q148_last_touch" -> 3,
+    // q149: user timeline exchange serves session flag, running
+    // session id AND path assembly; path census; TakeOrdered head
+    "q149_session_paths" -> 2,
+    // q150: day census + single-partition prefix-sum window over the
+    // O(days) frame (bin rollup + sort ride the same tiny frame)
+    "q150_compaction_plan" -> 2,
+    // q151: token census + doc tally on the same token key + doc-keyed
+    // join of the per-doc frame back to documents
+    "q151_hapax_ratio" -> 5,
+    // q152: distinct (source, gram) + spread census on the same gram
+    // key + per-source rollup + sort
+    "q152_source_novelty" -> 5,
+    // q153: flat RFM rollup (distinct-day expand) + (user, type)
+    // census/rank + user join + sort; corpus day is a 1-row broadcast
+    "q153_rfm_features" -> 7,
+    // q154: user timeline exchange (q149's) + position census + sort
+    "q154_position_conversion" -> 3,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

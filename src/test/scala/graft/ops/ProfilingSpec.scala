@@ -106,4 +106,49 @@ class ProfilingSpec extends SparkTestBase {
       .select((-col("top.nk")).as("top_key")).collect()(0).getLong(0)
     assert(tie === 3L)
   }
+
+  test("q151: hapax tally matches a plain-Scala census; flag applies the threshold") {
+    val out = Profiling.hapaxRatio(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    assert(out.length === docs.size)
+    val global = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val hapax = toks.count(t => global(t) == 1).toLong
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_hapax") === hapax)
+      val ppm = hapax * 1000000L / math.max(toks.length.toLong, 1L)
+      assert(r.getAs[Long]("hapax_ppm") === ppm)
+      assert(r.getAs[Long]("flag_garbage") ===
+        (if (ppm >= Profiling.HapaxFlagPpm) 1L else 0L))
+    }
+  }
+
+  test("q152: exclusive grams match a plain-Scala census; ppm bounds hold") {
+    val out = Profiling.sourceNovelty(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq))
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, ts) =>
+      ts.sliding(Dedup.DupGramN).filter(_.size == Dedup.DupGramN)
+        .map(_.mkString(" "))
+    }.toSet).toMap
+    assert(out.length === bySource.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = bySource(src)
+      val others = bySource.collect { case (s2, g) if s2 != src => g }
+        .foldLeft(Set.empty[String])(_ ++ _)
+      val exclusive = mine.diff(others).size.toLong
+      assert(r.getAs[Long]("n_grams") === mine.size.toLong)
+      assert(r.getAs[Long]("n_exclusive") === exclusive)
+      assert(r.getAs[Long]("novelty_ppm") ===
+        exclusive * 1000000L / math.max(mine.size.toLong, 1L))
+    }
+  }
 }

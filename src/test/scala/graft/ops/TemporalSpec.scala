@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Behavior tests for the temporal batch: EWMA anomaly flags (q146),
+  * activity streaks (q147), last-touch attribution (q148), session
+  * paths (q149), and the compaction planner (q150). */
+class TemporalSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q146: forecast reproduces the integer EWMA of the daily census") {
+    val out = Temporal.ewmaAnomaly(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .map(_.getAs[Long]("n"))).toMap
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (typ, rows) =>
+      val series = daily(typ)
+      val lags = Temporal.EwmaWeights.size
+      // q146 emits exactly the rows with a full lag window
+      assert(rows.length === math.max(0, series.length - lags))
+      rows.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .zipWithIndex.foreach { case (r, i) =>
+          val idx = i + lags // position in the full series
+          val pred = Temporal.EwmaWeights.zipWithIndex.map {
+            case (w, j) => w * series(idx - 1 - j)
+          }.sum / Temporal.EwmaWeights.sum
+          assert(r.getAs[Long]("pred") === pred)
+          assert(r.getAs[Long]("n_events") === series(idx))
+          val dev = (series(idx) - pred) * 1000 / math.max(pred, 1L)
+          assert(r.getAs[Long]("dev_milli") === dev)
+          assert(r.getAs[Long]("is_anomaly") ===
+            (if (math.abs(dev) >= Temporal.AnomalyMilli) 1L else 0L))
+        }
+    }
+  }
+
+  test("q147: streak accounting matches a plain-Scala islands pass") {
+    val out = Temporal.activityStreaks(spark, sf).collect()
+    assert(out.nonEmpty)
+    val days = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).as("dn"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Int]("dn")).sorted).toMap
+    assert(out.length === days.size)
+    out.foreach { r =>
+      val dns = days(r.getAs[Long]("user_id"))
+      val runs = dns.foldLeft((List.empty[Long], Int.MinValue)) {
+        case ((h :: t, prev), d) if d == prev + 1 => ((h + 1) :: t, d)
+        case ((acc, _), d) => (1L :: acc, d)
+      }._1
+      assert(r.getAs[Long]("n_active_days") === dns.length.toLong)
+      assert(r.getAs[Long]("n_streaks") === runs.length.toLong)
+      assert(r.getAs[Long]("longest_streak") === runs.max)
+    }
+  }
+
+  test("q148: every purchase lands in exactly one channel; revenue conserved") {
+    val out = Temporal.lastTouchAttribution(spark, sf).collect()
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(count(lit(1)).cast("long").as("n"),
+        Det.lsum(Det.cents(col("value"))).as("cents")).collect().head
+    assert(out.map(_.getAs[Long]("n_purchases")).sum === purchases.getAs[Long]("n"))
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum === purchases.getAs[Long]("cents"))
+    val types = graft.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      assert(ch == "direct" || (types.contains(ch) && ch != "purchase"))
+    }
+  }
+
+  test("q149: league table is dense, sorted, and bounded by the session count") {
+    val out = Temporal.sessionPaths(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length))
+    val ns = out.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= Temporal.PathSteps)
+    }
+    // paths can't outnumber sessions: every counted path is a session
+    val events = graft.Tables.events(spark, sf).count()
+    assert(ns.sum <= events)
+  }
+
+  test("q150: bins partition the day census; every row is packed once") {
+    val out = Profiling.compactionPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_rows")).sum ===
+      graft.Tables.lineitem(spark, sf).count())
+    val bins = out.map(_.getAs[Long]("bin"))
+    assert(bins.toSeq === bins.sorted.toSeq)
+    assert(bins.distinct.length === bins.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_files") >= 1L)
+      assert(!r.getAs[java.sql.Date]("min_day").after(r.getAs[java.sql.Date]("max_day")))
+    }
+    // date spans of consecutive bins never interleave (date-local plan)
+    out.toSeq.zip(out.toSeq.tail).foreach { case (a, b) =>
+      assert(!a.getAs[java.sql.Date]("max_day").after(b.getAs[java.sql.Date]("min_day")))
+    }
+  }
+
+  test("q153: one feature row per user; revenue and recency reconcile") {
+    val out = Temporal.rfmFeatures(spark, sf).collect()
+    val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.length === users.toInt)
+    assert(out.map(_.getAs[Long]("user_id")).distinct.length === out.length)
+    val totalRevenue = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(Det.lsum(Det.cents(col("value"))).as("c")).collect().head.getAs[Long]("c")
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum === totalRevenue)
+    assert(out.exists(_.getAs[Long]("recency_days") === 0L),
+      "someone must be active on the corpus's last day")
+    out.foreach { r =>
+      assert(r.getAs[Long]("recency_days") >= 0L)
+      assert(r.getAs[Long]("n_active_days") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[String]("top_type").nonEmpty)
+    }
+  }
+
+  test("q154: positions cover every event; rate is exact integer ppm") {
+    val out = Temporal.positionConversion(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_events")).sum ===
+      graft.Tables.events(spark, sf).count())
+    val positions = out.map(_.getAs[Long]("position"))
+    assert(positions.forall(p => p >= 1L && p <= Temporal.PosCap))
+    // position-1 rows = number of sessions; later positions can't exceed it
+    val p1 = out.find(_.getAs[Long]("position") === 1L).get.getAs[Long]("n_events")
+    out.foreach { r =>
+      if (r.getAs[Long]("position") < Temporal.PosCap)
+        assert(r.getAs[Long]("n_events") <= p1)
+      assert(r.getAs[Long]("purchase_ppm") ===
+        r.getAs[Long]("n_purchases") * 1000000L / r.getAs[Long]("n_events"))
+    }
+  }
+}
