@@ -565,7 +565,40 @@ object CorpusPrep {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Tokens that define a document's opening signature, and how many
+    * documents must share one before it counts as a template. */
+  val OpeningTokens = 2
+  val TemplateMinDocs = 2L
+
+  /** q155: template openings — documents grouped by their first
+    * [[OpeningTokens]] tokens; openings shared by ≥ [[TemplateMinDocs]]
+    * docs are template candidates (machine-generated pages, form
+    * letters, scraper artifacts open identically). Reported with the
+    * doc count, how many SOURCES the template spans (cross-source ⇒
+    * scraper boilerplate, single-source ⇒ a site template), and the
+    * smallest doc id as the inspectable example.
+    *
+    * Scale shape: the signature is a per-row prefix slice (no
+    * explode — openings are O(docs) rows of ~2 tokens), then ONE
+    * hash agg on the opening string; the distinct-source count rides
+    * the same exchange as an Expand. Docs shorter than the signature
+    * can't claim a template and are excluded by both engines. */
+  def templateOpenings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ts"))
+      .filter(size(col("ts")) >= OpeningTokens)
+      .select(col("doc_id"), col("source"),
+        array_join(slice(col("ts"), 1, OpeningTokens), " ").as("opening"))
+      .groupBy("opening")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("source").cast("long").as("n_sources"),
+        min("doc_id").cast("long").as("example_doc"))
+      .filter(col("n_docs") >= TemplateMinDocs)
+      .orderBy("opening")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_template_openings" -> (templateOpenings _),
     "q112_sliding_chunks" -> (slidingChunks _),
     "q82_quality_rules" -> (qualityRules _),
     "q106_quality_calibration" -> (qualityCalibration _),
@@ -632,6 +665,21 @@ object CorpusPrep {
        | FROM runs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q155_template_openings" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source, ${Det.wordsSql("text")} AS ts FROM documents),
+         |b AS (
+         | SELECT doc_id, source,
+         |  array_to_string(ts[1:$OpeningTokens], ' ') AS opening
+         | FROM t WHERE len(ts) >= $OpeningTokens),
+         |g AS (
+         | SELECT opening, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources, min(doc_id) AS example_doc
+         | FROM b GROUP BY opening)
+         |SELECT opening, CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_sources AS BIGINT) AS n_sources,
+         | CAST(example_doc AS BIGINT) AS example_doc
+         |FROM g WHERE n_docs >= $TemplateMinDocs ORDER BY opening""".stripMargin,
     "q112_sliding_chunks" ->
       s"""WITH t AS (
          | SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ts

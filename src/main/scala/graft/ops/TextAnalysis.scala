@@ -546,6 +546,60 @@ object TextAnalysis {
       .orderBy("thr_ppm")
   }
 
+  // ---------------------------------------------------------------- q157
+  /** Context window radius, minimum pair support, and league size. */
+  val CtxRadius = 2
+  val CtxMinPair = 5L
+  val CtxTopK = 50
+
+  /** q157: skip-gram context lift — the word2vec training-pair census:
+    * directed (center, context) pairs within ±[[CtxRadius]] positions,
+    * scored by integer association lift (observed ÷ independence, in
+    * milli) against the pair-event marginals. q75's PMI ranks
+    * document-level co-occurrence; this ranks POSITIONAL context — the
+    * actual skip-gram objective's input distribution.
+    *
+    * Pairs are built shuffle-free per row: for each distance k a
+    * `transform` over index positions emits (ts[i], ts[i+k]) structs
+    * (the array is a materialized column, so element access is O(1)
+    * inside the lambda — the q113 scope rule), and both directions
+    * come from the same undirected scan. One pair-keyed hash agg, two
+    * marginal windows over the SAME pair frame, a 1-row total
+    * broadcast (declared BNLJ), and a TakeOrdered league head.
+    *
+    * The lift numerator n_pair·N·1000 stays in 64 bits to ~10¹⁴ pair
+    * events; beyond that, scale the total the q136 way (divide N by a
+    * fixed 10^e before the multiply — it cancels in the ratio). */
+  def contextLift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(words(col("text")).as("ts"))
+    def pairsAt(k: Int): DataFrame = toks.selectExpr(
+      s"""explode(CASE WHEN size(ts) > $k THEN
+         |  transform(sequence(0, size(ts) - ${k + 1}),
+         |    i -> struct(ts[i] AS w1, ts[i + $k] AS w2))
+         |  ELSE CAST(array() AS array<struct<w1: string, w2: string>>)
+         |  END) AS p""".stripMargin)
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val dp = (1 to CtxRadius).map(pairsAt).map(p =>
+      p.unionAll(p.select(col("w2").as("w1"), col("w1").as("w2"))))
+      .reduce(_ unionAll _)
+    val cab = dp.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val tot = cab.agg(sum("n_pair").cast("long").as("n"))
+    val scored = cab
+      .withColumn("c_a", sum("n_pair").over(Window.partitionBy("w1")).cast("long"))
+      .withColumn("c_b", sum("n_pair").over(Window.partitionBy("w2")).cast("long"))
+      .filter(col("n_pair") >= CtxMinPair)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_milli", expr("n_pair * n * 1000 div (c_a * c_b)"))
+    scored
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2")).limit(CtxTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_milli").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"),
+        col("n_pair").cast("long").as("n_pair"), col("lift_milli"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_doc_stats" -> (docStats _),
     "q103_source_divergence" -> (sourceDivergence _),
@@ -557,7 +611,8 @@ object TextAnalysis {
     "q95_bpe_merges" -> (bpeMerges _),
     "q96_bpe_tokenize" -> (bpeTokenize _),
     "q98_lm_fluency" -> (lmFluency _),
-    "q145_token_coverage" -> (tokenCoverage _)
+    "q145_token_coverage" -> (tokenCoverage _),
+    "q157_context_lift" -> (contextLift _)
   )
 
   private def inList(p: Seq[String]): String =
@@ -804,6 +859,27 @@ object TextAnalysis {
          |  CAST(min(total_tokens) AS BIGINT) AS total_tokens
          |FROM r CROSS JOIN tot CROSS JOIN th
          |WHERE cum * 1000000 >= thr_ppm * total_tokens
-         |GROUP BY thr_ppm ORDER BY thr_ppm""".stripMargin
+         |GROUP BY thr_ppm ORDER BY thr_ppm""".stripMargin,
+    "q157_context_lift" ->
+      s"""WITH t AS (SELECT ${Det.wordsSql("text")} AS ts FROM documents),
+         |p1 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM t, UNNEST(range(1, len(ts))) AS s(i)),
+         |p2 AS (SELECT ts[i] AS w1, ts[i+2] AS w2
+         |  FROM t, UNNEST(range(1, len(ts) - 1)) AS s(i)),
+         |dp AS (SELECT w1, w2 FROM p1 UNION ALL SELECT w2, w1 FROM p1
+         |  UNION ALL SELECT w1, w2 FROM p2 UNION ALL SELECT w2, w1 FROM p2),
+         |cab AS (SELECT w1, w2, count(*) AS n_pair FROM dp GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cab),
+         |ca AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+         |cb AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+         |l AS (SELECT w1, w2, n_pair,
+         |  n_pair * n * 1000 // (c_a * c_b) AS lift_milli
+         |  FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+         |  WHERE n_pair >= $CtxMinPair),
+         |r AS (SELECT w1, w2, n_pair, lift_milli,
+         |  row_number() OVER (ORDER BY lift_milli DESC, w1, w2) AS rank FROM l)
+         |SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+         | CAST(n_pair AS BIGINT) AS n_pair, CAST(lift_milli AS BIGINT) AS lift_milli
+         |FROM r WHERE rank <= $CtxTopK ORDER BY rank""".stripMargin
   )
 }

@@ -38,7 +38,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q143_ann_recall", // composes q33's declared baseline + q34's probes
     "q144_matryoshka_overlap", // declared Q×N truncation audit
     "q145_token_coverage", // 1-row corpus total + 4-row threshold frame
-    "q153_rfm_features" // 1-row corpus last-day frame
+    "q153_rfm_features", // 1-row corpus last-day frame
+    "q156_negative_sampling", // Q-row broadcast node sample (q34 pattern)
+    "q157_context_lift" // 1-row pair-event total
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -306,6 +308,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q153_rfm_features" -> 7,
     // q154: user timeline exchange (q149's) + position census + sort
     "q154_position_conversion" -> 3,
+    // q155: one opening-keyed hash agg (distinct-source Expand rides
+    // it) + sort
+    "q155_template_openings" -> 3,
+    // q156: the capped incidence expands under nodes / the sample /
+    // both neighborhood probes; identical subtrees collapse to
+    // ReusedExchange at execution — the budget is the REAL exchanges
+    // of the deduped plan: incidence distinct + basket window + node
+    // distinct + sample + probe joins + neighbor distinct + rank
+    // window + sort
+    "q156_negative_sampling" -> 12,
+    // q157: pair census + two marginal windows on the same frame +
+    // TakeOrdered league; the total is a 1-row broadcast
+    "q157_context_lift" -> 5,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

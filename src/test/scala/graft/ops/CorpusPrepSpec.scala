@@ -359,4 +359,24 @@ class CorpusPrepSpec extends SparkTestBase {
     // adjacent full windows overlap by exactly win − stride tokens
     assert(CorpusPrep.ChunkWin - CorpusPrep.ChunkStride === 16)
   }
+
+  test("q155: openings reproduce a plain-Scala census of doc prefixes") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusPrep.templateOpenings(spark, dir).collect()
+      .map(r => (r.getAs[String]("opening"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[Long]("example_doc")))
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq))
+      .filter(_._3.length >= CorpusPrep.OpeningTokens)
+    val expected = docs
+      .groupBy { case (_, _, ts) => ts.take(CorpusPrep.OpeningTokens).mkString(" ") }
+      .view.mapValues(ds => (ds.length.toLong,
+        ds.map(_._2).distinct.length.toLong, ds.map(_._1).min))
+      .filter(_._2._1 >= CorpusPrep.TemplateMinDocs)
+      .toSeq.map { case (o, (n, s2, e)) => (o, n, s2, e) }.sortBy(_._1)
+    assert(out.toSeq === expected)
+    assert(out.nonEmpty, "the synthetic corpus must surface some template")
+  }
 }

@@ -92,4 +92,27 @@ class GraphsSpec extends SparkTestBase {
         s"node $n at hop $h lacks a parent")
     }
   }
+
+  test("q156: negatives are real non-edges, k-deep, hash-ordered per node") {
+    val out = Graphs.negativeSampling(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neg"), r.getAs[Long]("score")))
+    // true adjacency from the public edge frame
+    val e = Graphs.edges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(out.nonEmpty)
+    val byU = out.groupBy(_._1)
+    assert(byU.size === Graphs.NegQueryNodes)
+    byU.foreach { case (u, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to Graphs.NegPerNode))
+      // scores strictly follow rank order (ties broken by v upstream)
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+      rows.foreach { case (_, _, v, _) =>
+        assert(v !== u)
+        assert(!e.contains((math.min(u, v), math.max(u, v))),
+          s"sampled pair ($u, $v) is a real edge")
+      }
+    }
+  }
 }

@@ -288,4 +288,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === expected.sortBy(p => (p._1, p._2)))
     assert(got.nonEmpty && got.exists(_._4 > 0L))
   }
+
+  test("q157: context-pair lift matches a plain-Scala skip-gram census") {
+    val out = TextAnalysis.contextLift(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("n_pair"),
+        r.getAs[Long]("lift_milli")))
+    val texts = graft.Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0).trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq)
+    val directed = texts.flatMap { ts =>
+      (1 to TextAnalysis.CtxRadius).flatMap { k =>
+        ts.indices.dropRight(k).flatMap { i =>
+          Seq((ts(i), ts(i + k)), (ts(i + k), ts(i)))
+        }
+      }
+    }
+    val cab = directed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cab.values.sum
+    val ca = cab.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cb = cab.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val expected = cab.toSeq
+      .filter(_._2 >= TextAnalysis.CtxMinPair)
+      .map { case ((a, b), c) => (a, b, c, c * n * 1000L / (ca(a) * cb(b))) }
+      .sortBy { case (a, b, _, l) => (-l, a, b) }
+      .take(TextAnalysis.CtxTopK)
+      .zipWithIndex.map { case ((a, b, c, l), i) => (i + 1L, a, b, c, l) }
+    assert(out.toSeq === expected)
+    assert(out.nonEmpty)
+  }
 }
