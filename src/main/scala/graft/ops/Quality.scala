@@ -269,6 +269,35 @@ object Quality {
       .filter(col("n") < KAnon)
       .orderBy("o_orderstatus", "o_orderpriority", "month")
 
+  // ---------------------------------------------------------------- q158
+  /** Diversity threshold for the q158 privacy audit. */
+  val LDiv = 3L
+
+  /** q158: l-diversity audit — q128's sibling: a quasi-identifier
+    * cell can be k-anonymous (≥ k rows) yet still leak if everyone in
+    * it shares the same SENSITIVE value. Per (status, priority,
+    * order month) cell: row count and the number of distinct
+    * sensitive values (the ordering customer's nation), reporting
+    * cells with fewer than [[LDiv]] distinct nations — where "we
+    * published an aggregate" still reveals the attribute.
+    *
+    * Scale shape: one customer join keyed on the order's custkey
+    * (AQE broadcasts the dim when it fits) and ONE hash aggregation
+    * on the quasi-identifier key; the distinct-sensitive count rides
+    * the same exchange as an Expand. Only risky cells return. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderstatus", "o_orderpriority", "month")
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct("c_nationkey").cast("long").as("l_distinct"))
+      .filter(col("l_distinct") < LDiv)
+      .orderBy("o_orderstatus", "o_orderpriority", "month")
+
   // ---------------------------------------------------------------- q129
   /** q129: cross-table totals reconciliation — per order status, how
     * many orders' stored `o_totalprice` agrees with the lineitem-
@@ -310,10 +339,25 @@ object Quality {
     "q117_winsorized_mean" -> (winsorizedMean _),
     "q124_mad_outliers" -> (madOutliers _),
     "q128_k_anonymity" -> (kAnonymity _),
-    "q129_totals_reconcile" -> (totalsReconcile _)
+    "q129_totals_reconcile" -> (totalsReconcile _),
+    "q158_l_diversity" -> (lDiversity _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_l_diversity" ->
+      s"""WITH j AS (
+         | SELECT o_orderstatus, o_orderpriority,
+         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |  c_nationkey
+         | FROM orders JOIN customer ON c_custkey = o_custkey),
+         |g AS (
+         | SELECT o_orderstatus, o_orderpriority, month,
+         |  count(*) AS n, count(DISTINCT c_nationkey) AS l_distinct
+         | FROM j GROUP BY 1, 2, 3)
+         |SELECT o_orderstatus, o_orderpriority, month,
+         | CAST(n AS BIGINT) AS n, CAST(l_distinct AS BIGINT) AS l_distinct
+         |FROM g WHERE l_distinct < $LDiv
+         |ORDER BY o_orderstatus, o_orderpriority, month""".stripMargin,
     "q62_data_profile" -> {
       // render OUTSIDE min/max, mirroring the Spark side: the bounds
       // aggregate native values, the string rendering applies to the

@@ -262,13 +262,68 @@ object Temporal {
         expr("n_purchases * 1000000 div n_events"))
       .orderBy("position")
 
+  // ---------------------------------------------------------------- q159
+  /** q159: linear multi-touch attribution — q148's last-touch
+    * sibling: each purchase's exact cents split EQUALLY across every
+    * non-purchase touch of the same user inside the horizon before it
+    * (same (us, event_id) tie rule as q148), with the integer
+    * remainder credited to the LATEST touch so every cent lands
+    * exactly once — conservation is an arithmetic invariant, not a
+    * rounding hope. Purchases with no in-horizon touch credit the
+    * `direct` bucket whole.
+    *
+    * Per channel: credited rows and exact attributed cents.
+    *
+    * Scale shape: ONE user-keyed equi-join pairs purchases with their
+    * candidate touches (the horizon predicate filters inside the
+    * join; per-user row counts bound the pair fan-out); the share
+    * split is two windows over the SAME purchase-id partitioning
+    * (count + latest-touch rank — one exchange, two passes); the
+    * direct bucket is a purchase-keyed anti-join; rollups are
+    * |channels|-sized. */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"), Det.cents(col("value")).cast("long").as("cents"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("us").as("t_us"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter((col("t_us") < col("p_us") ||
+        (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+        col("p_us") - col("t_us") <= AttributionHorizonMicros)
+    val wCnt = Window.partitionBy("p_id")
+    val wRnk = Window.partitionBy("p_id")
+      .orderBy(col("t_us").desc, col("t_id").desc)
+    val credited = joined
+      .withColumn("n_touch", count(lit(1)).over(wCnt))
+      .withColumn("trn", row_number().over(wRnk))
+      .select(col("channel"),
+        expr("cents div n_touch + CASE WHEN trn = 1 THEN cents % n_touch ELSE 0L END")
+          .as("share_cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        sum("share_cents").cast("long").as("attributed_cents"))
+    val direct = purchases
+      .join(joined.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        coalesce(sum("cents"), lit(0L)).cast("long").as("attributed_cents"))
+      .select(lit("direct").as("channel"), col("n_credits"),
+        col("attributed_cents"))
+    credited.unionAll(direct).orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_ewma_anomaly" -> (ewmaAnomaly _),
     "q147_activity_streaks" -> (activityStreaks _),
     "q148_last_touch" -> (lastTouchAttribution _),
     "q149_session_paths" -> (sessionPaths _),
     "q153_rfm_features" -> (rfmFeatures _),
-    "q154_position_conversion" -> (positionConversion _)
+    "q154_position_conversion" -> (positionConversion _),
+    "q159_linear_attribution" -> (linearAttribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -425,6 +480,41 @@ object Temporal {
          | CAST(count(*) AS BIGINT) AS n_events,
          | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
          | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 // count(*) AS purchase_ppm
-         |FROM p GROUP BY position ORDER BY position""".stripMargin
+         |FROM p GROUP BY position ORDER BY position""".stripMargin,
+    "q159_linear_attribution" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+         | FROM events),
+         |p AS (
+         | SELECT user_id, event_id AS p_id, us AS p_us,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         | FROM e WHERE event_type = 'purchase'),
+         |t AS (
+         | SELECT user_id, event_id AS t_id, event_type AS channel, us AS t_us
+         | FROM e WHERE event_type != 'purchase'),
+         |j AS (
+         | SELECT p.p_id, p.cents, t.channel, t.t_us, t.t_id
+         | FROM p JOIN t USING (user_id)
+         | WHERE (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+         |   AND p.p_us - t.t_us <= $AttributionHorizonMicros),
+         |r AS (
+         | SELECT channel, cents,
+         |  count(*) OVER (PARTITION BY p_id) AS n_touch,
+         |  row_number() OVER (PARTITION BY p_id
+         |    ORDER BY t_us DESC, t_id DESC) AS trn
+         | FROM j),
+         |cr AS (
+         | SELECT channel, count(*) AS n_credits,
+         |  sum(cents // n_touch
+         |    + CASE WHEN trn = 1 THEN cents % n_touch ELSE 0 END) AS attributed_cents
+         | FROM r GROUP BY channel),
+         |dr AS (
+         | SELECT 'direct' AS channel, count(*) AS n_credits,
+         |  coalesce(sum(cents), 0) AS attributed_cents
+         | FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM j))
+         |SELECT channel, CAST(n_credits AS BIGINT) AS n_credits,
+         | CAST(attributed_cents AS BIGINT) AS attributed_cents
+         |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr) u
+         |ORDER BY channel""".stripMargin
   )
 }

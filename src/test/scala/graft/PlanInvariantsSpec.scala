@@ -321,6 +321,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q157: pair census + two marginal windows on the same frame +
     // TakeOrdered league; the total is a 1-row broadcast
     "q157_context_lift" -> 5,
+    // q158: customer join (two sides at sf0.001 static estimates) +
+    // QI census with distinct Expand + sort
+    "q158_l_diversity" -> 5,
+    // q159: user-keyed purchase×touch join + p_id share windows +
+    // channel rollup + direct anti-join + sort
+    "q159_linear_attribution" -> 8,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -120,4 +120,35 @@ class QualitySpec extends SparkTestBase {
       assert(got(k) === v, s"wavg mismatch at $k")
     }
   }
+
+  test("q158: reported cells are exactly the low-diversity ones") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Quality.lDiversity(spark, sf).collect()
+    // plain-Scala census over the joined frame
+    val nations = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        r.getAs[Number]("c_nationkey").longValue).toMap
+    val cells = graft.Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_custkey")).collect()
+      .flatMap { r =>
+        nations.get(r.getAs[Long]("o_custkey")).map(n =>
+          ((r.getAs[String]("o_orderstatus"), r.getAs[String]("o_orderpriority"),
+            r.getAs[java.sql.Date]("month").toString), n))
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).distinct.length.toLong))
+      .filter(_._2._2 < Quality.LDiv).toMap
+    assert(out.length === cells.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("o_orderstatus"), r.getAs[String]("o_orderpriority"),
+        r.getAs[java.sql.Date]("month").toString)
+      assert(cells(key) === (r.getAs[Long]("n"), r.getAs[Long]("l_distinct")))
+      // every reported cell is genuinely low-diversity, can still be k-anonymous
+      assert(r.getAs[Long]("l_distinct") < Quality.LDiv)
+      assert(r.getAs[Long]("l_distinct") <= r.getAs[Long]("n"))
+    }
+  }
 }

@@ -95,6 +95,26 @@ class TemporalSpec extends SparkTestBase {
     assert(ns.sum <= events)
   }
 
+  test("q159: every purchase cent lands exactly once across channels") {
+    val out = Temporal.linearAttribution(spark, sf).collect()
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(Det.lsum(Det.cents(col("value"))).as("c")).collect().head.getAs[Long]("c")
+    // conservation: shares + remainders + direct = total purchase cents
+    assert(out.map(_.getAs[Long]("attributed_cents")).sum === purchases)
+    val types = graft.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      assert(ch == "direct" || (types.contains(ch) && ch != "purchase"))
+      assert(r.getAs[Long]("attributed_cents") >= 0L)
+    }
+    // multi-touch must spread credit wider than last-touch
+    val lastTouch = Temporal.lastTouchAttribution(spark, sf).collect()
+      .map(_.getAs[Long]("n_purchases")).sum
+    assert(out.map(_.getAs[Long]("n_credits")).sum >= lastTouch)
+  }
+
   test("q150: bins partition the day census; every row is packed once") {
     val out = Profiling.compactionPlan(spark, sf).collect()
     assert(out.nonEmpty)
