@@ -178,7 +178,59 @@ object Sketches {
         max("mx").cast("long").as("max_cents"))
   }
 
+  // ---------------------------------------------------------------- q160
+  /** q160: audience-overlap sketches — for every event-type pair, the
+    * exact user overlap and Jaccard, beside an HLL inclusion–exclusion
+    * estimate (est A + est B − est A∪B via sketch union) certified by
+    * `within_bound` (estimate error ≤ 10% of the exact union — three
+    * sketches' error compounds, so the bound is on the union, the
+    * quantity the sketches actually measure). The q39 discipline: the
+    * oracle hashes the exact sides and the FLAG; a broken estimator
+    * fails the hash, sketch bits never do. Pairs with zero overlap
+    * are absent in both engines by construction.
+    *
+    * Scale shape: the per-type sketch+exact census is one hash agg
+    * (sketch partials merge map-side); the estimate side is a
+    * |types|²-row cross of the K-row census (declared BNLJ, K =
+    * event-type cardinality); the exact overlap joins distinct
+    * (user, type) incidence on the user key — at 100 TB the
+    * inclusion–exclusion estimate IS the product (the exact pass here
+    * is the certificate), and union-merge means per-segment sketches
+    * roll up to any pair without re-scanning users. */
+  def overlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val perType = ud.groupBy("t")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("exact"))
+    val exactOverlap = ud.select(col("t").as("type_a"), col("user_id"))
+      .join(ud.select(col("t").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_overlap"))
+    val est = perType
+      .select(col("t").as("type_a"), col("sk").as("sk_a"), col("exact").as("exact_a"))
+      .join(perType.select(col("t").as("type_b"), col("sk").as("sk_b"),
+        col("exact").as("exact_b")), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_overlap"))
+    exactOverlap.join(est, Seq("type_a", "type_b"))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_overlap"))
+      .select(col("type_a"), col("type_b"),
+        col("exact_a").cast("long").as("exact_a"),
+        col("exact_b").cast("long").as("exact_b"),
+        col("exact_overlap").cast("long").as("exact_overlap"),
+        expr("exact_overlap * 1000000 div exact_union").as("jaccard_ppm"),
+        when(abs(col("est_overlap") - col("exact_overlap")) * 10
+          <= col("exact_union"), 1L).otherwise(0L).as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_overlap_sketch" -> (overlapSketch _),
     "q39_sketch_distinct" -> (sketchDistinct _),
     "q40_quantile_sketch" -> (quantileSketch _),
     "q140_sketch_rollup" -> (sketchRollup _),
@@ -188,6 +240,22 @@ object Sketches {
   /** Exact sides recomputed in DuckDB; `within_bound` pinned to 1 —
     * the estimate participates via its bound, not its bits. */
   val oracles: Map[String, String] = Map(
+    "q160_overlap_sketch" ->
+      """WITH ud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |pt AS (SELECT t, count(*) AS exact FROM ud GROUP BY t),
+        |ov AS (
+        | SELECT a.t AS type_a, b.t AS type_b, count(*) AS exact_overlap
+        | FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.t < b.t
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        | CAST(pa.exact AS BIGINT) AS exact_a,
+        | CAST(pb.exact AS BIGINT) AS exact_b,
+        | CAST(exact_overlap AS BIGINT) AS exact_overlap,
+        | exact_overlap * 1000000 // (pa.exact + pb.exact - exact_overlap)
+        |   AS jaccard_ppm,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM ov JOIN pt pa ON pa.t = type_a JOIN pt pb ON pb.t = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q39_sketch_distinct" ->
       """SELECT c_nationkey AS nationkey,
         | count(DISTINCT c_custkey) AS exact_customers,

@@ -40,7 +40,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q145_token_coverage", // 1-row corpus total + 4-row threshold frame
     "q153_rfm_features", // 1-row corpus last-day frame
     "q156_negative_sampling", // Q-row broadcast node sample (q34 pattern)
-    "q157_context_lift" // 1-row pair-event total
+    "q157_context_lift", // 1-row pair-event total
+    "q160_overlap_sketch" // K-row per-type sketch census (K = |types|)
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -327,6 +328,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q159: user-keyed purchase×touch join + p_id share windows +
     // channel rollup + direct anti-join + sort
     "q159_linear_attribution" -> 8,
+    // q160: (user, type) distinct + per-type census + user-keyed
+    // overlap self-join + pair census + final pair join + sort; the
+    // K-row sketch cross is broadcast
+    "q160_overlap_sketch" -> 9,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

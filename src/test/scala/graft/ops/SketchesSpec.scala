@@ -93,4 +93,31 @@ class SketchesSpec extends SparkTestBase {
     assert(out.getAs[Long]("min_cents") === direct.getLong(2))
     assert(out.getAs[Long]("max_cents") === direct.getLong(3))
   }
+
+  test("q160: overlap matches a plain-Scala set census; estimates stay in bound") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Sketches.overlapSketch(spark, sf).collect()
+    assert(out.nonEmpty)
+    val sets = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // every reported pair reproduces the exact set algebra
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      val overlap = sa.intersect(sb).size.toLong
+      assert(r.getAs[Long]("exact_a") === sa.size.toLong)
+      assert(r.getAs[Long]("exact_b") === sb.size.toLong)
+      assert(r.getAs[Long]("exact_overlap") === overlap)
+      assert(r.getAs[Long]("jaccard_ppm") ===
+        overlap * 1000000L / sa.union(sb).size)
+      assert(r.getAs[Long]("within_bound") === 1L,
+        s"HLL inclusion-exclusion out of bound for ($a, $b)")
+    }
+    // every overlapping pair is reported (zero-overlap pairs absent)
+    val expectPairs = sets.keys.toSeq.sorted.combinations(2)
+      .filter { case Seq(a, b) => sets(a).intersect(sets(b)).nonEmpty }.size
+    assert(out.length === expectPairs)
+  }
 }
