@@ -483,7 +483,39 @@ object DataPrep {
       .orderBy("bin")
   }
 
+  // ---------------------------------------------------------------- q162
+  /** Buckets per group for the equi-depth histogram. */
+  val DepthBins = 8L
+
+  /** q162: equi-depth histogram — q133's optimizer-grade sibling: per
+    * event type, [[DepthBins]] buckets holding (near-)equal ROW counts
+    * with their exact value bounds. Equi-width (q133) wastes buckets
+    * on empty ranges under skew; equi-depth is what engines actually
+    * keep for selectivity estimation (NDV/quantile histograms).
+    * Bucket = (rank−1)·B div n over the (cents, event_id) total order
+    * — rank-exact, no interpolation, ties split deterministically.
+    *
+    * Scale shape: the q40/q78 rank-window discipline — one exchange
+    * on the GROUP key (histograms are per-column-per-segment objects;
+    * a global histogram at 100 TB is the q40 GK sketch instead), then
+    * a (group, bucket) hash agg riding the same partitioning. */
+  def equiDepthHist(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val wOrd = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_rows", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"(rn - 1) * $DepthBins div n_rows"))
+      .groupBy("event_type", "bucket")
+      .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_equidepth_hist" -> (equiDepthHist _),
     "q122_pps_sample" -> (ppsSample _),
     "q133_equiwidth_hist" -> (equiWidthHist _),
     "q47_repetition_stats" -> (repetitionStats _),
@@ -528,6 +560,25 @@ object DataPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "q162_equidepth_hist" ->
+      s"""WITH c AS (
+         | SELECT event_type, event_id,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         | FROM events),
+         |r AS (
+         | SELECT event_type, cents,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY cents, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n_rows
+         | FROM c),
+         |b AS (
+         | SELECT event_type, (rn - 1) * $DepthBins // n_rows AS bucket, cents
+         | FROM r)
+         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+         | CAST(min(cents) AS BIGINT) AS lo_cents,
+         | CAST(max(cents) AS BIGINT) AS hi_cents,
+         | CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_repetition_stats" ->
       s"""WITH d AS (
         | SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '${Det.WsClass}+') AS w FROM documents),

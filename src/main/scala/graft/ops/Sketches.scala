@@ -229,8 +229,57 @@ object Sketches {
       .orderBy("type_a", "type_b")
   }
 
+  // ---------------------------------------------------------------- q161
+  /** q161: incremental join-aggregate view maintenance — the
+    * revenue-by-nation MV (orders ⋈ customer ⋈ nation) maintained as
+    * mergeable partials from two disjoint load batches (split by
+    * order-date day parity — a stand-in for "yesterday's table +
+    * today's delta") and merged, beside the from-scratch rebuild.
+    * `merge_consistent` certifies merge ≡ rebuild per nation — q141's
+    * single-table discipline lifted to a JOIN aggregate, the algebra
+    * behind every incrementally-maintained rollup table.
+    *
+    * Why it holds: each order lands in exactly one batch, the join
+    * multiplies rows within a batch only, and count/sum are
+    * distributive over the disjoint union — so partials merge by
+    * addition, exactly (integer cents, no float).
+    *
+    * Scale shape: in production only the DELTA partial is computed
+    * (one day's join) and added to the stored MV; the full rebuild
+    * here exists as the certificate. Each partial is the q03 join
+    * shape: fact keyed on custkey, 25-row nation broadcast. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        Det.cents(col("o_totalprice")).cast("long").as("cents"),
+        (datediff(date_trunc("day", col("o_orderdate")).cast("date"),
+          lit("1970-01-01").cast("date")) % 2).as("par"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    def partial(df: DataFrame): DataFrame = df
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+    val merged = partial(orders.filter(col("par") === 0))
+      .unionAll(partial(orders.filter(col("par") === 1)))
+      .groupBy("c_nationkey")
+      .agg(sum("n_orders").as("m_orders"), sum("revenue_cents").as("m_cents"))
+    val direct = partial(orders)
+    direct.join(merged, Seq("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("n_orders").cast("long").as("n_orders"),
+        col("revenue_cents").cast("long").as("revenue_cents"),
+        when(col("m_orders") === col("n_orders") &&
+          col("m_cents") === col("revenue_cents"), 1L).otherwise(0L)
+          .as("merge_consistent"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_overlap_sketch" -> (overlapSketch _),
+    "q161_mv_incremental" -> (mvIncremental _),
     "q39_sketch_distinct" -> (sketchDistinct _),
     "q40_quantile_sketch" -> (quantileSketch _),
     "q140_sketch_rollup" -> (sketchRollup _),
@@ -256,6 +305,17 @@ object Sketches {
         | CAST(1 AS BIGINT) AS within_bound
         |FROM ov JOIN pt pa ON pa.t = type_a JOIN pt pb ON pb.t = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+    "q161_mv_incremental" ->
+      """WITH j AS (
+        | SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation ON n_nationkey = c_nationkey)
+        |SELECT n_name,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        | CAST(1 AS BIGINT) AS merge_consistent
+        |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q39_sketch_distinct" ->
       """SELECT c_nationkey AS nationkey,
         | count(DISTINCT c_custkey) AS exact_customers,

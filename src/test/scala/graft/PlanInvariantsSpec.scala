@@ -332,6 +332,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // overlap self-join + pair census + final pair join + sort; the
     // K-row sketch cross is broadcast
     "q160_overlap_sketch" -> 9,
+    // q161: three partial builds (base, delta, rebuild certificate)
+    // each one custkey join + nation census; merge + final join ride
+    // the nation-keyed frames; 25-row nation broadcast
+    "q161_mv_incremental" -> 7,
+    // q162: one type-keyed exchange serves rank + count windows AND
+    // the (type, bucket) census + sort
+    "q162_equidepth_hist" -> 2,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -228,4 +228,32 @@ class DataPrepSpec extends SparkTestBase {
         r.getAs[Long]("seq_offset")))
     assert(again.toSeq == got.map(r => (r._1, r._4, r._5)).toSeq)
   }
+
+  test("q162: buckets are rank-balanced with ordered, covering bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DataPrep.equiDepthHist(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (typ, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq ===
+        (0L until DataPrep.DepthBins))
+      val n = sorted.map(_.getAs[Long]("n")).sum
+      // rank split: every bucket holds floor/ceil(n/B) rows
+      sorted.foreach { r =>
+        val c = r.getAs[Long]("n")
+        assert(c == n / DataPrep.DepthBins || c == n / DataPrep.DepthBins + 1,
+          s"$typ bucket ${r.getAs[Long]("bucket")} holds $c of $n")
+        assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+      }
+      // bounds are non-decreasing across buckets (ties may touch)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents") ||
+          a.getAs[Long]("hi_cents") == b.getAs[Long]("lo_cents"))
+      }
+      // row conservation for the group
+      val direct = graft.Tables.events(spark, sf)
+        .filter(col("event_type") === typ).count()
+      assert(n === direct)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** Error-bound verification for the sketch aggregates. The driver's
   * oracle hash-checks the exact integer side plus the `within_bound`
@@ -119,5 +120,20 @@ class SketchesSpec extends SparkTestBase {
     val expectPairs = sets.keys.toSeq.sorted.combinations(2)
       .filter { case Seq(a, b) => sets(a).intersect(sets(b)).nonEmpty }.size
     assert(out.length === expectPairs)
+  }
+
+  test("q161: merged partials equal the rebuild for every nation") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Sketches.mvIncremental(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("merge_consistent") === 1L,
+      s"partial merge diverged for ${r.getAs[String]("n_name")}"))
+    // the MV's totals reconcile with the raw fact table
+    assert(out.map(_.getAs[Long]("n_orders")).sum ===
+      graft.Tables.orders(spark, sf).count())
+    val direct = graft.Tables.orders(spark, sf)
+      .select(graft.ops.Det.lsum(graft.ops.Det.cents(col("o_totalprice"))).as("c"))
+      .collect().head.getAs[Long]("c")
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum === direct)
   }
 }
