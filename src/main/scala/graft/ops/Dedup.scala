@@ -975,7 +975,11 @@ object Dedup {
         (col("n_docs") - col("n_kept")).cast("long").as("n_dropped"),
         col("chars_total").cast("long").as("chars_total"),
         col("chars_kept").cast("long").as("chars_kept"),
-        expr("(chars_total - chars_kept) * 1000000 div chars_total")
+        // dropped-chars × 1e6 leaves int64 at ~9 TB of chars per
+        // source — inside the deployment envelope — so the ppm runs
+        // in DECIMAL(38,0) (exact; `div` returns BIGINT). DuckDB's
+        // sums are HUGEINT already.
+        expr("CAST(chars_total - chars_kept AS DECIMAL(38,0)) * 1000000 div chars_total")
           .as("savings_ppm"))
       .orderBy("source")
   }

@@ -116,7 +116,10 @@ object MultiModal {
         (col("n_items") - col("n_payloads")).cast("long").as("n_dup_items"),
         col("bytes_total").cast("long").as("bytes_total"),
         col("bytes_dedup").cast("long").as("bytes_dedup"),
-        expr("(bytes_total - bytes_dedup) * 1000000 div bytes_total")
+        // dup bytes × 1e6 leaves int64 at ~9 TB per media type, so
+        // the ppm runs in DECIMAL(38,0) (exact; `div` returns
+        // BIGINT). DuckDB's sums are HUGEINT already.
+        expr("CAST(bytes_total - bytes_dedup AS DECIMAL(38,0)) * 1000000 div bytes_total")
           .as("savings_ppm"))
       .orderBy("media_type")
 

@@ -131,7 +131,12 @@ object Profiling {
       .select(col("source"), col("n_s").cast("long").as("n_s"),
         (col("nn") - col("n_s")).cast("long").as("n_rest"),
         col("ks_num").cast("long").as("ks_num"),
-        expr("ks_num * 1000000 div (n_s * (nn - n_s))").as("ks_ppm"))
+        // ks_num ≈ n_s·n_rest, so ×1e6 leaves int64 at a few million
+        // docs per source; the scaled divide runs in DECIMAL(38,0)
+        // (exact, and `div` returns BIGINT) — same bit-for-bit result,
+        // no overflow until ~10^32. DuckDB's sums are HUGEINT already.
+        expr("CAST(ks_num AS DECIMAL(38,0)) * 1000000 div (CAST(n_s AS DECIMAL(38,0)) * (nn - n_s))")
+          .as("ks_ppm"))
       .orderBy("source")
   }
 

@@ -73,12 +73,18 @@ object Similarity {
 
   // ---------- shared kernels ----------
 
+  /** THE quantization rule — float components → QScale-milli longs.
+    * One definition for every consumer (base frames, the q118 audit,
+    * the q125 confusion matrix): a per-site copy that drifted would
+    * silently put an audit in a different vector space than the ANN
+    * queries it audits (the Det.h8 single-definition argument). */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * QScale).cast("long"))
+
   /** vec_id, q (quantized components), n2 (exact squared norm > 0). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("q"),
         graft.functions.ArrayFunctions.dotProductLong(col("q"), col("q")).as("n2"))
       .filter(col("n2") > 0)
@@ -618,8 +624,7 @@ object Similarity {
   private[ops] def int8QuantErrorOn(emb: DataFrame): DataFrame = {
     val qv = emb
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+        quantize(col("embedding")).as("q"))
     val stats = qv.select(posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("pos").collect()
@@ -664,8 +669,7 @@ object Similarity {
   def centroidConfusion(s: SparkSession, dir: String): DataFrame = {
     val qv = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+        quantize(col("embedding")).as("q"))
     val cent = qv
       .select(col("label").as("clabel"), posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy("clabel", "pos")
@@ -764,8 +768,7 @@ object Similarity {
   private def quantizedLab(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * QScale).cast("long")).as("q"))
+        quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("label"), col("q"),
         graft.functions.ArrayFunctions.dotProductLong(col("q"), col("q")).as("n2"))
       .filter(col("n2") > 0)

@@ -536,13 +536,20 @@ object TextAnalysis {
         rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
     val total = counts.agg(sum("n").cast("long").as("total_tokens"))
     val thresholds = CoverageThresholdsPpm.toDF("thr_ppm")
-    ranked.crossJoin(broadcast(total))
+    // The compare runs in DECIMAL(38,0): cum·1e6 leaves int64 at
+    // ~9·10¹² corpus tokens (≈ the 100 TB envelope); decimal keeps it
+    // exact to 10^32. A threshold the capped head cannot reach emits
+    // (thr_ppm, NULL, NULL, total) — a visible "cap exceeded" row,
+    // never a silently missing one.
+    val reached = ranked.crossJoin(broadcast(total))
       .crossJoin(broadcast(thresholds))
-      .filter(col("cum") * lit(1000000L) >= col("thr_ppm") * col("total_tokens"))
+      .filter(expr("CAST(cum AS DECIMAL(38,0)) * 1000000 >= CAST(thr_ppm AS DECIMAL(38,0)) * total_tokens"))
       .groupBy("thr_ppm")
-      .agg(min("rank").as("vocab_size"),
-        min("cum").as("covered_tokens"),
-        min("total_tokens").as("total_tokens"))
+      .agg(min("rank").as("vocab_size"), min("cum").as("covered_tokens"))
+    thresholds.crossJoin(broadcast(total))
+      .join(reached, Seq("thr_ppm"), "left")
+      .select(col("thr_ppm"), col("vocab_size"), col("covered_tokens"),
+        col("total_tokens"))
       .orderBy("thr_ppm")
   }
 
@@ -852,22 +859,30 @@ object TextAnalysis {
          |   CAST(sum(n) OVER (ORDER BY n DESC, tok
          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          |   FROM top),
-         |th AS (SELECT CAST(unnest([${CoverageThresholdsPpm.mkString(", ")}]) AS BIGINT) AS thr_ppm)
-         |SELECT thr_ppm,
-         |  CAST(min(rank) AS BIGINT) AS vocab_size,
-         |  CAST(min(cum) AS BIGINT) AS covered_tokens,
-         |  CAST(min(total_tokens) AS BIGINT) AS total_tokens
-         |FROM r CROSS JOIN tot CROSS JOIN th
-         |WHERE cum * 1000000 >= thr_ppm * total_tokens
-         |GROUP BY thr_ppm ORDER BY thr_ppm""".stripMargin,
-    "q157_context_lift" ->
+         |th AS (SELECT CAST(unnest([${CoverageThresholdsPpm.mkString(", ")}]) AS BIGINT) AS thr_ppm),
+         |reached AS (
+         |  SELECT thr_ppm,
+         |   CAST(min(rank) AS BIGINT) AS vocab_size,
+         |   CAST(min(cum) AS BIGINT) AS covered_tokens
+         |  FROM r CROSS JOIN tot CROSS JOIN th
+         |  WHERE CAST(cum AS HUGEINT) * 1000000 >= CAST(thr_ppm AS HUGEINT) * total_tokens
+         |  GROUP BY thr_ppm)
+         |SELECT thr_ppm, vocab_size, covered_tokens, total_tokens
+         |FROM th CROSS JOIN tot LEFT JOIN reached USING (thr_ppm)
+         |ORDER BY thr_ppm""".stripMargin,
+    "q157_context_lift" -> {
+      // pN CTEs generated from CtxRadius (the q146 lag-CTE rule): a
+      // radius change updates both engines or neither.
+      val pCtes = (1 to CtxRadius).map(k =>
+        s"""p$k AS (SELECT ts[i] AS w1, ts[i+$k] AS w2
+           |  FROM t, UNNEST(range(1, len(ts) - ${k - 1})) AS s(i))""".stripMargin)
+        .mkString(",\n")
+      val dpArms = (1 to CtxRadius).map(k =>
+        s"SELECT w1, w2 FROM p$k UNION ALL SELECT w2, w1 FROM p$k")
+        .mkString("\n |  UNION ALL ")
       s"""WITH t AS (SELECT ${Det.wordsSql("text")} AS ts FROM documents),
-         |p1 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
-         |  FROM t, UNNEST(range(1, len(ts))) AS s(i)),
-         |p2 AS (SELECT ts[i] AS w1, ts[i+2] AS w2
-         |  FROM t, UNNEST(range(1, len(ts) - 1)) AS s(i)),
-         |dp AS (SELECT w1, w2 FROM p1 UNION ALL SELECT w2, w1 FROM p1
-         |  UNION ALL SELECT w1, w2 FROM p2 UNION ALL SELECT w2, w1 FROM p2),
+         |$pCtes,
+         |dp AS ($dpArms),
          |cab AS (SELECT w1, w2, count(*) AS n_pair FROM dp GROUP BY 1, 2),
          |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cab),
          |ca AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c_a FROM cab GROUP BY 1),
@@ -881,5 +896,6 @@ object TextAnalysis {
          |SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
          | CAST(n_pair AS BIGINT) AS n_pair, CAST(lift_milli AS BIGINT) AS lift_milli
          |FROM r WHERE rank <= $CtxTopK ORDER BY rank""".stripMargin
+    }
   )
 }

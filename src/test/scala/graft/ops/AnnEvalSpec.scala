@@ -76,7 +76,9 @@ class AnnEvalSpec extends SparkTestBase {
 
   test("q145: curve is monotone, minimal, and exactly reproduces the census") {
     val out = TextAnalysis.tokenCoverage(spark, sf).collect()
-    assert(out.nonEmpty)
+    // every threshold emits a row — an unreachable one would carry
+    // NULL vocab_size, never silently vanish
+    assert(out.length === TextAnalysis.CoverageThresholdsPpm.size)
     // plain-Scala token census with the pinned tokenizer
     val counts = graft.Tables.documents(spark, sf)
       .select("text").collect().iterator
