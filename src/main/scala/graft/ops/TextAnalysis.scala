@@ -547,7 +547,7 @@ object TextAnalysis {
       .groupBy("thr_ppm")
       .agg(min("rank").as("vocab_size"), min("cum").as("covered_tokens"))
     thresholds.crossJoin(broadcast(total))
-      .join(reached, Seq("thr_ppm"), "left")
+      .join(broadcast(reached), Seq("thr_ppm"), "left")
       .select(col("thr_ppm"), col("vocab_size"), col("covered_tokens"),
         col("total_tokens"))
       .orderBy("thr_ppm")
