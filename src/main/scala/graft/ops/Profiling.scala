@@ -313,7 +313,62 @@ object Profiling {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q163
+  /** q163: Spearman rank correlation between document length and
+    * type-token ratio — the classic "longer text, lower lexical
+    * diversity" law, as a monitored number. The first member of the
+    * correlation family: min-ranks (SQL `rank()` semantics), exact
+    * integer moment sums, and the single float op is the final sqrt —
+    * the cosMicro discipline, so both engines agree bit-for-bit on
+    * `rho_milli`. A zero-variance side yields NULL, never a division
+    * error.
+    *
+    * Ranks WITHOUT a global sort: min-rank(v) = 1 + Σ count(v' < v),
+    * read off the VALUE census (distinct lengths / ppm values —
+    * bounded, the q115 CDF argument) and joined back on the value
+    * key. So the data-sized work is two hash aggs and two census
+    * joins; only the bounded census sees a single-partition window.
+    * Moment sums run in DECIMAL(38,0): Σ rank² ≈ n³ leaves int64 at
+    * ~2 M rows. */
+  def spearmanLenQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Det.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val pd = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct"))
+    val base = Tables.documents(s, dir).select("doc_id", "n_chars")
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        expr("coalesce(n_distinct, 0) * 1000000 div greatest(coalesce(n_tokens, 0), 1)")
+          .as("ttr_ppm"))
+    def withRank(df: DataFrame, v: String, r: String): DataFrame = {
+      val census = df.groupBy(v).agg(count(lit(1)).as("cnt"))
+        .withColumn(r,
+          coalesce(sum("cnt").over(Window.orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+        .select(col(v), col(r))
+      df.join(census, v)
+    }
+    val ranked = withRank(withRank(base, "n_chars", "rx"), "ttr_ppm", "ry")
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        Det.lsum(col("rx")).as("sx"), Det.lsum(col("ry")).as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"))
+      .select(col("n_docs"),
+        expr("CAST(n_docs * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)").as("num"),
+        expr("CAST(n_docs * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)").as("den_x"),
+        expr("CAST(n_docs * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)").as("den_y"))
+      .withColumn("rho_milli",
+        expr("""CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+               |ELSE CAST(round(1000.0 * num /
+               |  sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))) AS BIGINT)
+               |END""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_spearman_corr" -> (spearmanLenQuality _),
     "q150_compaction_plan" -> (compactionPlan _),
     "q151_hapax_ratio" -> (hapaxRatio _),
     "q152_source_novelty" -> (sourceNovelty _),
@@ -325,6 +380,44 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_spearman_corr" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS tok
+         |  FROM documents) t
+         | WHERE len(tok) > 0),
+         |pd AS (
+         | SELECT doc_id, count(*) AS n_tokens,
+         |  count(DISTINCT tok) AS n_distinct
+         | FROM toks GROUP BY doc_id),
+         |base AS (
+         | SELECT d.n_chars,
+         |  coalesce(n_distinct, 0) * 1000000
+         |    // greatest(coalesce(n_tokens, 0), 1) AS ttr_ppm
+         | FROM documents d LEFT JOIN pd USING (doc_id)),
+         |r AS (
+         | SELECT rank() OVER (ORDER BY n_chars) AS rx,
+         |        rank() OVER (ORDER BY ttr_ppm) AS ry
+         | FROM base),
+         |m AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         |  sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         |  sum(CAST(ry AS HUGEINT) * ry) AS syy,
+         |  sum(CAST(rx AS HUGEINT) * ry) AS sxy
+         | FROM r)
+         |SELECT n_docs,
+         | CAST(n_docs * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+         | CAST(n_docs * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+         | CAST(n_docs * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
+         | CASE WHEN n_docs * sxx - CAST(sx AS HUGEINT) * sx = 0
+         |    OR n_docs * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+         |  ELSE CAST(round(1000.0 * (n_docs * sxy - CAST(sx AS HUGEINT) * sy)
+         |   / sqrt(CAST(n_docs * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |        * CAST(n_docs * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+         |   AS BIGINT)
+         | END AS rho_milli
+         |FROM m""".stripMargin,
     "q151_hapax_ratio" ->
       s"""WITH toks AS (
          | SELECT doc_id, tok FROM (

@@ -316,7 +316,56 @@ object Temporal {
     credited.unionAll(direct).orderBy("channel")
   }
 
+  // ---------------------------------------------------------------- q164
+  /** Autocorrelation lags probed by the volume diagnostic. */
+  val AcfLags: Seq[Int] = Seq(1, 7)
+
+  /** q164: daily-volume autocorrelation — per (event type, lag ∈
+    * [[AcfLags]]): the Pearson correlation between the daily count
+    * series and itself k OBSERVED days back, in exact integer moment
+    * sums with the single float op being the final sqrt (the cosMicro
+    * / q163 discipline). Lag-1 ≈ trend persistence, lag-7 ≈ weekly
+    * seasonality — the diagnostic that says whether q146's EWMA or
+    * q123's weekday baseline is the right monitor for a series.
+    *
+    * Scale shape: the (type, day) census is the one data-sized hash
+    * agg (q146's); every lag window and moment sum runs over the
+    * bounded census. Pairs are (row, row−k) over observed days —
+    * emitted only when the lag exists, per type and lag. */
+  def volumeAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = AcfLags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+    }
+    val perLag = AcfLags.map { k =>
+      lagged.filter(col(s"l$k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          Det.lsum(col("cnt")).as("sa"), Det.lsum(col(s"l$k")).as("sb"),
+          sum(expr(s"CAST(cnt AS DECIMAL(38,0)) * cnt")).as("saa"),
+          sum(expr(s"CAST(l$k AS DECIMAL(38,0)) * l$k")).as("sbb"),
+          sum(expr(s"CAST(cnt AS DECIMAL(38,0)) * l$k")).as("sab"))
+        .select(col("event_type"), lit(k.toLong).as("lag"),
+          col("n_pairs"),
+          expr("CAST(n_pairs * sab - CAST(sa AS DECIMAL(38,0)) * sb AS BIGINT)").as("num"),
+          expr("CAST(n_pairs * saa - CAST(sa AS DECIMAL(38,0)) * sa AS BIGINT)").as("den_a"),
+          expr("CAST(n_pairs * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS BIGINT)").as("den_b"))
+    }.reduce(_ unionAll _)
+    perLag
+      .withColumn("acf_milli",
+        expr("""CASE WHEN den_a = 0 OR den_b = 0 THEN NULL
+               |ELSE CAST(round(1000.0 * num /
+               |  sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE))) AS BIGINT)
+               |END""".stripMargin))
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_volume_autocorr" -> (volumeAutocorr _),
     "q146_ewma_anomaly" -> (ewmaAnomaly _),
     "q147_activity_streaks" -> (activityStreaks _),
     "q148_last_touch" -> (lastTouchAttribution _),
@@ -327,6 +376,37 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_volume_autocorr" -> {
+      val arms = AcfLags.map { k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(*) * sum(CAST(cnt AS HUGEINT) * l$k)
+           |    - CAST(sum(cnt) AS HUGEINT) * sum(l$k) AS BIGINT) AS num,
+           |  CAST(count(*) * sum(CAST(cnt AS HUGEINT) * cnt)
+           |    - CAST(sum(cnt) AS HUGEINT) * sum(cnt) AS BIGINT) AS den_a,
+           |  CAST(count(*) * sum(CAST(l$k AS HUGEINT) * l$k)
+           |    - CAST(sum(l$k) AS HUGEINT) * sum(l$k) AS BIGINT) AS den_b
+           | FROM lagged WHERE l$k IS NOT NULL GROUP BY event_type""".stripMargin
+      }.mkString("\n |UNION ALL\n ")
+      val lagCols = AcfLags.map(k =>
+        s"lag(cnt, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(",\n |  ")
+      s"""WITH daily AS (
+         | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  count(*) AS cnt
+         | FROM events GROUP BY 1, 2),
+         |lagged AS (
+         | SELECT event_type, day, cnt,
+         |  $lagCols
+         | FROM daily),
+         |m AS ($arms)
+         |SELECT event_type, lag, n_pairs, num, den_a, den_b,
+         | CASE WHEN den_a = 0 OR den_b = 0 THEN NULL
+         |  ELSE CAST(round(1000.0 * num /
+         |    sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE))) AS BIGINT)
+         | END AS acf_milli
+         |FROM m ORDER BY event_type, lag""".stripMargin
+    },
     "q146_ewma_anomaly" -> {
       val lags = EwmaWeights.indices.map(i =>
         s"lag(n_events, ${i + 1}) OVER (PARTITION BY event_type ORDER BY day) AS l${i + 1}")

@@ -339,6 +339,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q162: one type-keyed exchange serves rank + count windows AND
     // the (type, bucket) census + sort
     "q162_equidepth_hist" -> 2,
+    // q163: token explode → per-doc census + doc join + two value-
+    // census builds (bounded single-partition windows) + two census
+    // joins + the 1-row moment aggregation
+    "q163_spearman_corr" -> 9,
+    // q164: (type, day) census + type-keyed lag window + per-lag
+    // rollups off the same census + sort
+    "q164_volume_autocorr" -> 5,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

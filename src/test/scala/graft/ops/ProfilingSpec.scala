@@ -128,6 +128,39 @@ class ProfilingSpec extends SparkTestBase {
     }
   }
 
+  test("q163: rho matches a plain-Scala Spearman on min-ranks") {
+    val out = Profiling.spearmanLenQuality(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars", "text").collect()
+      .map { row =>
+        val ts = row.getAs[String]("text").trim
+          .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        val ttr = if (ts.isEmpty) 0L
+          else ts.distinct.length.toLong * 1000000L / ts.length
+        (row.getAs[Long]("n_chars"), ttr)
+      }
+    def minRanks(vs: Seq[Long]): Seq[Long] =
+      vs.map(v => 1L + vs.count(_ < v))
+    val rx = minRanks(docs.map(_._1).toSeq)
+    val ry = minRanks(docs.map(_._2).toSeq)
+    val n = docs.length.toLong
+    val num = BigInt(n) * rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum -
+      BigInt(rx.sum) * ry.sum
+    val dx = BigInt(n) * rx.map(a => BigInt(a) * a).sum - BigInt(rx.sum) * rx.sum
+    val dy = BigInt(n) * ry.map(a => BigInt(a) * a).sum - BigInt(ry.sum) * ry.sum
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("num") === num.toLong)
+    assert(r.getAs[Long]("den_x") === dx.toLong)
+    assert(r.getAs[Long]("den_y") === dy.toLong)
+    val rho = math.round(1000.0 * num.toDouble /
+      math.sqrt(dx.toDouble * dy.toDouble))
+    assert(r.getAs[Long]("rho_milli") === rho)
+    // the synthetic corpus obeys the length-vs-TTR law: strong negative
+    assert(r.getAs[Long]("rho_milli") < -500L)
+  }
+
   test("q152: exclusive grams match a plain-Scala census; ppm bounds hold") {
     val out = Profiling.sourceNovelty(spark, sf).collect()
     val docs = graft.Tables.documents(spark, sf)

@@ -95,6 +95,38 @@ class TemporalSpec extends SparkTestBase {
     assert(ns.sum <= events)
   }
 
+  test("q164: ACF matches a plain-Scala Pearson over the lagged census") {
+    val out = Temporal.volumeAutocorr(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .map(_.getAs[Long]("cnt")).toSeq).toMap
+    out.foreach { r =>
+      val series = daily(r.getAs[String]("event_type"))
+      val k = r.getAs[Long]("lag").toInt
+      val pairs = series.drop(k).zip(series.dropRight(k)) // (cnt, lag cnt)
+      val n = pairs.length.toLong
+      assert(r.getAs[Long]("n_pairs") === n)
+      val (as, bs) = (pairs.map(_._1), pairs.map(_._2))
+      val num = BigInt(n) * pairs.map { case (a, b) => BigInt(a) * b }.sum -
+        BigInt(as.sum) * bs.sum
+      val da = BigInt(n) * as.map(a => BigInt(a) * a).sum - BigInt(as.sum) * as.sum
+      val db = BigInt(n) * bs.map(b => BigInt(b) * b).sum - BigInt(bs.sum) * bs.sum
+      assert(r.getAs[Long]("num") === num.toLong)
+      assert(r.getAs[Long]("den_a") === da.toLong)
+      assert(r.getAs[Long]("den_b") === db.toLong)
+      if (da == 0 || db == 0) assert(r.isNullAt(r.fieldIndex("acf_milli")))
+      else assert(r.getAs[Long]("acf_milli") ===
+        math.round(1000.0 * num.toDouble / math.sqrt(da.toDouble * db.toDouble)))
+    }
+    // both probed lags appear for every type with enough history
+    assert(out.map(_.getAs[Long]("lag")).distinct.sorted.toSeq ===
+      Temporal.AcfLags.map(_.toLong))
+  }
+
   test("q159: every purchase cent lands exactly once across channels") {
     val out = Temporal.linearAttribution(spark, sf).collect()
     val purchases = graft.Tables.events(spark, sf)
