@@ -364,7 +364,123 @@ object Temporal {
       .orderBy("event_type", "lag")
   }
 
+  // ---------------------------------------------------------------- q165
+  /** CUSUM: baseline window (first observed days), slack 5% of the
+    * baseline, decision threshold 3× the baseline. */
+  val CusumBaselineDays = 7
+  val CusumSlackPct     = 5L
+  val CusumThresholdX   = 3L
+
+  /** q165: CUSUM mean-shift detection — per (event type, day) after a
+    * [[CusumBaselineDays]]-day baseline window: the two-sided CUSUM
+    * statistics and a shift flag once either side crosses
+    * [[CusumThresholdX]]·baseline. The change-point monitor that
+    * catches the SLOW drifts q146's per-day EWMA deviation absorbs:
+    * CUSUM accumulates small same-signed deviations until the
+    * evidence is undeniable.
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t-1} + x_t − μ − k) is
+    * not a window function, but it has an exact closed form: with
+    * d_t = x_t − μ − k and P_t = Σ_{i≤t} d_i,
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) — a running sum minus a
+    * running min, both plain windows. (Induction: subtracting the
+    * historical low clips at exactly the points the max(0, ·) reset
+    * would.) The negative side runs the same form on −deviations.
+    * All arithmetic is exact integer: μ = sum div n over the baseline
+    * window, k = μ·[[CusumSlackPct]] div 100.
+    *
+    * Scale shape: one (type, day) census hash agg, then every window
+    * partitions by event_type over the bounded census — q146's
+    * discipline. A 100-TB event stream still yields O(types·days)
+    * census rows. */
+  def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact integer baseline: the conditional sum over the first
+    // CusumBaselineDays observed rows is constant from row B onward
+    val scored = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bsum",
+        sum(when(col("rn") <= CusumBaselineDays, col("cnt"))).over(wAll))
+      .filter(col("rn") > CusumBaselineDays)
+      .withColumn("mu", expr(s"bsum div $CusumBaselineDays"))
+      .withColumn("k", expr(s"mu * $CusumSlackPct div 100"))
+      .withColumn("h", expr(s"greatest(mu, 1L) * $CusumThresholdX"))
+      .withColumn("p_pos", sum(expr("cnt - mu - k")).over(wAll))
+      .withColumn("p_neg", sum(expr("mu - cnt - k")).over(wAll))
+      .withColumn("s_pos",
+        col("p_pos") - least(lit(0L), min(col("p_pos")).over(wAll)))
+      .withColumn("s_neg",
+        col("p_neg") - least(lit(0L), min(col("p_neg")).over(wAll)))
+    scored.select(col("event_type"), col("day"),
+      col("cnt").cast("long").as("n_events"),
+      col("mu").cast("long").as("baseline"),
+      col("s_pos").cast("long").as("s_pos"),
+      col("s_neg").cast("long").as("s_neg"),
+      (col("s_pos") >= col("h") || col("s_neg") >= col("h"))
+        .cast("long").as("is_shift"))
+      .orderBy("event_type", "day")
+  }
+
+  // ---------------------------------------------------------------- q166
+  /** Centered moving-average half-width: trend = 7-observation window. */
+  val DecompHalf = 3
+
+  /** q166: classical seasonal decomposition (STL-lite) — per
+    * (event type, day): trend (centered 7-observation integer mean),
+    * day-of-week seasonal (per-(type, dow) integer mean of the
+    * detrended series), and the residual. The diagnostic q164's ACF
+    * motivates: once lag-7 correlation is established, THIS is the
+    * split into trend / weekly-pattern / anomaly that monitoring
+    * dashboards plot.
+    *
+    * Determinism: day-of-week is day-number mod 7 (epoch days), not
+    * an engine `dayofweek()` — Spark counts Sunday=1, DuckDB
+    * Sunday=0, and the mod sidesteps both. Rows are emitted only
+    * where the full centered window exists (rn ∈ [half+1, n−half]);
+    * all three components are exact integers (trend = sum div 7,
+    * seasonal = sum div count), so residual = cnt − trend − seasonal
+    * reconstructs exactly.
+    *
+    * Scale shape: census agg, one type-keyed window exchange (trend +
+    * row bounds share it), one (type, dow) agg over the census, one
+    * join back on (type, dow) — everything after the census moves
+    * O(types·days) rows. */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow",
+        expr("datediff(day, DATE '1970-01-01') % 7").cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val span = 2 * DecompHalf + 1
+    val trended = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("tsum",
+        sum(col("cnt")).over(w.rowsBetween(-DecompHalf, DecompHalf)))
+      .filter(col("rn") > DecompHalf && col("rn") <= col("n") - DecompHalf)
+      .withColumn("trend", expr(s"tsum div $span"))
+      .withColumn("detr", col("cnt") - col("trend"))
+    val seasonal = trended.groupBy("event_type", "dow")
+      .agg(expr("sum(detr) div count(*)").as("seasonal"))
+    trended.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        col("cnt").cast("long").as("n_events"),
+        col("trend").cast("long").as("trend"),
+        col("seasonal").cast("long").as("seasonal"),
+        (col("cnt") - col("trend") - col("seasonal")).cast("long").as("residual"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_cusum_shift" -> (cusumShift _),
+    "q166_seasonal_decompose" -> (seasonalDecompose _),
     "q164_volume_autocorr" -> (volumeAutocorr _),
     "q146_ewma_anomaly" -> (ewmaAnomaly _),
     "q147_activity_streaks" -> (activityStreaks _),
@@ -376,6 +492,76 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_cusum_shift" ->
+      s"""WITH daily AS (
+         | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  count(*) AS cnt
+         | FROM events GROUP BY 1, 2),
+         |r AS (
+         | SELECT event_type, day, cnt,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         | FROM daily),
+         |b AS (
+         | SELECT event_type, day, cnt, rn,
+         |  sum(CASE WHEN rn <= $CusumBaselineDays THEN cnt END)
+         |    OVER (PARTITION BY event_type ORDER BY day
+         |          ROWS UNBOUNDED PRECEDING) AS bsum
+         | FROM r),
+         |f AS (
+         | SELECT event_type, day, cnt,
+         |  bsum // $CusumBaselineDays AS mu,
+         |  (bsum // $CusumBaselineDays) * $CusumSlackPct // 100 AS k,
+         |  greatest(bsum // $CusumBaselineDays, 1) * $CusumThresholdX AS h
+         | FROM b WHERE rn > $CusumBaselineDays),
+         |p AS (
+         | SELECT event_type, day, cnt, mu, h,
+         |  sum(cnt - mu - k) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS p_pos,
+         |  sum(mu - cnt - k) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS p_neg
+         | FROM f),
+         |sf AS (
+         | SELECT event_type, day, cnt, mu, h,
+         |  p_pos - least(0, min(p_pos) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s_pos,
+         |  p_neg - least(0, min(p_neg) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s_neg
+         | FROM p)
+         |SELECT event_type, day, CAST(cnt AS BIGINT) AS n_events,
+         | CAST(mu AS BIGINT) AS baseline,
+         | CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+         | CAST(s_pos >= h OR s_neg >= h AS BIGINT) AS is_shift
+         |FROM sf ORDER BY event_type, day""".stripMargin,
+    "q166_seasonal_decompose" -> {
+      val span = 2 * DecompHalf + 1
+      s"""WITH daily AS (
+         | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  count(*) AS cnt,
+         |  date_diff('day', DATE '1970-01-01',
+         |    CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow
+         | FROM events GROUP BY 1, 2, 4),
+         |t AS (
+         | SELECT event_type, day, cnt, dow,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN $DecompHalf PRECEDING AND $DecompHalf FOLLOWING) AS tsum
+         | FROM daily),
+         |tr AS (
+         | SELECT event_type, day, cnt, dow, tsum // $span AS trend,
+         |  cnt - tsum // $span AS detr
+         | FROM t WHERE rn > $DecompHalf AND rn <= n - $DecompHalf),
+         |seas AS (
+         | SELECT event_type, dow, sum(detr) // count(*) AS seasonal
+         | FROM tr GROUP BY 1, 2)
+         |SELECT tr.event_type, tr.day, CAST(cnt AS BIGINT) AS n_events,
+         | CAST(trend AS BIGINT) AS trend,
+         | CAST(seasonal AS BIGINT) AS seasonal,
+         | CAST(cnt - trend - seasonal AS BIGINT) AS residual
+         |FROM tr JOIN seas ON tr.event_type = seas.event_type
+         |  AND tr.dow = seas.dow
+         |ORDER BY tr.event_type, tr.day""".stripMargin
+    },
     "q164_volume_autocorr" -> {
       val arms = AcfLags.map { k =>
         s"""SELECT event_type, CAST($k AS BIGINT) AS lag,

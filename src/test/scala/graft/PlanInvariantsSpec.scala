@@ -346,6 +346,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q164: (type, day) census + type-keyed lag window + per-lag
     // rollups off the same census + sort
     "q164_volume_autocorr" -> 5,
+    // q165: (type, day) census + one type-keyed window exchange
+    // (baseline, prefix sums and running mins all share it) + sort
+    "q165_cusum_shift" -> 3,
+    // q166: (type, day) census + type window (trend; the seasonal
+    // census RIDES it as a ReusedExchange) + presentation sort; the
+    // (type, dow) join-back broadcasts
+    "q166_seasonal_decompose" -> 3,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -199,4 +199,69 @@ class TemporalSpec extends SparkTestBase {
         r.getAs[Long]("n_purchases") * 1000000L / r.getAs[Long]("n_events"))
     }
   }
+
+  test("q165: window closed form equals the textbook max(0,·) CUSUM recursion") {
+    val out = Temporal.cusumShift(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .map(_.getAs[Long]("n"))).toMap
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (typ, rows) =>
+      val series = daily(typ)
+      val b = Temporal.CusumBaselineDays
+      assert(rows.length === math.max(0, series.length - b))
+      val mu = series.take(b).sum / b
+      val k = mu * Temporal.CusumSlackPct / 100
+      val h = math.max(mu, 1L) * Temporal.CusumThresholdX
+      var sPos = 0L; var sNeg = 0L
+      rows.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .zipWithIndex.foreach { case (r, i) =>
+          val x = series(b + i)
+          sPos = math.max(0L, sPos + (x - mu - k))
+          sNeg = math.max(0L, sNeg + (mu - x - k))
+          assert(r.getAs[Long]("baseline") === mu)
+          assert(r.getAs[Long]("s_pos") === sPos, s"$typ day $i s_pos")
+          assert(r.getAs[Long]("s_neg") === sNeg, s"$typ day $i s_neg")
+          assert(r.getAs[Long]("is_shift") ===
+            (if (sPos >= h || sNeg >= h) 1L else 0L))
+        }
+    }
+  }
+
+  test("q166: components reconstruct exactly; trend is the centered integer mean") {
+    val out = Temporal.seasonalDecompose(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").getTime)).toMap
+    val half = Temporal.DecompHalf
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (typ, rows) =>
+      val series = daily(typ).map(_.getAs[Long]("n"))
+      assert(rows.length === math.max(0, series.length - 2 * half))
+      rows.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .zipWithIndex.foreach { case (r, i) =>
+          val idx = i + half
+          val trend = (idx - half to idx + half).map(series).sum / (2 * half + 1)
+          assert(r.getAs[Long]("trend") === trend, s"$typ row $i trend")
+          assert(r.getAs[Long]("n_events") === series(idx))
+          assert(r.getAs[Long]("n_events") ===
+            r.getAs[Long]("trend") + r.getAs[Long]("seasonal") +
+              r.getAs[Long]("residual"))
+        }
+      // seasonal is a pure function of (type, dow): same dow → same value
+      val byDow = rows.groupBy { r =>
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay % 7
+      }
+      byDow.values.foreach { g =>
+        assert(g.map(_.getAs[Long]("seasonal")).distinct.length === 1)
+      }
+    }
+  }
 }
