@@ -373,7 +373,62 @@ object Graphs {
       .orderBy("u", "rnk")
   }
 
+  // ---------------------------------------------------------------- q167
+  /** HITS: synchronous hub/authority rounds (each = h-update then
+    * a-update), scores kept in integer ppm of the round maximum. */
+  val HitsIters = 2
+
+  /** q167: HITS hubs & authorities over the customer→part bipartite
+    * graph — the DIRECTED sibling of q67's PageRank (on the undirected
+    * co-purchase graph hub ≡ authority, so HITS is only meaningful on
+    * the bipartite view: customers endorse parts). Authorities are
+    * parts many well-connected customers buy; hubs are customers whose
+    * baskets concentrate on authoritative parts — the classic
+    * curator/content split a training pipeline reuses for
+    * source-quality vs document-quality scoring.
+    *
+    * Per round: h(c) = Σ_{p∈N(c)} a(p), renormalized to ppm of the
+    * max; then a(p) = Σ_{c∈N(p)} h(c), renormalized likewise — the
+    * max-normalization replaces the usual L2 norm so every score stays
+    * an exact integer (the oracle replays it with scalar-subquery
+    * maxes). Sums are bounded by deg·1e6; the normalize multiply runs
+    * in DECIMAL(38,0) so it cannot overflow at any degree a real
+    * catalog reaches.
+    *
+    * Scale shape: the bipartite incidence is the capped (order, part)
+    * projection joined to orders for the customer key — one distinct.
+    * Each half-round is one equi-join of that incidence against a
+    * node-keyed score frame plus one hash agg (2 shuffles, q67's
+    * shape); the max is a 1-row agg broadcast back (declared BNLJ).
+    * No driver-side state — the loop builds only the plan. */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val cp = incidence(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("cust", "pk").distinct()
+    val pdeg = cp.groupBy("pk").agg(count(lit(1)).as("n_customers"))
+    def normalize(raw: DataFrame, key: String, v: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col(v)).as("mx"))))
+        .select(col(key),
+          expr(s"CAST(CAST($v AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+            .as(v.dropRight(3))) // "hraw"→"h", "araw"→"a"
+    val a0 = pdeg.select(col("pk"), lit(PrMass).as("a"))
+    val aN = (1 to HitsIters).foldLeft(a0) { (a, _) =>
+      val hraw = cp.join(a, "pk").groupBy("cust")
+        .agg(sum("a").as("hraw"))
+      val h = normalize(hraw, "cust", "hraw")
+      val araw = cp.join(h, "cust").groupBy("pk")
+        .agg(sum("h").as("araw"))
+      normalize(araw, "pk", "araw")
+    }
+    aN.join(pdeg, "pk")
+      .select(col("pk").as("part_id"), col("a").as("auth_ppm"),
+        col("n_customers").cast("long").as("n_customers"))
+      .orderBy(col("auth_ppm").desc, col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_hits" -> (hits _),
     "q156_negative_sampling" -> (negativeSampling _),
     "q67_pagerank" -> (pagerank _),
     "q68_triangles" -> (triangles _),
@@ -417,6 +472,34 @@ object Graphs {
          |  row_number() OVER (PARTITION BY u ORDER BY score, v) AS rnk FROM ne)
          |SELECT u, CAST(rnk AS BIGINT) AS rnk, v AS neg, score
          |FROM r WHERE rnk <= $NegPerNode ORDER BY u, rnk""".stripMargin,
+    "q167_hits" -> {
+      val rounds = (1 to HitsIters).map { i =>
+        s"""h${i}r AS (
+           | SELECT cust, sum(a) AS hraw
+           | FROM cp JOIN a${i - 1} USING (pk) GROUP BY cust),
+           |h$i AS (
+           | SELECT cust, CAST(CAST(hraw AS HUGEINT) * 1000000
+           |   // (SELECT max(hraw) FROM h${i}r) AS BIGINT) AS h
+           | FROM h${i}r),
+           |a${i}r AS (
+           | SELECT pk, sum(h) AS araw
+           | FROM cp JOIN h$i USING (cust) GROUP BY pk),
+           |a$i AS (
+           | SELECT pk, CAST(CAST(araw AS HUGEINT) * 1000000
+           |   // (SELECT max(araw) FROM a${i}r) AS BIGINT) AS a
+           | FROM a${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |cp AS (SELECT DISTINCT o.o_custkey AS cust, li.pk
+         |       FROM li JOIN orders o ON o.o_orderkey = li.ok),
+         |pdeg AS (SELECT pk, count(*) AS n_customers FROM cp GROUP BY pk),
+         |a0 AS (SELECT pk, CAST($PrMass AS BIGINT) AS a FROM pdeg),
+         |$rounds
+         |SELECT pk AS part_id, a AS auth_ppm,
+         | CAST(n_customers AS BIGINT) AS n_customers
+         |FROM a$HitsIters JOIN pdeg USING (pk)
+         |ORDER BY auth_ppm DESC, part_id""".stripMargin
+    },
     "q67_pagerank" -> {
       val rounds = (1 to PrIters).map { i =>
         s"""r$i AS (

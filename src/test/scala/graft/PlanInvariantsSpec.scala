@@ -41,7 +41,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q153_rfm_features", // 1-row corpus last-day frame
     "q156_negative_sampling", // Q-row broadcast node sample (q34 pattern)
     "q157_context_lift", // 1-row pair-event total
-    "q160_overlap_sketch" // K-row per-type sketch census (K = |types|)
+    "q160_overlap_sketch", // K-row per-type sketch census (K = |types|)
+    "q167_hits" // 1-row max frame per normalize (4 rounds)
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -353,6 +354,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // census RIDES it as a ReusedExchange) + presentation sort; the
     // (type, dow) join-back broadcasts
     "q166_seasonal_decompose" -> 3,
+    // q167: 2 HITS iterations × 2 half-rounds, each an incidence⋈score
+    // join + node-keyed agg (q67's 2-shuffles-per-round shape ×4) with
+    // the bipartite incidence build re-planned per reference and
+    // deduped to ReusedExchange at execution; + final join + sort
+    "q167_hits" -> 24,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5
