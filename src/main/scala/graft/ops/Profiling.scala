@@ -367,7 +367,99 @@ object Profiling {
                |END""".stripMargin))
   }
 
+  // ---------------------------------------------------------------- q169
+  /** Zipf fit: ranks included in the log-log regression. */
+  val ZipfTopN = 1000
+
+  /** q169: Zipf exponent fit — least-squares slope of the log-log
+    * rank-frequency curve over the top-[[ZipfTopN]] tokens. Natural
+    * corpora fit slope ≈ −1; a much flatter or steeper slope flags
+    * synthetic/templated or truncated-vocabulary text — the one-number
+    * corpus-health check next to q145's coverage curve.
+    *
+    * Determinism: ln(rank) and ln(freq) are QUANTIZED to milli-log
+    * integers first — `round(1000·ln(x))` of a BIGINT agrees across
+    * engines unless ln lands within ~1e-16·x of a .0005 boundary
+    * (≈1e-13 per value) — then every regression moment (Σx, Σy, Σxy,
+    * Σxx) is exact DECIMAL(38,0) integer arithmetic, and only the
+    * final slope/intercept divisions are float (the q163 final-sqrt
+    * discipline, with ln in place of sqrt).
+    *
+    * Scale shape: one token-census hash agg; the top-N head is
+    * TakeOrdered (constant rows); ranking + moments run on the N-row
+    * frame (single-partition window over a constant frame — q145's
+    * argument). */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(Det.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val head = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(ZipfTopN)
+    val xy = head
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("tf").desc, col("tok"))))
+      .select(
+        expr("CAST(round(1000 * ln(rnk)) AS BIGINT)").as("x"),
+        expr("CAST(round(1000 * ln(tf)) AS BIGINT)").as("y"))
+    xy.agg(
+        count(lit(1)).cast("long").as("n_ranks"),
+        Det.lsum(col("x")).as("sx"), Det.lsum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("n_ranks"),
+        expr("CAST(n_ranks * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)").as("num"),
+        expr("CAST(n_ranks * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)").as("den"))
+      .withColumn("slope_milli",
+        expr("""CASE WHEN den = 0 THEN NULL
+               |ELSE CAST(round(1000.0 * num / den) AS BIGINT) END""".stripMargin))
+  }
+
+  // ---------------------------------------------------------------- q170
+  /** Burstiness census: vocabulary cap and output head. */
+  val BurstVocab = 1024
+  val BurstTopK = 100
+
+  /** q170: token burstiness — for the top-[[BurstVocab]] tokens, the
+    * Fano factor (variance-to-mean ratio, in milli) of the token's
+    * per-document count INCLUDING the zero docs. Poisson scatter sits
+    * near 1000; spam/template tokens concentrate in few documents and
+    * score far above — the token-level screen that q47's doc-level
+    * repetition stats can't see (a token can be rare per doc yet
+    * pathologically clustered across docs).
+    *
+    * Exact integers end to end: with N docs, tf = Σc and s2 = Σc²,
+    * Var/mean = (N·s2 − tf²) / (N·tf), so
+    * fano_milli = 1000·(N·s2 − tf²) div (N·tf) — DECIMAL(38,0)
+    * through the products (N·s2 ≤ 1e12·corpus tokens² is past int64
+    * at petabyte scale).
+    *
+    * Scale shape: one (tok, doc) census (hash agg with map-side
+    * combine), one tok-level rollup carrying Σc and Σc² as mergeable
+    * partials, the N-doc count as a 1-row broadcast (declared BNLJ),
+    * and a rank head — no window over data-sized frames. */
+  def tokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val perDoc = d
+      .select(col("doc_id"), explode(Det.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+    val perTok = perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("df"), Det.lsum(col("c")).as("tf"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .orderBy(col("tf").desc, col("tok")).limit(BurstVocab)
+    perTok.crossJoin(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+      .select(col("tok").as("token"),
+        col("df").cast("long").as("df"), col("tf").cast("long").as("tf"),
+        expr("""CAST(1000 * (n_docs * s2 - CAST(tf AS DECIMAL(38,0)) * tf)
+               |div (CAST(n_docs AS DECIMAL(38,0)) * tf) AS BIGINT)"""
+          .stripMargin).as("fano_milli"))
+      .orderBy(col("fano_milli").desc, col("token"))
+      .limit(BurstTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_zipf_fit" -> (zipfFit _),
+    "q170_token_burstiness" -> (tokenBurstiness _),
     "q163_spearman_corr" -> (spearmanLenQuality _),
     "q150_compaction_plan" -> (compactionPlan _),
     "q151_hapax_ratio" -> (hapaxRatio _),
@@ -380,6 +472,54 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_zipf_fit" ->
+      s"""WITH toks AS (
+         | SELECT tok FROM (
+         |  SELECT unnest(${Det.wordsSql("text")}) AS tok FROM documents) t
+         | WHERE len(tok) > 0),
+         |head AS (
+         | SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+         | ORDER BY tf DESC, tok LIMIT $ZipfTopN),
+         |xy AS (
+         | SELECT
+         |  CAST(round(1000 * ln(row_number() OVER (ORDER BY tf DESC, tok)))
+         |    AS BIGINT) AS x,
+         |  CAST(round(1000 * ln(tf)) AS BIGINT) AS y
+         | FROM head),
+         |m AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx
+         | FROM xy)
+         |SELECT n_ranks,
+         | CAST(n_ranks * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+         | CAST(n_ranks * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den,
+         | CASE WHEN n_ranks * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+         |  ELSE CAST(round(1000.0
+         |    * (n_ranks * sxy - CAST(sx AS HUGEINT) * sy)
+         |    / (n_ranks * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+         | END AS slope_milli
+         |FROM m""".stripMargin,
+    "q170_token_burstiness" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS tok
+         |  FROM documents) t
+         | WHERE len(tok) > 0),
+         |pd AS (
+         | SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+         |pt AS (
+         | SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf,
+         |  sum(CAST(c AS HUGEINT) * c) AS s2
+         | FROM pd GROUP BY tok
+         | ORDER BY tf DESC, tok LIMIT $BurstVocab),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tok AS token, CAST(df AS BIGINT) AS df, tf,
+         | CAST(1000 * (n_docs * s2 - CAST(tf AS HUGEINT) * tf)
+         |   // (CAST(n_docs AS HUGEINT) * tf) AS BIGINT) AS fano_milli
+         |FROM pt CROSS JOIN n
+         |ORDER BY fano_milli DESC, token LIMIT $BurstTopK""".stripMargin,
     "q163_spearman_corr" ->
       s"""WITH toks AS (
          | SELECT doc_id, tok FROM (

@@ -607,7 +607,77 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q168
+  /** TextRank: vocabulary cap, synchronous rounds, output head. */
+  val TrVocab = 512
+  val TrIters = 3
+  val TrTopK = 50
+
+  /** q168: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    * weighted PageRank over the token co-occurrence graph: nodes are
+    * the top-[[TrVocab]] tokens by corpus frequency, an undirected
+    * edge weighted by how often the two tokens are ADJACENT anywhere
+    * in the corpus (q77's bigram table, canonicalized), and
+    * [[TrIters]] synchronous rank rounds in integer ppm — q67's
+    * kernel lifted to weighted edges: each contribution is
+    * `w_uv · r_u div W_u` with `W_u = Σ_v w_uv`, widened through
+    * DECIMAL(38,0) so the product cannot overflow however hot the
+    * corpus's bigrams get. The corpus-level keyword league —
+    * unsupervised tags for mixing/curation dashboards.
+    *
+    * Scale shape: the bigram census hash-aggregates the token stream
+    * (map-side combine), the vocab is a V-row broadcast, so the graph
+    * is ≤ V² edges — constant-bounded regardless of corpus size. Each
+    * round is one edge⋈rank join + one dst hash agg on that bounded
+    * frame (2 shuffles/round over ≤ V² rows); top-k is TakeOrdered. */
+  def textrank(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(explode(words(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(TrVocab)
+      .select("tok")
+    val ts = words(col("text"))
+    val bi = d.select(explode(when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - lit(1)),
+          i => struct(element_at(ts, i).as("a"),
+            element_at(ts, i + lit(1)).as("b"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val e = bi
+      .join(broadcast(vocab.select(col("tok").as("a"))), "a")
+      .join(broadcast(vocab.select(col("tok").as("b"))), "b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val adj = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val wout = adj.groupBy("src").agg(sum("w").as("wsum"))
+    val adjw = adj.join(wout, "src")
+    val r0 = wout.select(col("src").as("node"), lit(PrMassTr).as("r"))
+    val rn = (1 to TrIters).foldLeft(r0) { (r, _) =>
+      adjw.join(r, col("src") === col("node"))
+        .select(col("dst"),
+          expr("CAST(CAST(w AS DECIMAL(38,0)) * r div wsum AS BIGINT)").as("c"))
+        .groupBy("dst")
+        .agg((lit(15L * PrMassTr / 100) +
+          expr("85 * sum(c) div 100").cast("long")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("degree"))
+    rn.join(deg, col("node") === col("src"))
+      .select(col("node").as("token"), col("r").cast("long").as("rank_ppm"),
+        col("degree").cast("long").as("degree"))
+      .orderBy(col("rank_ppm").desc, col("token"))
+      .limit(TrTopK)
+  }
+
+  /** Rank mass seed for q168 (ppm, = q67's PrMass). */
+  val PrMassTr = 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_textrank" -> (textrank _),
     "q25_doc_stats" -> (docStats _),
     "q103_source_divergence" -> (sourceDivergence _),
     "q26_doc_langid" -> (langId _),
@@ -714,6 +784,44 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q168_textrank" -> {
+      val rounds = (1 to TrIters).map { i =>
+        s"""r$i AS (
+           | SELECT dst AS node, CAST(${15L * PrMassTr / 100}
+           |   + (85 * sum(CAST(CAST(w AS HUGEINT) * r // wsum AS BIGINT)))
+           |     // 100 AS BIGINT) AS r
+           | FROM adj JOIN wout USING (src)
+           | JOIN r${i - 1} ON r${i - 1}.node = adj.src
+           | GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toksd AS (
+         | SELECT doc_id, ${Det.wordsSql("text")} AS ts FROM documents),
+         |vocab AS (
+         | SELECT tok FROM (
+         |  SELECT tok, count(*) AS tf FROM (
+         |   SELECT unnest(ts) AS tok FROM toksd) x
+         |  WHERE tok <> '' GROUP BY tok) c
+         | ORDER BY tf DESC, tok LIMIT $TrVocab),
+         |bi AS (
+         | SELECT ts[i] AS a, ts[i+1] AS b
+         | FROM toksd, UNNEST(range(1, len(ts))) AS t(i)),
+         |e AS (
+         | SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+         | FROM bi JOIN vocab va ON va.tok = bi.a
+         |         JOIN vocab vb ON vb.tok = bi.b
+         | WHERE a <> b GROUP BY 1, 2),
+         |adj AS (SELECT u AS src, v AS dst, w FROM e
+         |        UNION ALL SELECT v, u, w FROM e),
+         |wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+         |         FROM adj GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST($PrMassTr AS BIGINT) AS r FROM wout),
+         |$rounds,
+         |deg AS (SELECT src, count(*) AS degree FROM adj GROUP BY src)
+         |SELECT r$TrIters.node AS token, r AS rank_ppm,
+         | CAST(degree AS BIGINT) AS degree
+         |FROM r$TrIters JOIN deg ON deg.src = r$TrIters.node
+         |ORDER BY rank_ppm DESC, token LIMIT $TrTopK""".stripMargin
+    },
     "q103_source_divergence" ->
       s"""WITH tok AS (
          | SELECT source, unnest(${Det.wordsSql("text")}) AS w FROM documents),

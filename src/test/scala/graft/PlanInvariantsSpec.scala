@@ -42,7 +42,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q156_negative_sampling", // Q-row broadcast node sample (q34 pattern)
     "q157_context_lift", // 1-row pair-event total
     "q160_overlap_sketch", // K-row per-type sketch census (K = |types|)
-    "q167_hits" // 1-row max frame per normalize (4 rounds)
+    "q167_hits", // 1-row max frame per normalize (4 rounds)
+    "q170_token_burstiness" // 1-row doc-count frame
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -359,6 +360,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the bipartite incidence build re-planned per reference and
     // deduped to ReusedExchange at execution; + final join + sort
     "q167_hits" -> 24,
+    // q168: bigram census + vocab census (broadcast V-row) + edge agg
+    // + wsum agg + 3 rounds × (join + dst agg) on the ≤V² frame +
+    // degree agg + final join; TakeOrdered head
+    "q168_textrank" -> 12,
+    // q169: token census; the top-N head is TakeOrdered and every
+    // window/moment runs on the constant N-row frame
+    "q169_zipf_fit" -> 1,
+    // q170: (tok, doc) census + tok rollup + presentation sort; the
+    // doc count is a 1-row broadcast
+    "q170_token_burstiness" -> 3,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

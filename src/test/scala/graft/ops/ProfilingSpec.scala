@@ -184,4 +184,55 @@ class ProfilingSpec extends SparkTestBase {
         exclusive * 1000000L / math.max(mine.size.toLong, 1L))
     }
   }
+
+  private def scalaTokens(): Array[String] = {
+    val wsRe = (Det.WsClass + "+").r
+    graft.Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => wsRe.split(r.getString(0).trim)).filter(_.nonEmpty)
+  }
+
+  test("q169: slope matches a plain-Scala milli-log least squares; Zipf is falling") {
+    val out = Profiling.zipfFit(spark, sf).collect()
+    assert(out.length === 1)
+    val head = scalaTokens().groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, f) => (-f, t) }.take(Profiling.ZipfTopN)
+    val xy = head.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(1000 * math.log(i + 1.0)), math.round(1000 * math.log(f.toDouble)))
+    }
+    val n = BigInt(xy.length)
+    val sx = BigInt(xy.map(_._1).sum); val sy = BigInt(xy.map(_._2).sum)
+    val sxy = xy.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xy.map { case (x, _) => BigInt(x) * x }.sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val r = out.head
+    assert(r.getAs[Long]("n_ranks") === xy.length.toLong)
+    assert(r.getAs[Long]("num") === num.toLong)
+    assert(r.getAs[Long]("den") === den.toLong)
+    assert(r.getAs[Long]("slope_milli") ===
+      math.round(1000.0 * num.toDouble / den.toDouble))
+    assert(r.getAs[Long]("slope_milli") < 0L, "rank-frequency must fall")
+  }
+
+  test("q170: fano matches the exact integer Var/mean over all docs, zeros included") {
+    val out = Profiling.tokenBurstiness(spark, sf).collect()
+    assert(out.nonEmpty)
+    val wsRe = (Det.WsClass + "+").r
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        wsRe.split(r.getAs[String]("text").trim).filter(_.nonEmpty)))
+    val nDocs = BigInt(docs.length)
+    val perTok = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, id, g.length.toLong) } }
+      .groupBy(_._1)
+    out.foreach { r =>
+      val tok = r.getAs[String]("token")
+      val cs = perTok(tok).map(_._3)
+      val tf = BigInt(cs.sum); val s2 = cs.map(c => BigInt(c) * c).sum
+      assert(r.getAs[Long]("df") === cs.length.toLong)
+      assert(r.getAs[Long]("tf") === tf.toLong)
+      assert(r.getAs[Long]("fano_milli") ===
+        (1000 * (nDocs * s2 - tf * tf) / (nDocs * tf)).toLong, s"token $tok")
+    }
+  }
 }

@@ -316,4 +316,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq === expected)
     assert(out.nonEmpty)
   }
+
+  test("q168: textrank matches a plain-Scala weighted-pagerank replay") {
+    val out = TextAnalysis.textrank(spark, dir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("rank_ppm"),
+        r.getAs[Long]("degree")))
+    assert(out.nonEmpty)
+    val texts = graft.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val wsRe = (Det.WsClass + "+").r
+    def toks(t: String): Array[String] = wsRe.split(t.trim)
+    val tf = texts.flatMap(toks).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = tf.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(TextAnalysis.TrVocab).map(_._1).toSet
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.map(toks).foreach { ts =>
+      ts.zip(ts.drop(1)).foreach { case (a, b) =>
+        if (a != b && vocab(a) && vocab(b)) {
+          val k = if (a < b) (a, b) else (b, a)
+          w(k) = w.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val adj = w.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val wsum = adj.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = wsum.keys.map(_ -> TextAnalysis.PrMassTr).toMap
+    (1 to TextAnalysis.TrIters).foreach { _ =>
+      val contrib = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, c) =>
+          (BigInt(c) * r(src) / wsum(src)).toLong }.sum
+      }
+      r = contrib.map { case (n, s) =>
+        n -> (15L * TextAnalysis.PrMassTr / 100 + 85L * s / 100) }
+    }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = r.toSeq.map { case (t, rp) => (t, rp, deg(t)) }
+      .sortBy { case (t, rp, _) => (-rp, t) }
+      .take(TextAnalysis.TrTopK)
+    assert(out.toSeq === expected)
+  }
 }
