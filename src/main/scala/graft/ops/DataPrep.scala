@@ -514,7 +514,65 @@ object DataPrep {
       .orderBy("event_type", "bucket")
   }
 
+  // ---------------------------------------------------------------- q171
+  /** q171: cross-source quantile normalization — the mapping table
+    * that replaces each source's document-length value with the
+    * GLOBAL value at the same relative rank (nearest-rank), the
+    * standard distribution-alignment preprocessing step (quantile
+    * normalization / CDF matching) before cross-source features are
+    * comparable. Emitted per (source, value): the doc count, the
+    * within-source percentile, and the normalized global value — the
+    * bounded artifact a pipeline joins back onto documents.
+    *
+    * All integer: within-source rank r is the cumulative census
+    * count, the target global rank is k = ⌈r·N/n_s⌉ =
+    * (r·N + n_s − 1) div n_s, and the global value at rank k is
+    * found WITHOUT any range join: source rows (pos = k) and global
+    * census rows (pos = cum) interleave in one ordered frame, and a
+    * forward-looking `first(value ignore nulls)` window reads off
+    * min{v : gcum ≥ k} — the q21 as-of merge trick on a bounded
+    * frame. Ties at pos sort global-after-source, so an exactly-
+    * landing rank still matches its own row.
+    *
+    * Scale shape: two value censuses (per-source and global — one
+    * hash agg each), then every window runs over census rows, whose
+    * count is bounded by distinct document lengths, not by corpus
+    * size (the q115/q163 census argument). The 1-row corpus count
+    * broadcasts (declared BNLJ). */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val srcCensus = d.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", sum("cnt").over(Window.partitionBy("source")
+        .orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_s", sum("cnt").over(Window.partitionBy("source")))
+    val gCensus = d.groupBy("n_chars").agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum("gcnt").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    val sRows = srcCensus.crossJoin(broadcast(tot))
+      .select(expr("(r * n_total + n_s - 1) div n_s").as("pos"),
+        lit(0).as("tag"), col("source"), col("n_chars").as("value"),
+        col("cnt"), expr("r * 1000000 div n_s").as("pct_ppm"),
+        lit(null).cast("long").as("gv"))
+    val gRows = gCensus.select(col("gcum").as("pos"), lit(1).as("tag"),
+      lit(null).cast("string").as("source"), lit(null).cast("long").as("value"),
+      lit(null).cast("long").as("cnt"), lit(null).cast("long").as("pct_ppm"),
+      col("n_chars").cast("long").as("gv"))
+    val w = Window.orderBy(col("pos"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sRows.unionAll(gRows)
+      .withColumn("norm_value", first(col("gv"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("source"), col("value").cast("long").as("value"),
+        col("cnt").cast("long").as("n_docs"),
+        col("pct_ppm").cast("long").as("pct_ppm"),
+        col("norm_value").cast("long").as("norm_value"))
+      .orderBy("source", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_quantile_norm" -> (quantileNormalize _),
     "q162_equidepth_hist" -> (equiDepthHist _),
     "q122_pps_sample" -> (ppsSample _),
     "q133_equiwidth_hist" -> (equiWidthHist _),
@@ -560,6 +618,37 @@ object DataPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "q171_quantile_norm" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |sc AS (SELECT source, n_chars, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |sr AS (
+        | SELECT source, n_chars, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |    ROWS UNBOUNDED PRECEDING) AS r,
+        |  sum(cnt) OVER (PARTITION BY source) AS n_s
+        | FROM sc),
+        |gc AS (SELECT n_chars, count(*) AS gcnt FROM d GROUP BY 1),
+        |gr AS (
+        | SELECT n_chars,
+        |  sum(gcnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS gcum
+        | FROM gc),
+        |tot AS (SELECT count(*) AS n_total FROM d),
+        |u AS (
+        | SELECT (r * n_total + n_s - 1) // n_s AS pos, 0 AS tag, source,
+        |   n_chars AS value, cnt, r * 1000000 // n_s AS pct_ppm,
+        |   CAST(NULL AS BIGINT) AS gv
+        | FROM sr CROSS JOIN tot
+        | UNION ALL
+        | SELECT gcum, 1, NULL, NULL, NULL, NULL, n_chars FROM gr),
+        |m AS (
+        | SELECT *, first_value(gv IGNORE NULLS) OVER (ORDER BY pos, tag
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS norm_value
+        | FROM u)
+        |SELECT source, CAST(value AS BIGINT) AS value,
+        | CAST(cnt AS BIGINT) AS n_docs,
+        | CAST(pct_ppm AS BIGINT) AS pct_ppm,
+        | CAST(norm_value AS BIGINT) AS norm_value
+        |FROM m WHERE tag = 0 ORDER BY source, value""".stripMargin,
     "q162_equidepth_hist" ->
       s"""WITH c AS (
          | SELECT event_type, event_id,

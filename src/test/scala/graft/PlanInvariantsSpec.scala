@@ -43,7 +43,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q157_context_lift", // 1-row pair-event total
     "q160_overlap_sketch", // K-row per-type sketch census (K = |types|)
     "q167_hits", // 1-row max frame per normalize (4 rounds)
-    "q170_token_burstiness" // 1-row doc-count frame
+    "q170_token_burstiness", // 1-row doc-count frame
+    "q171_quantile_norm" // 1-row corpus count onto the bounded census
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -370,6 +371,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q170: (tok, doc) census + tok rollup + presentation sort; the
     // doc count is a 1-row broadcast
     "q170_token_burstiness" -> 3,
+    // q171: source census + source window exchange + global census
+    // (+ its bounded single-partition cumulative window) + the merge
+    // frame's single-partition sort + presentation sort — all census-
+    // sized after the two aggs
+    "q171_quantile_norm" -> 6,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -256,4 +256,36 @@ class DataPrepSpec extends SparkTestBase {
       assert(n === direct)
     }
   }
+
+  test("q171: normalized value is the global k-th smallest at the matched rank") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DataPrep.quantileNormalize(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val globalSorted = docs.map(_._2).sorted
+    val n = docs.length.toLong
+    val bySource = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the mapping table covers every (source, value) census row
+    assert(out.length ===
+      docs.map(d => (d._1, d._2)).distinct.length)
+    out.foreach { row =>
+      val (src, v) = (row.getAs[String]("source"), row.getAs[Long]("value"))
+      val vals = bySource(src)
+      val r = vals.count(_ <= v).toLong
+      val ns = vals.length.toLong
+      val k = (r * n + ns - 1) / ns
+      assert(row.getAs[Long]("n_docs") === vals.count(_ == v).toLong)
+      assert(row.getAs[Long]("pct_ppm") === r * 1000000L / ns)
+      assert(row.getAs[Long]("norm_value") === globalSorted((k - 1).toInt),
+        s"source $src value $v rank $r → k $k")
+    }
+    // a source whose lengths skew low maps its top value near the
+    // global top: the last census row of EVERY source maps to max
+    out.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val last = g.maxBy(_.getAs[Long]("value"))
+      assert(last.getAs[Long]("norm_value") === globalSorted.last)
+    }
+  }
 }
