@@ -773,7 +773,41 @@ object Similarity {
         graft.functions.ArrayFunctions.dotProductLong(col("q"), col("q")).as("n2"))
       .filter(col("n2") > 0)
 
+  // ---------------------------------------------------------------- q173
+  /** q173: per-dimension embedding statistics — the normalization /
+    * whitening census a feature store exports before embeddings are
+    * comparable across models or checkpoints: for each dimension, the
+    * vector count, mean, and standard deviation over the [[QScale]]-
+    * milli quantized components. A drifting dimension (mean off 0,
+    * collapsed or exploded std) flags a bad checkpoint or a truncated
+    * export before any ANN index is built on it.
+    *
+    * Mean is exact integer (Σv div n); the variance numerator
+    * n·Σv² − (Σv)² is exact DECIMAL(38,0), and only the final
+    * std = √num / n is float (sqrt and one division, both IEEE
+    * correctly rounded — the q163 discipline).
+    *
+    * Scale shape: one posexplode (map-side) + one hash agg on the
+    * dimension key — D groups regardless of corpus size; Σv and Σv²
+    * are mergeable partials. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(quantize(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        Det.lsum(col("v")).as("sv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        expr("CAST(sv div n_vecs AS BIGINT)").as("mean_milli"),
+        expr("""CAST(round(sqrt(CAST(n_vecs * s2
+               |  - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE)) / n_vecs)
+               |AS BIGINT)""".stripMargin).as("std_milli"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_embedding_stats" -> (embeddingStats _),
     "q33_ann_bruteforce" -> (annBruteForce _),
     "q34_ann_ivf" -> (annIvf _),
     "q35_emb_neardup" -> (embNearDup _),
@@ -853,6 +887,24 @@ object Similarity {
        |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q173_embedding_stats" ->
+      s"""WITH qv AS (
+         | SELECT list_transform(embedding,
+         |   x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         | FROM embeddings),
+         |ex AS (
+         | SELECT i - 1 AS dim, q[i] AS v
+         | FROM qv, UNNEST(range(1, len(q) + 1)) AS t(i)),
+         |m AS (
+         | SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(v) AS BIGINT) AS sv,
+         |  sum(CAST(v AS HUGEINT) * v) AS s2
+         | FROM ex GROUP BY dim)
+         |SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+         | CAST(sv // n_vecs AS BIGINT) AS mean_milli,
+         | CAST(round(sqrt(CAST(n_vecs * s2 - CAST(sv AS HUGEINT) * sv
+         |   AS DOUBLE)) / n_vecs) AS BIGINT) AS std_milli
+         |FROM m ORDER BY dim""".stripMargin,
     "q33_ann_bruteforce" -> q33Sql,
     "q34_ann_ivf" -> q34Sql,
     "q111_hard_negatives" ->

@@ -478,7 +478,42 @@ object Temporal {
       .orderBy("event_type", "day")
   }
 
+  // ---------------------------------------------------------------- q172
+  /** q172: volume trend — per event type, the least-squares slope of
+    * daily counts against the observed-day index, in milli events per
+    * day. The long-horizon companion to q146 (per-day deviations),
+    * q165 (abrupt shifts) and q164 (autocorrelation): is this series
+    * structurally growing or decaying, and how fast. x = row index
+    * (1..n observed days — gaps don't distort spacing), y = count;
+    * moments (Σx, Σy, Σxy, Σxx) are exact DECIMAL(38,0) sums and only
+    * the final slope ratio is float (the q163/q169 discipline).
+    *
+    * Scale shape: the (type, day) census hash agg, one type-keyed
+    * window for the row index, and a per-type moment rollup on the
+    * bounded census. */
+  def volumeTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        Det.lsum(col("rn")).as("sx"), Det.lsum(col("cnt")).as("sy"),
+        sum(expr("CAST(rn AS DECIMAL(38,0)) * cnt")).as("sxy"),
+        sum(expr("CAST(rn AS DECIMAL(38,0)) * rn")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(n_days * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)").as("num"),
+        expr("CAST(n_days * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)").as("den"))
+      .withColumn("slope_milli",
+        expr("""CASE WHEN den = 0 THEN NULL
+               |ELSE CAST(round(1000.0 * num / den) AS BIGINT) END""".stripMargin))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_volume_trend" -> (volumeTrend _),
     "q165_cusum_shift" -> (cusumShift _),
     "q166_seasonal_decompose" -> (seasonalDecompose _),
     "q164_volume_autocorr" -> (volumeAutocorr _),
@@ -492,6 +527,29 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_volume_trend" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT event_type, cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        | FROM daily),
+        |m AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(rn) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+        |  sum(CAST(rn AS HUGEINT) * cnt) AS sxy,
+        |  sum(CAST(rn AS HUGEINT) * rn) AS sxx
+        | FROM r GROUP BY event_type)
+        |SELECT event_type, n_days,
+        | CAST(n_days * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+        | CAST(n_days * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den,
+        | CASE WHEN n_days * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+        |  ELSE CAST(round(1000.0 * (n_days * sxy - CAST(sx AS HUGEINT) * sy)
+        |    / (n_days * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+        | END AS slope_milli
+        |FROM m ORDER BY event_type""".stripMargin,
     "q165_cusum_shift" ->
       s"""WITH daily AS (
          | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -376,6 +376,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // frame's single-partition sort + presentation sort — all census-
     // sized after the two aggs
     "q171_quantile_norm" -> 6,
+    // q172: (type, day) census + type window + the per-type moment
+    // rollup rides the window's partitioning... plus presentation sort
+    "q172_volume_trend" -> 3,
+    // q173: posexplode is map-side; dim hash agg + presentation sort
+    "q173_embedding_stats" -> 2,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

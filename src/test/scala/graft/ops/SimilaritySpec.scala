@@ -270,4 +270,29 @@ class SimilaritySpec extends SparkTestBase {
       assert(c >= Similarity.NearDupMicroMin && c <= 1000000L)
     }
   }
+
+  test("q173: per-dim stats match an exact BigInt replay of the quantized frame") {
+    val out = Similarity.embeddingStats(spark, dir).collect()
+    assert(out.length === dim)
+    val q = Similarity.quantizedForTest(spark, dir)
+      .collect().map(_.getSeq[Long](1))
+    // embeddingStats censuses ALL vectors (no n2>0 filter); replay raw
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(_.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * Similarity.QScale)))
+    out.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      val vs = raw.map(_(d))
+      val n = BigInt(vs.length)
+      val sv = vs.map(BigInt(_)).sum
+      val s2 = vs.map(v => BigInt(v) * v).sum
+      assert(r.getAs[Long]("n_vecs") === vs.length.toLong)
+      // BigInt / truncates toward zero, same as Spark div / DuckDB //
+      assert(r.getAs[Long]("mean_milli") === (sv / n).toLong, s"dim $d mean")
+      val varNum = n * s2 - sv * sv
+      assert(r.getAs[Long]("std_milli") ===
+        math.round(math.sqrt(varNum.toDouble) / n.toDouble), s"dim $d std")
+    }
+    assert(q.nonEmpty) // the quantized frame exists and is non-empty
+  }
 }

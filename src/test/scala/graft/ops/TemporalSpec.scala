@@ -232,6 +232,32 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("q172: slope matches a plain-Scala least squares over the daily census") {
+    val out = Temporal.volumeTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Date]("day").getTime)
+        .map(_.getAs[Long]("n"))).toMap
+    assert(out.length === daily.size)
+    out.foreach { r =>
+      val series = daily(r.getAs[String]("event_type"))
+      val xy = series.zipWithIndex.map { case (y, i) => (BigInt(i + 1), BigInt(y)) }
+      val n = BigInt(xy.length)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      assert(r.getAs[Long]("n_days") === xy.length.toLong)
+      assert(r.getAs[Long]("num") === num.toLong)
+      assert(r.getAs[Long]("den") === den.toLong)
+      assert(r.getAs[Long]("slope_milli") ===
+        math.round(1000.0 * num.toDouble / den.toDouble))
+    }
+  }
+
   test("q166: components reconstruct exactly; trend is the centered integer mean") {
     val out = Temporal.seasonalDecompose(spark, sf).collect()
     assert(out.nonEmpty)
