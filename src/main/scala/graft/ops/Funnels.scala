@@ -267,7 +267,57 @@ object Funnels {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q174
+  /** q174: k-step Markov reachability — q107's transition matrix
+    * raised to the 2nd and 3rd power by relational matrix
+    * multiplication: P²(a,c) = Σ_b P(a,b)·P(b,c) div 1e6, then
+    * P³ = P²·P. Answers "from a `view`, how likely is a `purchase`
+    * within exactly 2 or 3 steps" — the journey-planning number the
+    * one-step matrix can't give. Truncating integer ppm composition
+    * is deterministic in both engines; the div-after-sum keeps each
+    * entry exact to 1 ppm of the true product.
+    *
+    * Scale shape: the data-sized work is q107's — one user-timeline
+    * window + the |types|² census. Each matrix power is a self-join +
+    * hash agg on the K²-row census (K = |event types|), constant cost
+    * at any corpus size — linear algebra as relational ops on a
+    * bounded frame, the q59/q125 centroid-frame argument. */
+  def markovPower(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val p1 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000 div n_from").as("p"))
+    def mult(x: DataFrame, y: DataFrame): DataFrame =
+      x.select(col("from_type"), col("to_type").as("mid"), col("p").as("px"))
+        .join(y.select(col("from_type").as("mid"), col("to_type"),
+          col("p").as("py")), "mid")
+        .groupBy("from_type", "to_type")
+        .agg(expr("sum(px * py) div 1000000").as("p"))
+    val p2 = mult(p1, p1)
+    val p3 = mult(p2, p1)
+    p1.select(col("from_type"), col("to_type"), col("p").as("ppm1"))
+      .join(p2.select(col("from_type"), col("to_type"), col("p").as("ppm2")),
+        Seq("from_type", "to_type"), "full_outer")
+      .join(p3.select(col("from_type"), col("to_type"), col("p").as("ppm3")),
+        Seq("from_type", "to_type"), "full_outer")
+      .select(col("from_type"), col("to_type"),
+        coalesce(col("ppm1"), lit(0L)).cast("long").as("ppm1"),
+        coalesce(col("ppm2"), lit(0L)).cast("long").as("ppm2"),
+        coalesce(col("ppm3"), lit(0L)).cast("long").as("ppm3"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_markov_power" -> (markovPower _),
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
     "q107_markov_transitions" -> (markovTransitions _),
@@ -280,6 +330,37 @@ object Funnels {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_markov_power" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |tr AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS to_type
+        | FROM e),
+        |c AS (
+        | SELECT from_type, to_type, count(*) AS n FROM tr
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |p1 AS (
+        | SELECT from_type, to_type,
+        |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p
+        | FROM c),
+        |p2 AS (
+        | SELECT x.from_type, y.to_type,
+        |  CAST(sum(x.p * y.p) // 1000000 AS BIGINT) AS p
+        | FROM p1 x JOIN p1 y ON y.from_type = x.to_type GROUP BY 1, 2),
+        |p3 AS (
+        | SELECT x.from_type, y.to_type,
+        |  CAST(sum(x.p * y.p) // 1000000 AS BIGINT) AS p
+        | FROM p2 x JOIN p1 y ON y.from_type = x.to_type GROUP BY 1, 2)
+        |SELECT from_type, to_type,
+        | CAST(coalesce(p1.p, 0) AS BIGINT) AS ppm1,
+        | CAST(coalesce(p2.p, 0) AS BIGINT) AS ppm2,
+        | CAST(coalesce(p3.p, 0) AS BIGINT) AS ppm3
+        |FROM p1
+        | FULL OUTER JOIN p2 USING (from_type, to_type)
+        | FULL OUTER JOIN p3 USING (from_type, to_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q60_funnel" -> {
       val stepCtes = FunnelSteps.zipWithIndex.drop(1).map { case (typ, i) =>
         s"""s${i + 1} AS (SELECT e.user_id, min(us) AS t${i + 1}

@@ -331,7 +331,47 @@ object Quality {
       .orderBy("o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Benford expected first-digit shares in ppm: round(1e6·log10(1+1/d))
+    * for d = 1..9, embedded as exact literals (no engine log10 in the
+    * query) — they sum to exactly 1 000 000. */
+  val BenfordPpm: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** q175: Benford first-digit audit — the classic anomaly/fraud
+    * screen over order totals: the observed share of each leading
+    * digit vs Benford's law, with the signed deviation. Synthetic or
+    * fabricated amounts drift from the curve; the audit is one census.
+    * (TPC-H-ish uniform totals WILL deviate — the deviation column is
+    * the point, not a pass/fail.)
+    *
+    * Determinism: the first digit comes from the decimal string of
+    * the integer cents (exact in both engines); expected shares are
+    * precomputed integer literals, so no float ever enters.
+    *
+    * Scale shape: one hash agg to a 9-row census; shares divide by
+    * the window total over those 9 rows. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir)
+      .select(Det.cents(col("o_totalprice")).cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    digits
+      .withColumn("n_total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        expr("n * 1000000 div n_total").as("share_ppm"),
+        expr(expected).as("benford_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_benford_audit" -> (benfordAudit _),
     "q62_data_profile" -> (profile _),
     "q63_constraints" -> (constraints _),
     "q78_iqr_outliers" -> (iqrOutliers _),
@@ -344,6 +384,22 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_benford_audit" -> {
+      val expected = BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH c AS (
+         | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         | FROM orders),
+         |g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+         |t AS (SELECT sum(n) AS n_total FROM g)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         | CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+         | CAST($expected AS BIGINT) AS benford_ppm,
+         | CAST(n * 1000000 // n_total - ($expected) AS BIGINT) AS dev_ppm
+         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+    },
     "q158_l_diversity" ->
       s"""WITH j AS (
          | SELECT o_orderstatus, o_orderpriority,

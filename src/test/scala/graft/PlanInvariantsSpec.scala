@@ -381,6 +381,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q172_volume_trend" -> 3,
     // q173: posexplode is map-side; dim hash agg + presentation sort
     "q173_embedding_stats" -> 2,
+    // q174: q107's user window + K² census chain: census agg + the
+    // from_type share window + two mult joins (each join + agg) + the
+    // two full-outer splice joins + presentation sort — everything
+    // past the window moves the K²-row matrix
+    "q174_markov_power" -> 10,
+    // q175: 9-row digit census + the single-partition total window +
+    // presentation sort rides it
+    "q175_benford_audit" -> 2,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

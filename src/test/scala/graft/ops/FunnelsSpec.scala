@@ -85,4 +85,33 @@ class FunnelsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq(("signup", "view", 1L), ("view", "click", 1L)))
   }
+
+  test("q174: matrix powers match a plain-Scala ppm composition of q107's matrix") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Funnels.markovPower(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("ppm1"), r.getAs[Long]("ppm2"), r.getAs[Long]("ppm3")))
+      .toMap
+    assert(out.nonEmpty)
+    val p1 = Funnels.markovTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("ppm")).toMap
+    def mult(x: Map[(String, String), Long], y: Map[(String, String), Long])
+        : Map[(String, String), Long] =
+      x.toSeq.flatMap { case ((a, b), px) =>
+        y.collect { case ((`b`, c), py) => (a, c) -> px * py }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum / 1000000L).toMap
+    val p2 = mult(p1, p1); val p3 = mult(p2, p1)
+    val keys = p1.keySet ++ p2.keySet ++ p3.keySet
+    assert(out.keySet === keys)
+    keys.foreach { k =>
+      assert(out(k) === (p1.getOrElse(k, 0L), p2.getOrElse(k, 0L),
+        p3.getOrElse(k, 0L)), s"pair $k")
+    }
+    // row-stochastic sanity: each from's one-step ppm sums to ~1e6
+    p1.keySet.map(_._1).foreach { a =>
+      val rowSum = p1.collect { case ((`a`, _), p) => p }.sum
+      assert(rowSum <= 1000000L && rowSum > 1000000L - 10L)
+    }
+  }
 }

@@ -151,4 +151,31 @@ class QualitySpec extends SparkTestBase {
       assert(r.getAs[Long]("l_distinct") <= r.getAs[Long]("n"))
     }
   }
+
+  test("q175: Benford constants are exact; digit census replays in plain Scala") {
+    // the embedded ppm literals are round(1e6·log10(1+1/d)) and total 1e6
+    Quality.BenfordPpm.zipWithIndex.foreach { case (p, i) =>
+      assert(p === math.round(1e6 * math.log10(1.0 + 1.0 / (i + 1))))
+    }
+    assert(Quality.BenfordPpm.sum === 1000000L)
+    val sf = "/root/testdata/sf0.001"
+    val out = Quality.benfordAudit(spark, sf).collect()
+    val cents = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("o_totalprice") * 100)
+        .cast("long").as("c")).collect().map(_.getLong(0))
+    val byDigit = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_.getAs[Long]("n")).sum === cents.length.toLong)
+    out.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n") === byDigit(d))
+      assert(r.getAs[Long]("share_ppm") ===
+        byDigit(d) * 1000000L / cents.length)
+      assert(r.getAs[Long]("benford_ppm") ===
+        Quality.BenfordPpm(d.toInt - 1))
+      assert(r.getAs[Long]("dev_ppm") ===
+        r.getAs[Long]("share_ppm") - r.getAs[Long]("benford_ppm"))
+    }
+  }
 }
