@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.{BloomAgg, CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong}
+import org.apache.spark.sql.graftbridge.{BloomAgg, CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong, SortedPackedDotLong}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -24,6 +24,14 @@ object ArrayFunctions {
     * spaces (graph adjacency at 100 TB key widths). */
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCountLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Sparse weighted dot product of two ascending-sorted packed
+    * arrays (`(key << 32) | weight` per element, weights unsigned
+    * 32-bit) — the sorted-merge kernel for weighted similarity joins
+    * (q176's TF-IDF cosine verify). */
+  def sortedPackedDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(SortedPackedDotLong(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** 60-bit SimHash of pre-hashed words (`array<long>`) — one pass,

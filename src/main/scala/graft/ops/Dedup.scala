@@ -656,7 +656,87 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q176
+  /** TF-IDF cosine join: blocking df window, weight cap (keeps every
+    * w² and Σ wa·wb inside int64 — see [[tfidfCosineJoin]]), and the
+    * report threshold in micro-cosine. */
+  val TfIdfDfCap = 32L
+  val TfIdfWCap = 1000000L
+  val TfIdfCosMicroMin = 250000L
+
+  /** q176: weighted (TF-IDF) cosine similarity join — the VSM sibling
+    * of q104's set Jaccard: document pairs whose integer tf-idf
+    * vectors have cosine ≥ [[TfIdfCosMicroMin]] micro. Weights are
+    * w = tf·1000 div df (idf ∝ 1/df — log-free so the whole pipeline
+    * stays exact-integer; N cancels nowhere but changes only the
+    * global scale DIRECTION of weights, and rank-by-rarity is
+    * preserved), capped at [[TfIdfWCap]] so w² and every partial dot
+    * stay far inside int64.
+    *
+    * Blocking (q99's discipline): candidates must share a token with
+    * df ∈ [2, [[TfIdfDfCap]]] — pairs similar ONLY through ubiquitous
+    * tokens are out of scope by design (they are boilerplate, not
+    * near-dups), and the cap bounds per-token fan-out quadratically.
+    *
+    * Verify: each doc's sparse vector is ONE ascending-sorted packed
+    * array (`(h8(token) << 32) | w` — collision-merged per key so
+    * keys are duplicate-free), and the exact dot product runs in the
+    * codegen'd [[graft.functions.ArrayFunctions.sortedPackedDotLong]]
+    * merge — the q68/q104 array-kernel trade (shuffle 2·pairs array
+    * rows, never pairs×tokens join rows). The single float op is the
+    * final cos_micro rounding (cosMicro discipline).
+    *
+    * Scale shape: token census + df census (hash aggs), the blocked
+    * self-join shuffles once on the rare-token key (ReusedExchange),
+    * and the verify joins move pair-count rows. */
+  def tfidfCosineJoin(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"), col("df"),
+        least(expr("tf * 1000 div df"), lit(TfIdfWCap)).as("w"))
+    val keyed = weighted
+      .select(col("doc_id"), Det.h8(col("tok")).as("key"), col("w"))
+      .groupBy("doc_id", "key")
+      .agg(least(Det.lsum(col("w")), lit(TfIdfWCap)).as("w"))
+    val vecs = keyed
+      .select(col("doc_id"), expr("shiftleft(key, 32) + w").as("packed"),
+        col("w"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("packed"))).as("pk"),
+        sum(expr("w * w")).as("n2"))
+      .filter(col("n2") > 0)
+    val rare = weighted
+      .filter(col("df") >= 2 && col("df") <= TfIdfDfCap)
+      .select(col("tok"), col("doc_id"))
+    val cand = rare.hint("shuffle_hash").as("x")
+      .join(rare.hint("shuffle_hash").as("y"), Seq("tok"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val dot = graft.functions.ArrayFunctions
+      .sortedPackedDotLong(col("pka"), col("pkb"))
+    cand
+      .join(vecs.select(col("doc_id").as("doc_a"), col("pk").as("pka"),
+        col("n2").as("n2a")), Seq("doc_a"))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("pk").as("pkb"),
+        col("n2").as("n2b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), dot.as("dot"),
+        col("n2a"), col("n2b"))
+      .withColumn("cos_micro",
+        expr("""CAST(round(1000000.0 * dot /
+               |sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))) AS BIGINT)"""
+          .stripMargin))
+      .where(col("cos_micro") >= TfIdfCosMicroMin)
+      .select("doc_a", "doc_b", "dot", "cos_micro")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_tfidf_cosine_join" -> (tfidfCosineJoin _),
     "q28_minhash_lsh_pairs" -> (minhashPairs _),
     "q29_near_dedup" -> (nearDedup _),
     "q30_simhash" -> (simhashDocs _),
@@ -1039,6 +1119,44 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q176_tfidf_cosine_join" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS tok
+         |  FROM documents) t
+         | WHERE tok <> ''),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |wt AS (
+         | SELECT doc_id, tok, df, least(tf * 1000 // df, $TfIdfWCap) AS w
+         | FROM tf JOIN dfq USING (tok)),
+         |kd AS (
+         | SELECT doc_id, ${Det.h8Sql("tok")} AS key,
+         |  least(sum(w), $TfIdfWCap) AS w
+         | FROM wt GROUP BY 1, 2),
+         |n2 AS (
+         | SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+         | FROM kd GROUP BY doc_id HAVING sum(w * w) > 0),
+         |rare AS (SELECT tok, doc_id FROM wt
+         |  WHERE df BETWEEN 2 AND $TfIdfDfCap),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rare x JOIN rare y ON x.tok = y.tok
+         |    AND x.doc_id < y.doc_id),
+         |dotj AS (
+         | SELECT doc_a, doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         | FROM cand JOIN kd a ON a.doc_id = cand.doc_a
+         |           JOIN kd b ON b.doc_id = cand.doc_b AND b.key = a.key
+         | GROUP BY 1, 2),
+         |v AS (
+         | SELECT d.doc_a, d.doc_b, d.dot,
+         |  CAST(round(1000000.0 * d.dot /
+         |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+         |    AS cos_micro
+         | FROM dotj d JOIN n2 na ON na.doc_id = d.doc_a
+         |             JOIN n2 nb ON nb.doc_id = d.doc_b)
+         |SELECT doc_a, doc_b, dot, cos_micro FROM v
+         |WHERE cos_micro >= $TfIdfCosMicroMin
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q99_containment_pairs" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${Det.WsClass}+') AS ws FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(

@@ -389,6 +389,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q175: 9-row digit census + the single-partition total window +
     // presentation sort rides it
     "q175_benford_audit" -> 2,
+    // q176: (doc, tok) tf census + df census + the weighted join +
+    // (doc, key) collision-merge agg + doc vector agg + the rare-token
+    // blocked self-join (reused exchange) + pair distinct + the two
+    // verify joins' pair-key exchange + presentation sort
+    "q176_tfidf_cosine_join" -> 9,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

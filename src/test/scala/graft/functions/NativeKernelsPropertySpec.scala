@@ -44,6 +44,28 @@ class NativeKernelsPropertySpec extends SparkTestBase {
     assert(mism.count() === 0)
   }
 
+  test("SortedPackedDotLong == the map-join dot product on packed sparse vectors") {
+    // keys cover BOTH sign halves (≥ 2^31 packs negative — the
+    // signed-sort/merge-order regression lives exactly there)
+    val entryGen = Gen.zip(
+      Gen.oneOf(Gen.choose(0L, 40L), Gen.choose((1L << 32) - 40L, (1L << 32) - 1L)),
+      Gen.choose(0L, 1000000L))
+    val sparseGen = Gen.listOf(entryGen)
+      .map(_.groupBy(_._1).view.mapValues(_.head._2).toList)
+    val rows = sample(Gen.zip(sparseGen, sparseGen), 300, 7L)
+      .map { case (a, b) =>
+        val expected = a.flatMap { case (k, wa) =>
+          b.collectFirst { case (`k`, wb) => wa * wb } }.sum
+        (a.map { case (k, w) => (k << 32) + w }.sorted,
+          b.map { case (k, w) => (k << 32) + w }.sorted, expected)
+      }
+    val mism = rows.toDF("a", "b", "expected")
+      .select(ArrayFunctions.sortedPackedDotLong(col("a"), col("b")).as("n"),
+        col("expected"))
+      .filter(col("n") =!= col("expected"))
+    assert(mism.count() === 0)
+  }
+
   test("DotProductLong == aggregate(zip_with(a,b,*)) on bounded vectors") {
     val vecGen = Gen.listOfN(64, Gen.choose(-4000L, 4000L))
     val df = sample(Gen.zip(vecGen, vecGen), 200, 3L).toDF("a", "b")
@@ -128,6 +150,11 @@ class NativeKernelsPropertySpec extends SparkTestBase {
         ArrayFunctions.dotProductLong(col("a"), col("b"))).collect()
     }
     assert(exMessages(e2).exists(_.contains("null vector component")))
+    val e3 = intercept[Exception] {
+      withNullLong.select(
+        ArrayFunctions.sortedPackedDotLong(col("a"), col("b"))).collect()
+    }
+    assert(exMessages(e3).exists(_.contains("null element")))
   }
 
   private def exMessages(e: Throwable): List[String] =

@@ -360,4 +360,49 @@ class DedupSpec extends SparkTestBase {
     // somewhere, or the calibration measures nothing
     assert(got.exists(_._6 != 0L))
   }
+
+  test("q176: packed-kernel dot equals a plain-Scala sparse replay; pairs are blocked") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.tfidfCosineJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the exact weighted vectors in Scala (same caps, same h8)
+    val wsRe = (Det.WsClass + "+").r
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        wsRe.split(r.getAs[String]("text").trim).filter(_.nonEmpty)))
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.length.toLong).toMap }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def h8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vecs = tf.map { case (id, m) =>
+      id -> m.toSeq
+        .map { case (t, f) =>
+          h8(t) -> math.min(f * 1000 / dfreq(t), Dedup.TfIdfWCap) }
+        .groupBy(_._1)
+        .map { case (k, g) =>
+          k -> math.min(g.map(_._2).sum, Dedup.TfIdfWCap) }
+    }
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.collect { case (k, wa) if vb.contains(k) => wa * vb(k) }.sum
+      assert(r.getAs[Long]("dot") === dot, s"pair ($a,$b) dot")
+      val n2a = va.values.map(w => w * w).sum
+      val n2b = vb.values.map(w => w * w).sum
+      val cos = math.round(1e6 * dot / math.sqrt(n2a.toDouble * n2b.toDouble))
+      assert(r.getAs[Long]("cos_micro") === cos, s"pair ($a,$b) cos")
+      assert(cos >= Dedup.TfIdfCosMicroMin)
+      // blocking invariant: the pair shares at least one rare token
+      val shared = tf(a).keySet.intersect(tf(b).keySet)
+      assert(shared.exists(t =>
+        dfreq(t) >= 2 && dfreq(t) <= Dedup.TfIdfDfCap), s"pair ($a,$b) blocking")
+    }
+  }
 }
