@@ -427,7 +427,60 @@ object Graphs {
       .orderBy(col("auth_ppm").desc, col("part_id"))
   }
 
+  // ---------------------------------------------------------------- q177
+  /** q177: personalized PageRank (TrustRank) — q67's kernel with the
+    * teleport mass concentrated on a SEED set instead of spread
+    * uniformly: r_v = 0.15·seed_v + 0.85·Σ_in (r_u div deg_u), seeds
+    * being the parts that appear in URGENT orders. Rank now measures
+    * proximity to the trusted set through co-purchase structure — the
+    * propagation pattern behind TrustRank spam demotion, seeded
+    * recommendations, and label spreading from a vetted subset.
+    * Non-seed nodes start (and teleport) at zero, so all mass in the
+    * result is seed-derived by construction.
+    *
+    * Same scale shape as q67: 2 node-keyed shuffles per round, the
+    * seed flag rides the rank frame, the loop builds only the plan.
+    * The seed set itself is one orders⋈lineitem semi-join — data-
+    * sized, but it collapses into the incidence build's exchanges. */
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val adj = adjacency(edges(s, dir))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, "src")
+    val urgentParts = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+        "left_semi")
+      .select(col("l_partkey").as("node")).distinct()
+    val seeds = deg.select(col("src").as("node"))
+      .join(urgentParts, Seq("node"), "left_semi")
+      .withColumn("seed", lit(1L))
+    val r0 = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node"), col("seed")), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("seed"), lit(0L)) * PrMass).as("sm"))
+    val rn = (1 to PrIters).foldLeft(
+      r0.select(col("node"), col("sm").as("r"))) { (r, _) =>
+      adjd.join(r.select(col("node"), col("r")), col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst")
+        .agg(expr("85 * sum(c) div 100").cast("long").as("flow"))
+        .select(col("dst").as("node"), col("flow"))
+        .join(r0, Seq("node"), "right")
+        .select(col("node"),
+          (expr("15 * sm div 100") + coalesce(col("flow"), lit(0L))).as("r"))
+    }
+    rn.join(deg, col("node") === col("src"))
+      .join(r0.select(col("node"), (col("sm") > 0).cast("long").as("is_seed")),
+        Seq("node"))
+      .select(col("node").as("part_id"), col("r").as("rank_ppm"),
+        col("is_seed"), col("deg").as("degree"))
+      .filter(col("rank_ppm") > 0)
+      .orderBy(col("rank_ppm").desc, col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_personalized_pagerank" -> (personalizedPagerank _),
     "q167_hits" -> (hits _),
     "q156_negative_sampling" -> (negativeSampling _),
     "q67_pagerank" -> (pagerank _),
@@ -472,6 +525,36 @@ object Graphs {
          |  row_number() OVER (PARTITION BY u ORDER BY score, v) AS rnk FROM ne)
          |SELECT u, CAST(rnk AS BIGINT) AS rnk, v AS neg, score
          |FROM r WHERE rnk <= $NegPerNode ORDER BY u, rnk""".stripMargin,
+    "q177_personalized_pagerank" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""rr$i AS (
+           | SELECT r0.node, CAST(15 * r0.sm // 100
+           |   + coalesce(f.flow, 0) AS BIGINT) AS r
+           | FROM r0 LEFT JOIN (
+           |  SELECT dst AS node, CAST(85 * sum(r // deg) // 100 AS BIGINT) AS flow
+           |  FROM adj JOIN deg ON deg.node = adj.src
+           |  JOIN rr${i - 1} p ON p.node = adj.src
+           |  GROUP BY dst) f ON f.node = r0.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |up AS (SELECT DISTINCT l_partkey AS node
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |r0 AS (
+         | SELECT deg.node,
+         |  CASE WHEN up.node IS NOT NULL THEN CAST($PrMass AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS sm
+         | FROM deg LEFT JOIN up ON up.node = deg.node),
+         |rr0 AS (SELECT node, sm AS r FROM r0),
+         |$rounds
+         |SELECT rr$PrIters.node AS part_id, r AS rank_ppm,
+         | CAST(sm > 0 AS BIGINT) AS is_seed, deg AS degree
+         |FROM rr$PrIters
+         | JOIN deg ON deg.node = rr$PrIters.node
+         | JOIN r0 ON r0.node = rr$PrIters.node
+         |WHERE r > 0
+         |ORDER BY rank_ppm DESC, part_id""".stripMargin
+    },
     "q167_hits" -> {
       val rounds = (1 to HitsIters).map { i =>
         s"""h${i}r AS (

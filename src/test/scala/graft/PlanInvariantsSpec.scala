@@ -394,6 +394,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // blocked self-join (reused exchange) + pair distinct + the two
     // verify joins' pair-key exchange + presentation sort
     "q176_tfidf_cosine_join" -> 9,
+    // q177: q67's 2-shuffles-per-round (3 rounds) + the right-join
+    // back to the node frame each round + seed semi-join + degree/
+    // seed-flag splice + presentation sort; incidence exchanges dedupe
+    // to ReusedExchange
+    "q177_personalized_pagerank" -> 14,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5
