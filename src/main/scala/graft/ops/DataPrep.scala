@@ -571,7 +571,58 @@ object DataPrep {
       .orderBy("source", "value")
   }
 
+  // ---------------------------------------------------------------- q179
+  /** Context-length policy candidates probed by the truncation curve. */
+  val LossThresholds: Seq[Long] = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** q179: truncation-loss curve — for each candidate max-sequence
+    * length: how many documents get truncated and what fraction of
+    * the corpus's tokens is lost. The one-table answer to "what does
+    * a 512-token context cost us" that sizes q55's packing and the
+    * tokenizer budget before training — computed from the LENGTH
+    * CENSUS, so the curve costs one pass however large the corpus.
+    *
+    * All integer: per-doc token counts collapse to a (n_tok, n_docs)
+    * census; each census row explodes onto the constant threshold
+    * list (map-side — no join, no BNLJ), and losses aggregate as
+    * Σ max(0, n_tok − L)·n_docs. Zero-token docs count in the doc
+    * base and can never truncate.
+    *
+    * Scale shape: doc-count agg + census agg + a |thresholds|-row
+    * rollup; the explode multiplies only the BOUNDED census. */
+  def truncationCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = d
+      .select(col("doc_id"), explode(Det.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val census = d.select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .groupBy("n_tok").agg(count(lit(1)).as("n_docs"))
+    census
+      .withColumn("max_len",
+        explode(array(LossThresholds.map(lit(_)): _*)))
+      .groupBy("max_len")
+      .agg(
+        coalesce(sum(when(col("n_tok") > col("max_len"), col("n_docs"))),
+          lit(0L)).as("n_truncated"),
+        coalesce(sum(when(col("n_tok") > col("max_len"),
+          (col("n_tok") - col("max_len")) * col("n_docs"))), lit(0L))
+          .as("tokens_lost"),
+        Det.lsum(expr("n_tok * n_docs")).as("tokens_total"),
+        Det.lsum(col("n_docs")).as("n_docs_total"))
+      .select(col("max_len").cast("long").as("max_len"),
+        col("n_truncated").cast("long").as("n_truncated"),
+        expr("n_truncated * 1000000 div n_docs_total").as("trunc_ppm"),
+        col("tokens_lost").cast("long").as("tokens_lost"),
+        expr("tokens_lost * 1000000 div greatest(tokens_total, 1L)")
+          .as("loss_ppm"))
+      .orderBy("max_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_truncation_curve" -> (truncationCurve _),
     "q171_quantile_norm" -> (quantileNormalize _),
     "q162_equidepth_hist" -> (equiDepthHist _),
     "q122_pps_sample" -> (ppsSample _),
@@ -618,6 +669,32 @@ object DataPrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_truncation_curve" ->
+      s"""WITH counts AS (
+         | SELECT doc_id, count(*) AS n_tok FROM (
+         |  SELECT doc_id, unnest(${Det.wordsSql("text")}) AS tok
+         |  FROM documents) t
+         | WHERE len(tok) > 0 GROUP BY doc_id),
+         |census AS (
+         | SELECT coalesce(n_tok, 0) AS n_tok, count(*) AS n_docs
+         | FROM documents d LEFT JOIN counts USING (doc_id) GROUP BY 1),
+         |x AS (
+         | SELECT census.*, t.max_len
+         | FROM census, UNNEST([${LossThresholds.mkString(", ")}]) AS t(max_len)),
+         |g AS (
+         | SELECT max_len,
+         |  coalesce(sum(CASE WHEN n_tok > max_len THEN n_docs END), 0) AS n_truncated,
+         |  coalesce(sum(CASE WHEN n_tok > max_len
+         |    THEN (n_tok - max_len) * n_docs END), 0) AS tokens_lost,
+         |  CAST(sum(n_tok * n_docs) AS BIGINT) AS tokens_total,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs_total
+         | FROM x GROUP BY max_len)
+         |SELECT CAST(max_len AS BIGINT) AS max_len,
+         | CAST(n_truncated AS BIGINT) AS n_truncated,
+         | CAST(n_truncated * 1000000 // n_docs_total AS BIGINT) AS trunc_ppm,
+         | CAST(tokens_lost AS BIGINT) AS tokens_lost,
+         | CAST(tokens_lost * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS loss_ppm
+         |FROM g ORDER BY max_len""".stripMargin,
     "q171_quantile_norm" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         |sc AS (SELECT source, n_chars, count(*) AS cnt FROM d GROUP BY 1, 2),

@@ -735,7 +735,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q178: leakage-free cluster-aware split — THE FIX for what q102
+    * measures: q48's per-doc hash split scatters near-duplicate
+    * clusters across train/val/test (memorized training text shows up
+    * in eval), so the production rule assigns the split by hashing
+    * the CLUSTER id — every member of a transitive near-dup cluster
+    * (q52's components; singletons are their own cluster) lands in
+    * the same split by construction, with the same 90/5/5 ppm-exact
+    * thresholds as q48. Zero leaky clusters is an invariant here, not
+    * an audit finding.
+    *
+    * Scale shape: q52's label propagation (memoized via
+    * [[PipelineCache]] in a session that also runs q52/q91/q102) plus
+    * ONE hash projection — the split decision adds no shuffle beyond
+    * the presentation sort; determinism is the q48/q92 argument
+    * (content-derived md5, retry-stable, no RNG). */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir).select("doc_id", "cluster")
+      .withColumn("bucket",
+        graft.ops.Det.h8(col("cluster").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < DataPrep.TrainPct, "train")
+          .when(col("bucket") < DataPrep.ValPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster", "split")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_cluster_split" -> (clusterSplit _),
     "q176_tfidf_cosine_join" -> (tfidfCosineJoin _),
     "q28_minhash_lsh_pairs" -> (minhashPairs _),
     "q29_near_dedup" -> (nearDedup _),
@@ -1290,6 +1317,13 @@ object Dedup {
     // q56 computes the SAME clusters by pointer doubling — one
     // definition of correct, two physical strategies under it.
     "q56_dedup_clusters_ls" -> clustersOracle,
+    "q178_cluster_split" ->
+      s"""$clusterChainCtes
+         |SELECT doc_id, cluster,
+         | CASE WHEN ${Det.h8Sql("CAST(cluster AS VARCHAR)")} % 100 < ${DataPrep.TrainPct} THEN 'train'
+         |      WHEN ${Det.h8Sql("CAST(cluster AS VARCHAR)")} % 100 < ${DataPrep.ValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "q102_split_leakage" ->
       s"""$clusterChainCtes,
          |spl AS (SELECT doc_id,

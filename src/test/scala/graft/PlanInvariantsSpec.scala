@@ -399,6 +399,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // seed-flag splice + presentation sort; incidence exchanges dedupe
     // to ReusedExchange
     "q177_personalized_pagerank" -> 14,
+    // q178: q52's label-prop rounds run eagerly at plan time (q87
+    // pattern); the declared plan is the hash projection off the
+    // checkpointed cluster leaf + presentation sort
+    "q178_cluster_split" -> 1,
+    // q179: per-doc token agg + the doc left-join + length census +
+    // threshold rollup (the explode itself is map-side on the census)
+    "q179_truncation_curve" -> 4,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -257,6 +257,28 @@ class DataPrepSpec extends SparkTestBase {
     }
   }
 
+  test("q179: the curve replays from per-doc token counts; loss is monotone falling") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DataPrep.truncationCurve(spark, sf).collect()
+    assert(out.length === DataPrep.LossThresholds.length)
+    val wsRe = (Det.WsClass + "+").r
+    val nToks = graft.Tables.documents(spark, sf)
+      .select("text").collect()
+      .map(r => wsRe.split(r.getString(0).trim).count(_.nonEmpty).toLong)
+    val total = nToks.sum
+    out.foreach { r =>
+      val l = r.getAs[Long]("max_len")
+      val truncated = nToks.count(_ > l).toLong
+      val lost = nToks.map(n => math.max(0L, n - l)).sum
+      assert(r.getAs[Long]("n_truncated") === truncated, s"L=$l")
+      assert(r.getAs[Long]("tokens_lost") === lost, s"L=$l")
+      assert(r.getAs[Long]("trunc_ppm") === truncated * 1000000L / nToks.length)
+      assert(r.getAs[Long]("loss_ppm") === lost * 1000000L / math.max(total, 1L))
+    }
+    val losses = out.sortBy(_.getAs[Long]("max_len")).map(_.getAs[Long]("loss_ppm"))
+    losses.zip(losses.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("q171: normalized value is the global k-th smallest at the matched rank") {
     val sf = "/root/testdata/sf0.001"
     val out = DataPrep.quantileNormalize(spark, sf).collect()

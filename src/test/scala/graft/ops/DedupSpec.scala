@@ -361,6 +361,36 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_._6 != 0L))
   }
 
+  test("q178: cluster split is leakage-free by construction and hash-exact") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.clusterSplit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[String]("split")))
+    assert(out.nonEmpty)
+    // covers every document exactly once
+    assert(out.length === graft.Tables.documents(spark, sf).count())
+    // every cluster lands in EXACTLY one split — zero leaky clusters
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length === 1, s"cluster ${g.head._2} leaks")
+    }
+    // the split is the q48 hash rule applied to the cluster id
+    def h8(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    }
+    out.foreach { case (id, cl, split) =>
+      val b = h8(cl.toString) % 100
+      val expect = if (b < DataPrep.TrainPct) "train"
+        else if (b < DataPrep.ValPct) "val" else "test"
+      assert(split === expect, s"doc $id cluster $cl")
+    }
+    // clusters agree with the q52 assignment
+    val cl52 = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    out.foreach { case (id, cl, _) => assert(cl === cl52(id)) }
+  }
+
   test("q176: packed-kernel dot equals a plain-Scala sparse replay; pairs are blocked") {
     val sf = "/root/testdata/sf0.001"
     val out = Dedup.tfidfCosineJoin(spark, sf).collect()
