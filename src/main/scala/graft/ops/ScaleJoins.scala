@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Scale-join techniques: bucketing (shuffle-free co-located joins for
   * tables joined repeatedly on the same key) and salting (splitting
@@ -96,11 +98,68 @@ object ScaleJoins {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q180
+  /** Shard count audited by the placement comparison. */
+  val NShards = 16
+
+  /** q180: shard-placement balance audit — the same document keys
+    * placed two ways: `mod` (md5 mod [[NShards]] — what naive
+    * partitioning does) vs `rendezvous` (highest-random-weight: the
+    * shard maximizing h(key ∥ shard), the placement that moves only
+    * 1/N of keys when a shard joins/leaves). Emits per scheme and
+    * shard the exact load plus the scheme-level max/mean skew in
+    * milli — the number that decides whether a 100 TB table's
+    * partitioning needs salting before it ships. Both placements are
+    * content-derived md5 (the q92 retry-stability argument); HRW's
+    * argmax is a per-row `array_position(max)` over [[NShards]]
+    * hashes — map-side, no shuffle.
+    *
+    * Scale shape: one (scheme, shard) census hash agg over the doc
+    * scan; the skew ratios ride a 2×[[NShards]]-row window. */
+  def shardBalance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").cast("string").as("k"))
+    val modShard = d.select(lit("mod").as("scheme"),
+      (Det.h8(col("k")) % NShards).as("shard"))
+    val hrwHashes = array((0 until NShards).map(i =>
+      Det.h8(concat(col("k"), lit("_"), lit(i.toString)))): _*)
+    val hrw = d.withColumn("hs", hrwHashes)
+      .select(lit("rendezvous").as("scheme"),
+        (array_position(col("hs"), array_max(col("hs"))) - 1)
+          .cast("long").as("shard"))
+    val w = Window.partitionBy("scheme")
+    modShard.unionAll(hrw.select(col("scheme"), col("shard")))
+      .groupBy("scheme", "shard").agg(count(lit(1)).as("n"))
+      .withColumn("max_n", max("n").over(w))
+      .withColumn("sum_n", sum("n").over(w))
+      .select(col("scheme"), col("shard").cast("long").as("shard"),
+        col("n").cast("long").as("n"),
+        expr(s"max_n * 1000 * $NShards div sum_n").as("skew_milli"))
+      .orderBy("scheme", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_shard_balance" -> (shardBalance _),
     "q92_salted_agg" -> (saltedEventAgg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_shard_balance" -> {
+      val hs = (0 until NShards)
+        .map(i => Det.h8Sql(s"k || '_$i'")).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |m AS (SELECT 'mod' AS scheme,
+         |  ${Det.h8Sql("k")} % $NShards AS shard FROM d),
+         |hx AS (SELECT $hs AS hs FROM d),
+         |hr AS (SELECT 'rendezvous' AS scheme,
+         |  list_position(hs, list_max(hs)) - 1 AS shard FROM hx),
+         |u AS (SELECT * FROM m UNION ALL SELECT * FROM hr),
+         |g AS (SELECT scheme, shard, count(*) AS n FROM u GROUP BY 1, 2)
+         |SELECT scheme, CAST(shard AS BIGINT) AS shard,
+         | CAST(n AS BIGINT) AS n,
+         | CAST(max(n) OVER (PARTITION BY scheme) * 1000 * $NShards
+         |   // sum(n) OVER (PARTITION BY scheme) AS BIGINT) AS skew_milli
+         |FROM g ORDER BY scheme, shard""".stripMargin
+    },
     "q92_salted_agg" ->
       """SELECT event_type, count(*) AS n_rows,
         | CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents

@@ -512,7 +512,44 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Rolling active-user window width (days). */
+  val WauWindowDays = 7
+
+  /** q181: rolling 7-day active users (WAU) — per calendar day, the
+    * EXACT count of distinct users active in the trailing
+    * [[WauWindowDays]]-day window. Distinct-over-sliding-window does
+    * not decompose into window functions, so the standard exact
+    * unfold applies: each (user, active-day) row claims the next 7
+    * report days (a bounded explode), and WAU(d) = distinct users
+    * claiming d. Report days are restricted to the observed span so
+    * the tail beyond the last event doesn't emit phantom rows.
+    *
+    * Scale shape: the (user, day) distinct is the one data-sized
+    * exchange; the unfold multiplies it by the CONSTANT window width
+    * and the second distinct+count aggregates on the day key with
+    * map-side combine. (At petabyte scale the approximate variant
+    * swaps the second distinct for q39's mergeable HLL per day —
+    * same frame, sketch column.) */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val span = ud.agg(max("day").as("last_day"))
+    val claimed = ud
+      .withColumn("report_day",
+        explode(expr(s"sequence(day, date_add(day, ${WauWindowDays - 1}))")))
+      .crossJoin(broadcast(span))
+      .filter(col("report_day") <= col("last_day"))
+    claimed
+      .groupBy("report_day")
+      .agg(countDistinct("user_id").as("wau"))
+      .select(col("report_day"), col("wau").cast("long").as("wau"))
+      .orderBy("report_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_rolling_wau" -> (rollingActiveUsers _),
     "q172_volume_trend" -> (volumeTrend _),
     "q165_cusum_shift" -> (cusumShift _),
     "q166_seasonal_decompose" -> (seasonalDecompose _),
@@ -527,6 +564,20 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_rolling_wau" ->
+      s"""WITH ud AS (
+         | SELECT DISTINCT user_id,
+         |  CAST(date_trunc('day', ts) AS DATE) AS day
+         | FROM events),
+         |sp AS (SELECT max(day) AS last_day FROM ud),
+         |cl AS (
+         | SELECT user_id,
+         |  CAST(day + CAST(i AS INTEGER) AS DATE) AS report_day
+         | FROM ud, UNNEST(range(0, $WauWindowDays)) AS t(i)),
+         |f AS (SELECT user_id, report_day FROM cl CROSS JOIN sp
+         |      WHERE report_day <= last_day)
+         |SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         |FROM f GROUP BY report_day ORDER BY report_day""".stripMargin,
     "q172_volume_trend" ->
       """WITH daily AS (
         | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -44,7 +44,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q160_overlap_sketch", // K-row per-type sketch census (K = |types|)
     "q167_hits", // 1-row max frame per normalize (4 rounds)
     "q170_token_burstiness", // 1-row doc-count frame
-    "q171_quantile_norm" // 1-row corpus count onto the bounded census
+    "q171_quantile_norm", // 1-row corpus count onto the bounded census
+    "q181_rolling_wau" // 1-row last-day span frame
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -406,6 +407,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q179: per-doc token agg + the doc left-join + length census +
     // threshold rollup (the explode itself is map-side on the census)
     "q179_truncation_curve" -> 4,
+    // q180: both placements are map-side hashes; (scheme, shard)
+    // census + the 2·N-row skew window + presentation sort
+    "q180_shard_balance" -> 3,
+    // q181: (user, day) distinct + day-keyed distinct-count agg +
+    // presentation sort; the constant-width unfold is map-side and
+    // the span frame is a 1-row broadcast
+    "q181_rolling_wau" -> 5,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -232,6 +232,30 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("q181: WAU equals the brute-force trailing-window distinct count") {
+    val out = Temporal.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("report_day").toLocalDate ->
+        r.getAs[Long]("wau")).toMap
+    assert(out.nonEmpty)
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toLocalDate))
+    val first = ud.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val last = ud.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    // every day from the first active day to the last must be present
+    assert(out.keySet.map(_.toEpochDay) ===
+      (first.toEpochDay to last.toEpochDay).toSet)
+    out.foreach { case (d, wau) =>
+      val expect = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) &&
+          ad.toEpochDay > d.toEpochDay - Temporal.WauWindowDays
+      }.map(_._1).distinct.length.toLong
+      assert(wau === expect, s"day $d")
+    }
+  }
+
   test("q172: slope matches a plain-Scala least squares over the daily census") {
     val out = Temporal.volumeTrend(spark, sf).collect()
     assert(out.nonEmpty)
