@@ -402,16 +402,36 @@ object Graphs {
     * shape); the max is a 1-row agg broadcast back (declared BNLJ).
     * No driver-side state — the loop builds only the plan. */
   def hits(s: SparkSession, dir: String): DataFrame = {
+    // Materialized ONCE: unlike q67's edge set (larger than its
+    // input — persist measured worse there), the bipartite incidence
+    // is SMALLER than lineitem and re-read 9× — by the 4 half-round
+    // joins AND each normalize's broadcast-max build, which runs as
+    // its own job where cross-job ReusedExchange can't help. Measured
+    // at sf0.1: 6.2 s plan-only → 4.7 s with this checkpoint → 3.1 s
+    // once the raw score frames checkpoint too (see normalize).
     val cp = incidence(s, dir)
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
       .select("cust", "pk").distinct()
+      .localCheckpoint(true)
     val pdeg = cp.groupBy("pk").agg(count(lit(1)).as("n_customers"))
-    def normalize(raw: DataFrame, key: String, v: String): DataFrame =
+    // raw score frames are NODE-sized: checkpoint before the
+    // normalize so the broadcast-max build (its own job) reads the
+    // materialized frame instead of re-running the half-round's
+    // incidence join — halves the data-sized joins per iteration
+    // each round's checkpoints are dead once the NEXT one
+    // materializes (eager) — unpersist all but the last so a session
+    // running many queries doesn't accumulate node-frame blocks
+    // (the q59 round-cache rule)
+    val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def normalize(raw0: DataFrame, key: String, v: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
+      roundCaches += raw
       raw.crossJoin(broadcast(raw.agg(max(col(v)).as("mx"))))
         .select(col(key),
           expr(s"CAST(CAST($v AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
             .as(v.dropRight(3))) // "hraw"→"h", "araw"→"a"
+    }
     val a0 = pdeg.select(col("pk"), lit(PrMass).as("a"))
     val aN = (1 to HitsIters).foldLeft(a0) { (a, _) =>
       val hraw = cp.join(a, "pk").groupBy("cust")
@@ -421,6 +441,7 @@ object Graphs {
         .agg(sum("h").as("araw"))
       normalize(araw, "pk", "araw")
     }
+    roundCaches.dropRight(1).foreach(_.unpersist(blocking = false))
     aN.join(pdeg, "pk")
       .select(col("pk").as("part_id"), col("a").as("auth_ppm"),
         col("n_customers").cast("long").as("n_customers"))
@@ -445,33 +466,41 @@ object Graphs {
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     val adj = adjacency(edges(s, dir))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adjd = adj.join(deg, "src")
     val urgentParts = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
         "left_semi")
       .select(col("l_partkey").as("node")).distinct()
-    val seeds = deg.select(col("src").as("node"))
-      .join(urgentParts, Seq("node"), "left_semi")
-      .withColumn("seed", lit(1L))
-    val r0 = deg.select(col("src").as("node"))
-      .join(seeds.select(col("node"), col("seed")), Seq("node"), "left")
+    val smf = deg.select(col("src").as("node"))
+      .join(urgentParts.withColumn("seed", lit(1L)), Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("seed"), lit(0L)) * PrMass).as("sm"))
-    val rn = (1 to PrIters).foldLeft(
-      r0.select(col("node"), col("sm").as("r"))) { (r, _) =>
-      adjd.join(r.select(col("node"), col("r")), col("src") === col("node"))
+    // Every node of the symmetric graph HAS in-edges (the q67
+    // argument), so each round's dst aggregation covers every node —
+    // no per-round OUTER join back to the node frame is needed; the
+    // teleport term is added by an INNER join of two NODE-sized
+    // frames (flow ⋈ seed-mass), never by re-shuffling the full
+    // adjacency. A round is q67's 2 data-sized shuffles + one
+    // node-frame join. The first formulation right-joined the seed
+    // frame per round (12.9 s at sf0.1); carrying dst mass inside the
+    // adjacency re-exchanged the whole edge list by dst (5.2 s); this
+    // shape measures 4.5 s isolated — the remaining gap to q67's
+    // 2.5 s is the seed-frame build (lineitem⋈orders semi-join) plus
+    // the per-round node-frame joins, all node-sized.
+    val adjd = adj.join(deg, "src")
+    val r0 = smf.select(col("node"), col("sm").as("r"))
+    val rn = (1 to PrIters).foldLeft(r0) { (r, _) =>
+      adjd.join(r, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst")
         .agg(expr("85 * sum(c) div 100").cast("long").as("flow"))
-        .select(col("dst").as("node"), col("flow"))
-        .join(r0, Seq("node"), "right")
+        .join(smf, col("dst") === smf("node"))
         .select(col("node"),
-          (expr("15 * sm div 100") + coalesce(col("flow"), lit(0L))).as("r"))
+          (expr("15 * sm div 100") + col("flow")).as("r"))
     }
     rn.join(deg, col("node") === col("src"))
-      .join(r0.select(col("node"), (col("sm") > 0).cast("long").as("is_seed")),
+      .join(smf.select(col("node"), (col("sm") > 0).cast("long").as("is_seed")),
         Seq("node"))
       .select(col("node").as("part_id"), col("r").as("rank_ppm"),
         col("is_seed"), col("deg").as("degree"))

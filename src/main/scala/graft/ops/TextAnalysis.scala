@@ -637,13 +637,25 @@ object TextAnalysis {
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("tok")).limit(TrVocab)
       .select("tok")
+    // ts MUST be materialized by its own projection before the
+    // transform references it (q77's two-step shape): inlining the
+    // split into the lambda re-derives it per element reference and
+    // bloats the generated code — measured 6.1 s → 0.7 s at sf0.1
     val ts = words(col("text"))
-    val bi = d.select(explode(when(size(ts) >= 2,
-        transform(sequence(lit(1), size(ts) - lit(1)),
-          i => struct(element_at(ts, i).as("a"),
-            element_at(ts, i + lit(1)).as("b"))))
+    val bi = d.select(ts.as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - lit(1)),
+          i => struct(element_at(col("ts"), i).as("a"),
+            element_at(col("ts"), i + lit(1)).as("b"))))
         .otherwise(array())).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // The edge census is ≤ V² rows but its build scans the corpus
+    // twice (vocab census + bigram census); every rank round (and
+    // wout/deg) re-references it, so materialize ONCE — the "cache
+    // outputs small relative to their recompute" rule (q95's round
+    // pattern; the opposite call from q67's edge set, which is LARGER
+    // than its input). Measured at sf0.1: 6.6 s plan-only → 1.0 s
+    // checkpointed.
     val e = bi
       .join(broadcast(vocab.select(col("tok").as("a"))), "a")
       .join(broadcast(vocab.select(col("tok").as("b"))), "b")

@@ -357,11 +357,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // census RIDES it as a ReusedExchange) + presentation sort; the
     // (type, dow) join-back broadcasts
     "q166_seasonal_decompose" -> 3,
-    // q167: 2 HITS iterations × 2 half-rounds, each an incidence⋈score
-    // join + node-keyed agg (q67's 2-shuffles-per-round shape ×4) with
-    // the bipartite incidence build re-planned per reference and
-    // deduped to ReusedExchange at execution; + final join + sort
-    "q167_hits" -> 24,
+    // q167: rounds run eagerly against the checkpointed incidence and
+    // node-frame checkpoints (see Graphs.hits — the broadcast-max
+    // builds forced the materialization); the declared plan is the
+    // final pdeg join off the checkpoint leaves + presentation sort
+    "q167_hits" -> 3,
     // q168: bigram census + vocab census (broadcast V-row) + edge agg
     // + wsum agg + 3 rounds × (join + dst agg) on the ≤V² frame +
     // degree agg + final join; TakeOrdered head
@@ -395,11 +395,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // blocked self-join (reused exchange) + pair distinct + the two
     // verify joins' pair-key exchange + presentation sort
     "q176_tfidf_cosine_join" -> 9,
-    // q177: q67's 2-shuffles-per-round (3 rounds) + the right-join
-    // back to the node frame each round + seed semi-join + degree/
-    // seed-flag splice + presentation sort; incidence exchanges dedupe
-    // to ReusedExchange
-    "q177_personalized_pagerank" -> 14,
+    // q177: q67's 2-shuffles-per-round (3 rounds) + the seed-mass
+    // node-frame build and its per-round inner joins + degree/seed
+    // splice + presentation sort; incidence exchanges dedupe
+    "q177_personalized_pagerank" -> 11,
     // q178: q52's label-prop rounds run eagerly at plan time (q87
     // pattern); the declared plan is the hash projection off the
     // checkpointed cluster leaf + presentation sort
