@@ -806,7 +806,74 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------- q182
+  /** Power-iteration rounds for the leading principal component. */
+  val PowIters = 5
+
+  /** q182: leading principal component by power iteration — PCA's
+    * first direction over the [[QScale]]-quantized embeddings, the
+    * decorrelation/compression diagnostic above q173's per-dim stats
+    * (a dominant component means the embedding space wastes
+    * dimensions; its direction drives whitening and Matryoshka-style
+    * truncation decisions, q144).
+    *
+    * One corpus pass builds the exact integer Gram census: the D²
+    * (i, j) cell frame from a nested posexplode (map-side, then one
+    * hash agg). The scaled covariance C = n·G − s·sᵀ follows from
+    * q173's moment census by pure integer arithmetic (scaling by n²
+    * moves no eigenvector). [[PowIters]] synchronous rounds then run
+    * entirely on the D²-cell frame: y = C·x as a join + hash agg,
+    * renormalized to ppm of max|y| each round (q167's integer
+    * max-normalization; sign survives, truncating div matches //).
+    * x₀ = all-ones ppm — deterministic, and not orthogonal to the
+    * lead eigenvector except on measure-zero adversaries.
+    *
+    * Scale shape: the census build is one pass with map-side combine
+    * (at petabyte scale the same cells come from per-partition outer-
+    * product partials — the documented swap); every round is a D²⋈D
+    * join — constant cost. All sums ride DECIMAL(38,0): |C| ≤ n²·q²
+    * and |y| ≤ D·|C|·1e6 pass int64 long before the census does. */
+  def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val qq = Tables.embeddings(s, dir)
+      .select(quantize(col("embedding")).as("q"))
+    val ex = qq.select(col("q"), posexplode(col("q")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("q")).as(Seq("j", "vj")))
+    val gram = ex.groupBy("i", "j")
+      .agg(sum(expr("CAST(vi AS DECIMAL(38,0)) * vj")).as("g"),
+        count(lit(1)).as("n"))
+    val sums = qq.select(posexplode(col("q")).as(Seq("i", "vi")))
+      .groupBy("i").agg(Det.lsum(col("vi")).as("s"))
+    val cov = gram
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        expr("n * g - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
+      .localCheckpoint(true) // D² cells; rounds + their max builds read it
+    val x0 = cov.select(col("j")).distinct()
+      .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("x"))
+    // each round's y is D rows but referenced twice (value + max) and
+    // compounds 2^rounds without a checkpoint (measured: the plan
+    // grew to 126 exchanges); the q59 round-cache rule applies — keep
+    // only the last round's frame alive for the returned lazy plan
+    val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val xN = (1 to PowIters).foldLeft(x0) { (x, _) =>
+      val y = cov.join(x, "j").groupBy("i")
+        .agg(sum(expr("c * x")).as("y"))
+        .localCheckpoint(true)
+      roundCaches += y
+      y.crossJoin(broadcast(y.agg(max(abs(col("y"))).as("my"))))
+        .select(col("i").as("j"),
+          expr("CAST(y * 1000000 div greatest(my, 1) AS DECIMAL(38,0))")
+            .as("x"))
+    }
+    roundCaches.dropRight(1).foreach(_.unpersist(blocking = false))
+    xN.select(col("j").cast("long").as("dim"),
+        col("x").cast("long").as("component_ppm"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_power_iteration" -> (powerIteration _),
     "q173_embedding_stats" -> (embeddingStats _),
     "q33_ann_bruteforce" -> (annBruteForce _),
     "q34_ann_ivf" -> (annIvf _),
@@ -887,6 +954,37 @@ object Similarity {
        |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q182_power_iteration" -> {
+      val rounds = (1 to PowIters).map { r =>
+        s"""y$r AS (
+           | SELECT i, sum(c * x) AS y
+           | FROM cov JOIN x${r - 1} ON x${r - 1}.j = cov.j GROUP BY i),
+           |x$r AS (
+           | SELECT i AS j, CAST(y * 1000000
+           |   // greatest((SELECT max(abs(y)) FROM y$r), 1) AS HUGEINT) AS x
+           | FROM y$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS (
+         | SELECT list_transform(embedding,
+         |   x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+         | FROM embeddings),
+         |ex AS (
+         | SELECT a.i - 1 AS i, b.j - 1 AS j, q[a.i] AS vi, q[b.j] AS vj
+         | FROM qv, UNNEST(range(1, len(q) + 1)) AS a(i),
+         |      UNNEST(range(1, len(q) + 1)) AS b(j)),
+         |g AS (SELECT i, j, sum(CAST(vi AS HUGEINT) * vj) AS g,
+         |      count(*) AS n FROM ex GROUP BY 1, 2),
+         |sm AS (
+         | SELECT a.i - 1 AS i, CAST(sum(q[a.i]) AS HUGEINT) AS s
+         | FROM qv, UNNEST(range(1, len(q) + 1)) AS a(i) GROUP BY 1),
+         |cov AS (
+         | SELECT g.i, g.j, n * g.g - si.s * sj.s AS c
+         | FROM g JOIN sm si ON si.i = g.i JOIN sm sj ON sj.i = g.j),
+         |x0 AS (SELECT DISTINCT j, CAST(1000000 AS HUGEINT) AS x FROM cov),
+         |$rounds
+         |SELECT CAST(j AS BIGINT) AS dim, CAST(x AS BIGINT) AS component_ppm
+         |FROM x$PowIters ORDER BY dim""".stripMargin
+    },
     "q173_embedding_stats" ->
       s"""WITH qv AS (
          | SELECT list_transform(embedding,

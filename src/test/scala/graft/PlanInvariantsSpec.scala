@@ -45,7 +45,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q167_hits", // 1-row max frame per normalize (4 rounds)
     "q170_token_burstiness", // 1-row doc-count frame
     "q171_quantile_norm", // 1-row corpus count onto the bounded census
-    "q181_rolling_wau" // 1-row last-day span frame
+    "q181_rolling_wau", // 1-row last-day span frame
+    "q182_power_iteration" // 1-row max-norm frame per round
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -413,6 +414,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // presentation sort; the constant-width unfold is map-side and
     // the span frame is a 1-row broadcast
     "q181_rolling_wau" -> 5,
+    // q182: Gram census + rounds run eagerly against checkpointed D-
+    // and D²-cell frames (Similarity.powerIteration); the declared
+    // plan is the final normalize off the last round's leaf + sort
+    "q182_power_iteration" -> 2,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -271,6 +271,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q182: component matches an exact BigInt power-iteration replay") {
+    val out = Similarity.powerIteration(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("component_ppm")).toMap
+    assert(out.size === dim)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(_.getSeq[Float](1)
+        .map(x => BigInt(math.round(x.toDouble * Similarity.QScale))).toArray)
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(dim)(i => vecs.map(_(i)).sum)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      n * vecs.map(v => v(i) * v(j)).sum - s(i) * s(j)
+    }
+    var x = Array.fill(dim)(BigInt(1000000))
+    (1 to Similarity.PowIters).foreach { _ =>
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * x(j)).sum)
+      val my = y.map(_.abs).max.max(BigInt(1))
+      x = y.map(v => v * 1000000 / my)
+    }
+    (0 until dim).foreach { d =>
+      assert(out(d.toLong) === x(d).toLong, s"dim $d")
+    }
+    // max-normalization: some dimension sits at ±1e6 exactly
+    assert(out.values.map(math.abs).max === 1000000L)
+  }
+
   test("q173: per-dim stats match an exact BigInt replay of the quantized frame") {
     val out = Similarity.embeddingStats(spark, dir).collect()
     assert(out.length === dim)
