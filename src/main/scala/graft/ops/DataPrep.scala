@@ -550,10 +550,16 @@ object DataPrep {
       .withColumn("gcum", sum("gcnt").over(Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, 0)))
     val tot = d.agg(count(lit(1)).as("n_total"))
+    // r·N and r·1e6 widen through DECIMAL(38,0): with a dominant
+    // source r·N ≈ N², past int64 from ~3e9 docs (the q170/q182
+    // discipline); the quotients land back in long range (pos ≤ N)
     val sRows = srcCensus.crossJoin(broadcast(tot))
-      .select(expr("(r * n_total + n_s - 1) div n_s").as("pos"),
+      .select(expr("""CAST((CAST(r AS DECIMAL(38,0)) * n_total + n_s - 1)
+                     |div n_s AS BIGINT)""".stripMargin).as("pos"),
         lit(0).as("tag"), col("source"), col("n_chars").as("value"),
-        col("cnt"), expr("r * 1000000 div n_s").as("pct_ppm"),
+        col("cnt"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * 1000000 div n_s AS BIGINT)")
+          .as("pct_ppm"),
         lit(null).cast("long").as("gv"))
     val gRows = gCensus.select(col("gcum").as("pos"), lit(1).as("tag"),
       lit(null).cast("string").as("source"), lit(null).cast("long").as("value"),

@@ -741,9 +741,9 @@ object Dedup {
     * in eval), so the production rule assigns the split by hashing
     * the CLUSTER id — every member of a transitive near-dup cluster
     * (q52's components; singletons are their own cluster) lands in
-    * the same split by construction, with the same 90/5/5 ppm-exact
-    * thresholds as q48. Zero leaky clusters is an invariant here, not
-    * an audit finding.
+    * the same split by construction, with q48's exact 80/10/10
+    * percent-bucket thresholds. Zero leaky clusters is an invariant
+    * here, not an audit finding.
     *
     * Scale shape: q52's label propagation (memoized via
     * [[PipelineCache]] in a session that also runs q52/q91/q102) plus

@@ -213,6 +213,7 @@ object Graphs {
     // cluster the persist is the natural per-round shuffle
     // materialization.
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     caches += e
     (1 to CoreRounds).foreach { _ =>
@@ -226,6 +227,7 @@ object Graphs {
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK).select("n")
         .localCheckpoint(true)
+      checkpoints += keep
       e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
@@ -238,6 +240,11 @@ object Graphs {
       .select(col("node").as("part_id"), col("core_deg"))
       .localCheckpoint(true)
     caches.foreach(_.unpersist(blocking = false))
+    // keep-set checkpoints are dead once the next round's e persists;
+    // Dataset.unpersist can't reach them (no CacheManager entry) —
+    // drop their LogicalRDD blocks directly
+    checkpoints.foreach(
+      org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
     out.orderBy(col("part_id"))
   }
 
@@ -264,13 +271,19 @@ object Graphs {
     var d = nodes.filter(col("node") % SeedMod === 0)
       .select(col("node"), lit(0L).as("hop"))
       .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ListBuffer(d)
     (1 to BfsRounds).foreach { _ =>
       val relaxed = adj.join(d, col("src") === col("node"))
         .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
       d = d.unionAll(relaxed).groupBy("node").agg(min("hop").as("hop"))
         .localCheckpoint(true)
+      rounds += d
     }
     adj.unpersist(blocking = false)
+    // earlier rounds' distance checkpoints are dead (each round is
+    // eager); only the final frame feeds the returned plan
+    rounds.dropRight(1).foreach(
+      org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
     d.select(col("node").as("part_id"), col("hop"))
       .orderBy("part_id")
   }
@@ -441,7 +454,8 @@ object Graphs {
         .agg(sum("h").as("araw"))
       normalize(araw, "pk", "araw")
     }
-    roundCaches.dropRight(1).foreach(_.unpersist(blocking = false))
+    roundCaches.dropRight(1)
+      .foreach(org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
     aN.join(pdeg, "pk")
       .select(col("pk").as("part_id"), col("a").as("auth_ppm"),
         col("n_customers").cast("long").as("n_customers"))

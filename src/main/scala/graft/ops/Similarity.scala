@@ -438,7 +438,10 @@ object Similarity {
       val nxt = update(assign(cent), cent).localCheckpoint(true)
       rounds += nxt; nxt
     }
-    rounds.dropRight(1).foreach(_.unpersist(blocking = false))
+    // Dataset.unpersist is a no-op on checkpointed frames (no
+    // CacheManager entry); drop the LogicalRDD leaf's blocks directly
+    rounds.dropRight(1)
+      .foreach(org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
     assign(finalCent)
       .select(col("vec_id"), col("q"), col("k"), col("d"))
   }
@@ -866,7 +869,8 @@ object Similarity {
           expr("CAST(y * 1000000 div greatest(my, 1) AS DECIMAL(38,0))")
             .as("x"))
     }
-    roundCaches.dropRight(1).foreach(_.unpersist(blocking = false))
+    roundCaches.dropRight(1)
+      .foreach(org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
     xN.select(col("j").cast("long").as("dim"),
         col("x").cast("long").as("component_ppm"))
       .orderBy("dim")

@@ -516,9 +516,13 @@ object Temporal {
   /** Rolling active-user window width (days). */
   val WauWindowDays = 7
 
-  /** q181: rolling 7-day active users (WAU) — per calendar day, the
-    * EXACT count of distinct users active in the trailing
-    * [[WauWindowDays]]-day window. Distinct-over-sliding-window does
+  /** q181: rolling 7-day active users (WAU) — for every day whose
+    * trailing [[WauWindowDays]]-day window saw at least one active
+    * user, the EXACT distinct-user count. (A day whose whole trailing
+    * window is silent emits NO row rather than wau = 0 — the consumer
+    * treats absence as zero; densifying against a calendar grid is
+    * q66's resample join if a dashboard needs explicit zeros.)
+    * Distinct-over-sliding-window does
     * not decompose into window functions, so the standard exact
     * unfold applies: each (user, active-day) row claims the next 7
     * report days (a bounded explode), and WAU(d) = distinct users

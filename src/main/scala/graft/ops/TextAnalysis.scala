@@ -640,7 +640,8 @@ object TextAnalysis {
     // ts MUST be materialized by its own projection before the
     // transform references it (q77's two-step shape): inlining the
     // split into the lambda re-derives it per element reference and
-    // bloats the generated code — measured 6.1 s → 0.7 s at sf0.1
+    // bloats the generated code — measured 6.1 s → 1.8 s at sf0.1
+    // (MicroBench min, n=7; the rest of the residual is the rounds)
     val ts = words(col("text"))
     val bi = d.select(ts.as("ts"))
       .select(explode(when(size(col("ts")) >= 2,

@@ -48,4 +48,21 @@ object GraftBridge {
       case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
       case _ => None
     }
+
+  /** Eagerly drop the storage blocks behind a `localCheckpoint(true)`
+    * frame. `Dataset.unpersist` is a NO-OP for checkpointed frames —
+    * it only removes CacheManager entries, and a local checkpoint
+    * registers none; the materialized blocks live on the internal RDD
+    * wrapped by the plan's `LogicalRDD` leaf (measured: after
+    * checkpoint + unpersist, `sparkContext.getPersistentRDDs` still
+    * holds the RDD). Round-cache eviction (q59/q167/q182) must reach
+    * through the leaf and unpersist THAT RDD. Returns true when a
+    * checkpointed leaf was found and dropped. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+    leaves.foreach(_.unpersist(blocking = false))
+    leaves.nonEmpty
+  }
 }

@@ -81,4 +81,25 @@ class PipelineCacheSpec extends SparkTestBase {
       spark.conf.unset(PipelineCache.ConfKey)
     }
   }
+
+  test("unpersistCheckpoint really frees localCheckpoint blocks (Dataset.unpersist cannot)") {
+    import spark.implicits._
+    def persistedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persistedIds
+    val df = (1 to 100).toDF("x").localCheckpoint(true)
+    assert(df.count() === 100L)
+    val afterCkpt = persistedIds
+    assert((afterCkpt -- before).nonEmpty, "checkpoint must register an RDD")
+    // the plain Dataset.unpersist path is a no-op for checkpoints —
+    // this is WHY the round-cache eviction goes through the bridge
+    df.unpersist(blocking = true)
+    assert((persistedIds -- before).nonEmpty,
+      "precondition: Dataset.unpersist left the checkpoint RDD behind")
+    val dropped = org.apache.spark.sql.graftbridge.GraftBridge
+      .unpersistCheckpoint(df)
+    assert(dropped, "a LogicalRDD leaf must be found")
+    assert((persistedIds -- before).isEmpty,
+      "the checkpoint RDD must be gone after unpersistCheckpoint")
+  }
 }
