@@ -316,7 +316,62 @@ object Funnels {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------- q184
+  /** q184: weekly churn accounting — q135's quad completed: per epoch
+    * week, actives split into new (first-ever week), retained (also
+    * active the prior week) and resurrected (returning after a gap),
+    * plus the users CHURNED into this week (active the prior week,
+    * silent now). The conservation identities are arithmetic:
+    * n_active = n_new + n_retained + n_resurrected, and
+    * n_churned(w) = n_active(w−1) − n_retained(w) — auditable at any
+    * scale by one rollup. Weeks are epoch-day div 7 (engine-neutral,
+    * the q166 dow trick at week grain).
+    *
+    * Scale shape: ONE (user, week) distinct is the only data-sized
+    * exchange; statuses come from lag/lead windows sharing the user
+    * partitioning; both censuses and their splice are O(weeks).
+    * Churn attributes to week v+1 from each activity row whose next
+    * active week isn't v+1 — emitted only inside the observed span. */
+  def churnAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01') div 7")
+          .as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val flagged = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("next_wk", lead(col("wk"), 1).over(w))
+    val status = flagged.select(col("wk"),
+      when(col("prev_wk").isNull, lit("new"))
+        .when(col("prev_wk") === col("wk") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("st"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("st") === "new").cast("long")).as("n_new"),
+        sum((col("st") === "retained").cast("long")).as("n_retained"),
+        sum((col("st") === "resurrected").cast("long")).as("n_resurrected"))
+    val span = uw.agg(max("wk").as("max_wk"))
+    val churn = flagged
+      .filter(col("next_wk").isNull || col("next_wk") > col("wk") + 1)
+      .select((col("wk") + 1).as("wk"))
+      .crossJoin(broadcast(span))
+      .filter(col("wk") <= col("max_wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    // full outer: a week can have churn but ZERO actives (everyone
+    // left at once) — a left join would silently drop that row
+    status.join(churn, Seq("wk"), "full_outer")
+      .select(col("wk").cast("long").as("wk"),
+        coalesce(col("n_active"), lit(0L)).cast("long").as("n_active"),
+        coalesce(col("n_new"), lit(0L)).cast("long").as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).cast("long").as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).cast("long").as("n_churned"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_churn_accounting" -> (churnAccounting _),
     "q174_markov_power" -> (markovPower _),
     "q60_funnel" -> (funnel _),
     "q61_cohort_retention" -> (cohortRetention _),
@@ -330,6 +385,38 @@ object Funnels {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_churn_accounting" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id,
+        |  date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+        | FROM events),
+        |f AS (
+        | SELECT user_id, wk,
+        |  lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |  lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        | FROM uw),
+        |st AS (
+        | SELECT wk, count(*) AS n_active,
+        |  sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |  sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |  sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        | FROM f GROUP BY wk),
+        |sp AS (SELECT max(wk) AS max_wk FROM uw),
+        |ch AS (
+        | SELECT wk + 1 AS wk, count(*) AS n_churned
+        | FROM f CROSS JOIN sp
+        | WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= max_wk
+        | GROUP BY wk + 1)
+        |SELECT CAST(wk AS BIGINT) AS wk,
+        | CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+        | CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        | CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        | CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        | CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM st FULL OUTER JOIN ch USING (wk)
+        |ORDER BY wk""".stripMargin,
     "q174_markov_power" ->
       """WITH e AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -522,7 +522,45 @@ object Graphs {
       .orderBy(col("rank_ppm").desc, col("part_id"))
   }
 
+  // ---------------------------------------------------------------- q183
+  /** q183: degree assortativity — the Pearson correlation of endpoint
+    * degrees over all directed edges of the symmetric co-purchase
+    * graph (Newman's r). Positive: hubs buy with hubs (social-style
+    * mixing); negative: hubs link to the periphery (catalog
+    * hub-and-spoke). With q68's clustering coefficient this completes
+    * the two-number structural fingerprint that decides whether the
+    * LshSkew caps or the salting path will actually be exercised at
+    * scale. Exact integer moments over the edge list (DECIMAL(38,0) —
+    * Σ deg² per edge passes int64 around 10⁹ hub-degree edges), one
+    * final float ratio (the q163/q164 discipline).
+    *
+    * Scale shape: the degree census joins the adjacency twice on its
+    * own keys (both exchanges reused), then ONE moment rollup — no
+    * window, no sort. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val adj = adjacency(edges(s, dir))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        Det.lsum(col("dx")).as("sx"), Det.lsum(col("dy")).as("sy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+      .select(col("n_edges"),
+        expr("CAST(n_edges * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)").as("num"),
+        expr("CAST(n_edges * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)").as("den_x"),
+        expr("CAST(n_edges * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)").as("den_y"))
+      .withColumn("assort_milli",
+        expr("""CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+               |ELSE CAST(round(1000.0 * num /
+               |  sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))) AS BIGINT)
+               |END""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_assortativity" -> (assortativity _),
     "q177_personalized_pagerank" -> (personalizedPagerank _),
     "q167_hits" -> (hits _),
     "q156_negative_sampling" -> (negativeSampling _),
@@ -568,6 +606,29 @@ object Graphs {
          |  row_number() OVER (PARTITION BY u ORDER BY score, v) AS rnk FROM ne)
          |SELECT u, CAST(rnk AS BIGINT) AS rnk, v AS neg, score
          |FROM r WHERE rnk <= $NegPerNode ORDER BY u, rnk""".stripMargin,
+    "q183_assortativity" ->
+      s"""WITH $edgeCtes,
+         |m AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(dx.deg) AS BIGINT) AS sx,
+         |  CAST(sum(dy.deg) AS BIGINT) AS sy,
+         |  sum(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy,
+         |  sum(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+         |  sum(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy
+         | FROM adj JOIN deg dx ON dx.node = adj.src
+         |          JOIN deg dy ON dy.node = adj.dst)
+         |SELECT n_edges,
+         | CAST(n_edges * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+         | CAST(n_edges * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+         | CAST(n_edges * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
+         | CASE WHEN n_edges * sxx - CAST(sx AS HUGEINT) * sx = 0
+         |    OR n_edges * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+         |  ELSE CAST(round(1000.0 * (n_edges * sxy - CAST(sx AS HUGEINT) * sy)
+         |   / sqrt(CAST(n_edges * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |        * CAST(n_edges * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+         |   AS BIGINT)
+         | END AS assort_milli
+         |FROM m""".stripMargin,
     "q177_personalized_pagerank" -> {
       val rounds = (1 to PrIters).map { i =>
         s"""rr$i AS (

@@ -46,7 +46,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q170_token_burstiness", // 1-row doc-count frame
     "q171_quantile_norm", // 1-row corpus count onto the bounded census
     "q181_rolling_wau", // 1-row last-day span frame
-    "q182_power_iteration" // 1-row max-norm frame per round
+    "q182_power_iteration", // 1-row max-norm frame per round
+    "q184_churn_accounting" // 1-row observed-span frame
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -418,6 +419,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // and D²-cell frames (Similarity.powerIteration); the declared
     // plan is the final normalize off the last round's leaf + sort
     "q182_power_iteration" -> 2,
+    // q183: incidence self-join (reused) + degree census + the two
+    // degree splices on the adjacency + the 1-row moment rollup
+    "q183_assortativity" -> 7,
+    // q184: (user, week) distinct + user window (lag/lead share it) +
+    // two O(weeks) censuses + their splice + presentation sort; the
+    // span frame is a 1-row broadcast
+    "q184_churn_accounting" -> 6,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

@@ -86,6 +86,47 @@ class FunnelsSpec extends SparkTestBase {
     assert(got === Seq(("signup", "view", 1L), ("view", "click", 1L)))
   }
 
+  test("q184: the churn quad conserves and matches a plain-Scala replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Funnels.churnAccounting(spark, sf).collect()
+      .map(r => r.getAs[Long]("wk") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned"))).toMap
+    assert(out.nonEmpty)
+    val uw = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01') div 7")
+          .as("wk")).distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("wk")))
+    val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val maxWk = uw.map(_._2).max
+    val weeks = uw.map(_._2).distinct
+    weeks.foreach { w =>
+      val active = byUser.filter(_._2.contains(w))
+      val nNew = active.count { case (_, ws) => ws.head == w }
+      val nRet = active.count { case (_, ws) =>
+        ws.head != w && ws.contains(w - 1) }
+      val nRes = active.size - nNew - nRet
+      val nChurn = byUser.count { case (_, ws) =>
+        ws.contains(w - 1) && !ws.contains(w) && w <= maxWk }
+      val (a, nw, rt, rs, ch) = out(w)
+      assert(a === active.size.toLong, s"wk $w active")
+      assert(nw === nNew.toLong && rt === nRet.toLong && rs === nRes.toLong,
+        s"wk $w split")
+      assert(ch === nChurn.toLong, s"wk $w churn")
+      assert(a === nw + rt + rs)
+      out.get(w - 1).foreach { case (pa, _, _, _, _) =>
+        assert(ch === pa - rt, s"wk $w churn identity")
+      }
+    }
+    // any extra emitted week is the zero-active/churn-only case
+    (out.keySet -- weeks.toSet).foreach { w =>
+      val (a, _, _, _, ch) = out(w)
+      assert(a === 0L && ch > 0L, s"extra wk $w")
+    }
+  }
+
   test("q174: matrix powers match a plain-Scala ppm composition of q107's matrix") {
     val sf = "/root/testdata/sf0.001"
     val out = Funnels.markovPower(spark, sf).collect()

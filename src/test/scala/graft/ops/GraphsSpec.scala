@@ -116,6 +116,33 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("q183: assortativity matches a plain-Scala moment replay over directed edges") {
+    val out = Graphs.assortativity(spark, dir).collect()
+    assert(out.length === 1)
+    val e = Graphs.edges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xy = adj.map { case (s, d) => (BigInt(deg(s)), BigInt(deg(d))) }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val sxx = xy.map { case (x, _) => x * x }.sum
+    val syy = xy.map { case (_, y) => y * y }.sum
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+    val r = out.head
+    assert(r.getAs[Long]("n_edges") === xy.length.toLong)
+    assert(r.getAs[Long]("num") === num.toLong)
+    assert(r.getAs[Long]("den_x") === dx.toLong)
+    assert(r.getAs[Long]("den_y") === dy.toLong)
+    // symmetric edge list ⇒ den_x = den_y and |r| ≤ 1
+    assert(dx === dy)
+    assert(r.getAs[Long]("assort_milli") ===
+      math.round(1000.0 * num.toDouble / math.sqrt(dx.toDouble * dy.toDouble)))
+    assert(math.abs(r.getAs[Long]("assort_milli")) <= 1000L)
+  }
+
   test("q177: seeded rank matches a plain-Scala PPR replay; mass is seed-derived") {
     val out = Graphs.personalizedPagerank(spark, dir).collect()
     assert(out.nonEmpty)
