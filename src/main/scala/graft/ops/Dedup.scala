@@ -761,7 +761,50 @@ object Dedup {
       .select("doc_id", "cluster", "split")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q185
+  /** Jaccard thresholds probed by the dedup sensitivity curve. */
+  val DupThresholds: Seq[Long] = Seq(500L, 600L, 700L, 800L, 900L, 950L)
+
+  /** q185: dedup threshold sensitivity — for each candidate Jaccard
+    * cutoff: how many verified q28 pairs survive and how many
+    * documents they touch (as corpus ppm). THE curve a pipeline owner
+    * reads before pinning the near-dup threshold: too low merges
+    * topic-mates, too high leaves templated spam — this shows exactly
+    * where the knee sits on THIS corpus. Thresholds below q28's
+    * generator floor ([[JMilliMin]]) are not probed (the pairs don't
+    * exist to count).
+    *
+    * Scale shape: runs entirely on the verified PAIR table (already
+    * ~1e-3-selectivity output of the banded generator, shared via
+    * [[PipelineCache]]) — the threshold explode multiplies pairs by a
+    * constant |T|, the doc set dedups on (t, doc), and every
+    * threshold row survives via the |T|-row frame (zero-pair
+    * thresholds report zeros, not absence). */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = minhashPairs(s, dir).select("doc_a", "doc_b", "j_milli")
+    val tagged = p
+      .withColumn("t", explode(array(DupThresholds.map(lit(_)): _*)))
+      .filter(col("j_milli") >= col("t"))
+    val pairsAgg = tagged.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val docsAgg = tagged
+      .select(col("t"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+    DupThresholds.toDF("t")
+      .join(pairsAgg, Seq("t"), "left")
+      .join(docsAgg, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("t").as("j_milli_min"),
+        coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).cast("long").as("n_docs_affected"),
+        expr("coalesce(n_docs, 0L) * 1000000 div n_total").as("affected_ppm"))
+      .orderBy("j_milli_min")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "q178_cluster_split" -> (clusterSplit _),
     "q176_tfidf_cosine_join" -> (tfidfCosineJoin _),
     "q28_minhash_lsh_pairs" -> (minhashPairs _),
@@ -1215,6 +1258,28 @@ object Dedup {
       s"""$minhashCtes
          |SELECT doc_a, doc_b, inter_sh, union_sh, j_milli
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q185_dedup_threshold_curve" -> {
+      val tvals = DupThresholds.map(t => s"($t)").mkString(", ")
+      s"""$minhashCtes,
+         |th AS (SELECT * FROM (VALUES $tvals) AS x(t)),
+         |tg AS (SELECT th.t, p.doc_a, p.doc_b FROM pairs p
+         |       JOIN th ON p.j_milli >= th.t),
+         |pa AS (SELECT t, count(*) AS n_pairs FROM tg GROUP BY t),
+         |da AS (SELECT t, count(*) AS n_docs FROM (
+         |   SELECT DISTINCT t, doc FROM (
+         |    SELECT t, doc_a AS doc FROM tg
+         |    UNION ALL SELECT t, doc_b FROM tg) u) v GROUP BY t),
+         |tot AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT CAST(th.t AS BIGINT) AS j_milli_min,
+         | CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         | CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs_affected,
+         | CAST(coalesce(n_docs, 0) * 1000000 // n_total AS BIGINT)
+         |   AS affected_ppm
+         |FROM th LEFT JOIN pa ON pa.t = th.t
+         |        LEFT JOIN da ON da.t = th.t
+         |        CROSS JOIN tot
+         |ORDER BY j_milli_min""".stripMargin
+    },
     // the sig CTE's g lists ARE the Spark-side signatures — component
     // agreement against the verify-side exact Jaccard, per pair
     "q109_minhash_calibration" ->

@@ -47,7 +47,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q171_quantile_norm", // 1-row corpus count onto the bounded census
     "q181_rolling_wau", // 1-row last-day span frame
     "q182_power_iteration", // 1-row max-norm frame per round
-    "q184_churn_accounting" // 1-row observed-span frame
+    "q184_churn_accounting", // 1-row observed-span frame
+    "q185_dedup_threshold_curve" // 1-row corpus count
   )
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
@@ -426,6 +427,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // two O(weeks) censuses + their splice + presentation sort; the
     // span frame is a 1-row broadcast
     "q184_churn_accounting" -> 6,
+    // q185: q28's pairs pipeline feeds two |T|·pairs aggs + the
+    // (t, doc) distinct + the |T|-row splice joins + sort; corpus
+    // count is a 1-row broadcast
+    "q185_dedup_threshold_curve" -> 9,
     // q142: block distinct + digest df census + digest self-join
     // (reused exchange) + pair census + presentation sort
     "q142_frame_overlap" -> 5

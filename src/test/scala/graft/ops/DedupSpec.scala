@@ -361,6 +361,28 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_._6 != 0L))
   }
 
+  test("q185: the curve is monotone and replays from the verified pair list") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.dedupThresholdCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("j_milli_min"))
+    assert(out.length === Dedup.DupThresholds.length)
+    val pairs = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("j_milli")))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    out.foreach { r =>
+      val t = r.getAs[Long]("j_milli_min")
+      val surv = pairs.filter(_._3 >= t)
+      val docs = surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      assert(r.getAs[Long]("n_pairs") === surv.length.toLong, s"t=$t pairs")
+      assert(r.getAs[Long]("n_docs_affected") === docs, s"t=$t docs")
+      assert(r.getAs[Long]("affected_ppm") === docs * 1000000L / nDocs)
+    }
+    // raising the threshold can only shrink the curve
+    val ns = out.map(_.getAs[Long]("n_pairs"))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("q178: cluster split is leakage-free by construction and hash-exact") {
     val sf = "/root/testdata/sf0.001"
     val out = Dedup.clusterSplit(spark, sf).collect()
