@@ -100,9 +100,14 @@ object Bench {
     val errs = measured.collect { case (k, Left(e)) =>
       s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
     val total = measured.collect { case (_, Right(v)) => v }.sum
+    // normalized_total = total ÷ canary ratio: round-over-round totals
+    // adjudicable without hand math — a loaded host inflates total and
+    // canary alike, so the quotient is the host-independent number
+    // (round-8 verdict asked for exactly this field).
     val canary = measured.collectFirst { case (CanaryQuery, Right(v)) =>
       s""""canary":{"query":"$CanaryQuery","sec":${num(v, 4)},""" +
-        s""""ref_sec":${num(CanaryRefSec, 4)},"ratio":${num(v / CanaryRefSec, 3)}},"""
+        s""""ref_sec":${num(CanaryRefSec, 4)},"ratio":${num(v / CanaryRefSec, 3)}},""" +
+        s""""normalized_total":${num(total / (v / CanaryRefSec), 2)},"""
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$canary"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""

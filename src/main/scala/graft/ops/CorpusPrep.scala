@@ -723,9 +723,9 @@ object CorpusPrep {
          |sc AS (
          | SELECT source,
          |  (CASE WHEN n_tok = 0 THEN 0
-         |        ELSE n_distinct * 1000000 // n_tok END) +
+         |        ELSE ${OracleSql.ppmSql("n_distinct", "n_tok")} END) +
          |  (CASE WHEN n_tok = 0 THEN 0
-         |        ELSE stop_hits * 1000000 // n_tok END) AS score_ppm
+         |        ELSE ${OracleSql.ppmSql("stop_hits", "n_tok")} END) AS score_ppm
          | FROM mr),
          |h AS (SELECT source, score_ppm, count(*) AS c FROM sc GROUP BY 1, 2),
          |cu AS (
@@ -747,9 +747,9 @@ object CorpusPrep {
          |sc AS (
          | SELECT doc_id, source,
          |  (CASE WHEN n_tok = 0 THEN 0
-         |        ELSE n_distinct * 1000000 // n_tok END) +
+         |        ELSE ${OracleSql.ppmSql("n_distinct", "n_tok")} END) +
          |  (CASE WHEN n_tok = 0 THEN 0
-         |        ELSE stop_hits * 1000000 // n_tok END) AS score_ppm
+         |        ELSE ${OracleSql.ppmSql("stop_hits", "n_tok")} END) AS score_ppm
          | FROM mr),
          |r AS (
          | SELECT doc_id, source, CAST(score_ppm AS BIGINT) AS score_ppm,
@@ -758,8 +758,8 @@ object CorpusPrep {
          |  count(*) OVER (PARTITION BY source) AS n
          | FROM sc)
          |SELECT doc_id, source, score_ppm, r,
-         | CAST(CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1)
-         |      ELSE 0 END AS BIGINT) AS pct_ppm
+         | CASE WHEN n > 1 THEN ${OracleSql.ppmSql("(r - 1)", "(n - 1)")}
+         |      ELSE CAST(0 AS BIGINT) END AS pct_ppm
          |FROM r ORDER BY doc_id""".stripMargin,
     // one statement splicing the four stage chains; `ranked`'s local
     // alias `d` for documents shadows the contamination chain's `d`

@@ -697,12 +697,12 @@ object DataPrep {
          | FROM x GROUP BY max_len)
          |SELECT CAST(max_len AS BIGINT) AS max_len,
          | CAST(n_truncated AS BIGINT) AS n_truncated,
-         | CAST(n_truncated * 1000000 // n_docs_total AS BIGINT) AS trunc_ppm,
+         | ${OracleSql.ppmSql("n_truncated", "n_docs_total")} AS trunc_ppm,
          | CAST(tokens_lost AS BIGINT) AS tokens_lost,
-         | CAST(tokens_lost * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS loss_ppm
+         | ${OracleSql.ppmSql("tokens_lost", "greatest(tokens_total, 1)")} AS loss_ppm
          |FROM g ORDER BY max_len""".stripMargin,
     "q171_quantile_norm" ->
-      """WITH d AS (SELECT source, n_chars FROM documents),
+      s"""WITH d AS (SELECT source, n_chars FROM documents),
         |sc AS (SELECT source, n_chars, count(*) AS cnt FROM d GROUP BY 1, 2),
         |sr AS (
         | SELECT source, n_chars, cnt,
@@ -718,7 +718,7 @@ object DataPrep {
         |tot AS (SELECT count(*) AS n_total FROM d),
         |u AS (
         | SELECT (r * n_total + n_s - 1) // n_s AS pos, 0 AS tag, source,
-        |   n_chars AS value, cnt, r * 1000000 // n_s AS pct_ppm,
+        |   n_chars AS value, cnt, ${OracleSql.ppmSql("r", "n_s")} AS pct_ppm,
         |   CAST(NULL AS BIGINT) AS gv
         | FROM sr CROSS JOIN tot
         | UNION ALL
@@ -808,8 +808,8 @@ object DataPrep {
          | SELECT doc_id, term, tf, df, tf * ((n_docs * 1000) // df) AS score
          | FROM tf JOIN df USING (term) CROSS JOIN n),
          |r AS (
-         | SELECT *, row_number() OVER (
-         |   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+         | SELECT *, CAST(row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
          | FROM scored)
          |SELECT doc_id, term, tf, df, score, rnk
          |FROM r WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""".stripMargin,
@@ -883,7 +883,7 @@ object DataPrep {
          |SELECT doc_id, any_value(n_tokens) AS n_tokens,
          | count(DISTINCT i) AS n_hit_grams,
          | count(DISTINCT p) AS covered_tokens,
-         | count(DISTINCT p) * 1000000 // any_value(n_tokens) AS covered_ppm
+         | ${OracleSql.ppmSql("count(DISTINCT p)", "any_value(n_tokens)")} AS covered_ppm
          |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q55_sequence_pack" ->
@@ -931,7 +931,7 @@ object DataPrep {
          |SELECT CAST(bin AS BIGINT) AS bin,
          | CAST(mn + bin * (mx - mn + 1) // $HistBins AS BIGINT) AS lo_cents,
          | CAST(mn + (bin + 1) * (mx - mn + 1) // $HistBins - 1 AS BIGINT) AS hi_cents,
-         | n, CAST(n * 1000000 // (SELECT sum(n) FROM h) AS BIGINT) AS ppm
+         | n, ${OracleSql.ppmSql("n", "(SELECT sum(n) FROM h)")} AS ppm
          |FROM h ORDER BY bin""".stripMargin
   )
 }

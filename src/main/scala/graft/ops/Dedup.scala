@@ -1273,7 +1273,7 @@ object Dedup {
          |SELECT CAST(th.t AS BIGINT) AS j_milli_min,
          | CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
          | CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs_affected,
-         | CAST(coalesce(n_docs, 0) * 1000000 // n_total AS BIGINT)
+         | ${OracleSql.ppmSql("coalesce(n_docs, 0)", "n_total")}
          |   AS affected_ppm
          |FROM th LEFT JOIN pa ON pa.t = th.t
          |        LEFT JOIN da ON da.t = th.t
@@ -1419,7 +1419,7 @@ object Dedup {
          |   len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_sh
          |   FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, inter_sh, union_sh,
-         |  inter_sh * 1000000 // union_sh AS jacc_ppm
+         |  ${OracleSql.ppmSql("inter_sh", "union_sh")} AS jacc_ppm
          |FROM pv WHERE inter_sh * 1000000 >= $PfxJaccPpmMin * union_sh
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q121_editdist_pairs" ->

@@ -418,7 +418,7 @@ object Funnels {
         |FROM st FULL OUTER JOIN ch USING (wk)
         |ORDER BY wk""".stripMargin,
     "q174_markov_power" ->
-      """WITH e AS (
+      s"""WITH e AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |tr AS (
         | SELECT event_type AS from_type,
@@ -430,7 +430,7 @@ object Funnels {
         | WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |p1 AS (
         | SELECT from_type, to_type,
-        |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p
+        |  ${OracleSql.ppmSql("n", "sum(n) OVER (PARTITION BY from_type)")} AS p
         | FROM c),
         |p2 AS (
         | SELECT x.from_type, y.to_type,
@@ -464,7 +464,7 @@ object Funnels {
          |FROM s1 $joins ORDER BY user_id""".stripMargin
     },
     "q107_markov_transitions" ->
-      """WITH e AS (
+      s"""WITH e AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |p AS (
         | SELECT event_type AS from_type,
@@ -475,7 +475,7 @@ object Funnels {
         | SELECT from_type, to_type, count(*) AS n FROM p
         | WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        | n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS ppm
+        | ${OracleSql.ppmSql("n", "sum(n) OVER (PARTITION BY from_type)")} AS ppm
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q61_cohort_retention" ->
       """WITH cohort AS (
@@ -520,7 +520,7 @@ object Funnels {
         |FROM c JOIN t USING (event_type)
         |ORDER BY c.event_type, c.dow""".stripMargin,
     "q127_gap_histogram" ->
-      """WITH e AS (
+      s"""WITH e AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         | FROM events),
         |g AS (
@@ -532,7 +532,7 @@ object Funnels {
         |c AS (SELECT event_type, bucket, count(*) AS n FROM g
         | WHERE bucket IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, bucket, n,
-        | n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS ppm
+        | ${OracleSql.ppmSql("n", "sum(n) OVER (PARTITION BY event_type)")} AS ppm
         |FROM c ORDER BY event_type, bucket""".stripMargin,
     "q135_growth_accounting" ->
       """WITH e AS (
@@ -550,7 +550,7 @@ object Funnels {
         |  AS cum_users
         |FROM d ORDER BY day""".stripMargin,
     "q137_wow_change" ->
-      """WITH w AS (
+      s"""WITH w AS (
         | SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
         |  count(*) AS n
         | FROM events GROUP BY 1, 2),
@@ -559,7 +559,7 @@ object Funnels {
         |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
         | FROM w)
         |SELECT event_type, week, n, prev_n,
-        | CAST((n - prev_n) * 1000000 // prev_n AS BIGINT) AS delta_ppm
+        | ${OracleSql.ppmSql("(n - prev_n)", "prev_n")} AS delta_ppm
         |FROM l ORDER BY event_type, week""".stripMargin,
     "q138_conversion_latency" -> {
       val stepCtes = FunnelSteps.zipWithIndex.drop(1).map { case (typ, i) =>
@@ -579,7 +579,7 @@ object Funnels {
          | FROM s1 JOIN $lastS USING (user_id)),
          |c AS (SELECT bucket, count(*) AS n_users FROM h GROUP BY bucket)
          |SELECT bucket, n_users,
-         | CAST(n_users * 1000000 // (SELECT sum(n_users) FROM c) AS BIGINT) AS ppm
+         | ${OracleSql.ppmSql("n_users", "(SELECT sum(n_users) FROM c)")} AS ppm
          |FROM c ORDER BY bucket""".stripMargin
     }
   )

@@ -177,7 +177,7 @@ object Mixing {
          | SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
          |        CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM bcnt),
          |delta AS (
-         | SELECT b, (c_tgt * 1000000 // t_tgt) - (c_all * 1000000 // t_all)
+         | SELECT b, ${OracleSql.ppmSql("c_tgt", "t_tgt")} - ${OracleSql.ppmSql("c_all", "t_all")}
          |   AS delta_ppm
          | FROM bcnt CROSS JOIN tot),
          |sc AS (

@@ -575,8 +575,8 @@ object Profiling {
          |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax
          | FROM documents d LEFT JOIN pd USING (doc_id))
          |SELECT doc_id, n_tokens, n_hapax,
-         | n_hapax * 1000000 // greatest(n_tokens, 1) AS hapax_ppm,
-         | CAST(n_hapax * 1000000 // greatest(n_tokens, 1) >= $HapaxFlagPpm
+         | ${OracleSql.ppmSql("n_hapax", "greatest(n_tokens, 1)")} AS hapax_ppm,
+         | CAST(${OracleSql.ppmSql("n_hapax", "greatest(n_tokens, 1)")} >= $HapaxFlagPpm
          |   AS BIGINT) AS flag_garbage
          |FROM f ORDER BY doc_id""".stripMargin,
     "q152_source_novelty" ->
@@ -593,7 +593,7 @@ object Profiling {
          | FROM grams JOIN spread USING (g) GROUP BY source)
          |SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
          | CAST(n_exclusive AS BIGINT) AS n_exclusive,
-         | n_exclusive * 1000000 // greatest(n_grams, 1) AS novelty_ppm
+         | ${OracleSql.ppmSql("n_exclusive", "greatest(n_grams, 1)")} AS novelty_ppm
          |FROM r ORDER BY source""".stripMargin,
     "q150_compaction_plan" ->
       s"""WITH files AS (
@@ -646,10 +646,10 @@ object Profiling {
          |cnt AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3)
          |SELECT doc_id, n AS n_chars_ns,
          | CAST(count(*) AS BIGINT) AS distinct_chars,
-         | CAST(sum(c * c) * 1000000 // (n * n) AS BIGINT) AS simpson_ppm
+         | ${OracleSql.ppmSql("sum(c * c)", "(n * n)")} AS simpson_ppm
          |FROM cnt GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q115_ks_drift" ->
-      """WITH srcs AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+      s"""WITH srcs AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
         |grid AS (SELECT DISTINCT n_chars AS v FROM documents),
         |cnts AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
         |filled AS (SELECT s.source, s.n_s, g.v, coalesce(c.c, 0) AS c
@@ -666,8 +666,7 @@ object Profiling {
         |SELECT source, CAST(n_s AS BIGINT) AS n_s,
         | CAST(nn - n_s AS BIGINT) AS n_rest,
         | CAST(max(abs(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s)) AS BIGINT) AS ks_num,
-        | CAST(max(abs(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s)) * 1000000
-        |   // (n_s * (nn - n_s)) AS BIGINT) AS ks_ppm
+        | ${OracleSql.ppmSql("max(abs(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s))", "(n_s * (nn - n_s))")} AS ks_ppm
         |FROM cum JOIN tot USING (v), n
         |GROUP BY source, n_s, nn ORDER BY source""".stripMargin,
     "q116_skew_audit" -> {
@@ -685,7 +684,7 @@ object Profiling {
            | CAST(count(*) AS BIGINT) AS n_keys,
            | CAST(max(cnt) AS BIGINT) AS max_key_rows,
            | CAST(min(CASE WHEN cnt = mx THEN k END) AS BIGINT) AS top_key,
-           | CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS max_share_ppm,
+           | ${OracleSql.ppmSql("max(cnt)", "sum(cnt)")} AS max_share_ppm,
            | CAST(max(cnt) * count(*) * 1000 // sum(cnt) AS BIGINT) AS skew_ratio_milli
            |FROM g_$k, m_$k GROUP BY mx""".stripMargin
       }.mkString("\nUNION ALL\n")

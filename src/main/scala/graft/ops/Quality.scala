@@ -395,9 +395,9 @@ object Quality {
          |g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
          |t AS (SELECT sum(n) AS n_total FROM g)
          |SELECT digit, CAST(n AS BIGINT) AS n,
-         | CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+         | ${OracleSql.ppmSql("n", "n_total")} AS share_ppm,
          | CAST($expected AS BIGINT) AS benford_ppm,
-         | CAST(n * 1000000 // n_total - ($expected) AS BIGINT) AS dev_ppm
+         | ${OracleSql.ppmSql("n", "n_total")} - ($expected) AS dev_ppm
          |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
     },
     "q158_l_diversity" ->

@@ -771,7 +771,7 @@ object Relational {
         | ON g.user_id = e.user_id AND e.ts <= g.tick
         |ORDER BY g.user_id, tick_us""".stripMargin,
     "q119_interp_resample" ->
-      """WITH b AS (
+      s"""WITH b AS (
         | SELECT date_trunc('hour', min(ts)) AS lo,
         |        date_trunc('hour', max(ts)) AS hi FROM events),
         |grid AS (
@@ -794,7 +794,7 @@ object Relational {
         |      WHEN next_us IS NULL THEN prev_cents
         |      WHEN next_us = prev_us THEN prev_cents
         |      ELSE prev_cents + (next_cents - prev_cents)
-        |        * ((tick_us - prev_us) * 1000000 // (next_us - prev_us)) // 1000000
+        |        * ${OracleSql.ppmSql("(tick_us - prev_us)", "(next_us - prev_us)")} // 1000000
         | END AS interp_cents
         |FROM fw ORDER BY user_id, tick_us""".stripMargin,
     "q132_topn_other" ->

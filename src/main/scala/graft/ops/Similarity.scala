@@ -1245,7 +1245,7 @@ object Similarity {
          |SELECT ex.q_id,
          |  CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
-         |  count(ap.vec_id) * 1000000 // count(*) AS recall_ppm
+         |  ${OracleSql.ppmSql("count(ap.vec_id)", "count(*)")} AS recall_ppm
          |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
     "q144_matryoshka_overlap" ->
@@ -1266,7 +1266,7 @@ object Similarity {
          |   FROM pr)
          |SELECT q_id, CAST($PrefixDim AS BIGINT) AS prefix_dim,
          |  CAST(sum(CASE WHEN rf <= $TopK AND rp <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-         |  sum(CASE WHEN rf <= $TopK AND rp <= $TopK THEN 1 ELSE 0 END) * 1000000 // $TopK AS overlap_ppm
+         |  ${OracleSql.ppmSql(s"sum(CASE WHEN rf <= $TopK AND rp <= $TopK THEN 1 ELSE 0 END)", TopK.toString)} AS overlap_ppm
          |FROM r WHERE rf <= $TopK OR rp <= $TopK
          |GROUP BY q_id ORDER BY q_id""".stripMargin
   )

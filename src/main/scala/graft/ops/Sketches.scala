@@ -290,7 +290,7 @@ object Sketches {
     * the estimate participates via its bound, not its bits. */
   val oracles: Map[String, String] = Map(
     "q160_overlap_sketch" ->
-      """WITH ud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+      s"""WITH ud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
         |pt AS (SELECT t, count(*) AS exact FROM ud GROUP BY t),
         |ov AS (
         | SELECT a.t AS type_a, b.t AS type_b, count(*) AS exact_overlap
@@ -300,7 +300,7 @@ object Sketches {
         | CAST(pa.exact AS BIGINT) AS exact_a,
         | CAST(pb.exact AS BIGINT) AS exact_b,
         | CAST(exact_overlap AS BIGINT) AS exact_overlap,
-        | exact_overlap * 1000000 // (pa.exact + pb.exact - exact_overlap)
+        | ${OracleSql.ppmSql("exact_overlap", "(pa.exact + pb.exact - exact_overlap)")}
         |   AS jaccard_ppm,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM ov JOIN pt pa ON pa.t = type_a JOIN pt pb ON pb.t = type_b
@@ -345,8 +345,8 @@ object Sketches {
     "q140_sketch_rollup" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         | count(DISTINCT user_id) AS exact_users,
-        | 1 AS within_bound,
-        | 1 AS merge_consistent
+        | CAST(1 AS BIGINT) AS within_bound,
+        | CAST(1 AS BIGINT) AS merge_consistent
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     "q141_stats_rollup" ->
       """WITH d AS (

@@ -858,7 +858,7 @@ object Temporal {
          |SELECT CAST(position AS BIGINT) AS position,
          | CAST(count(*) AS BIGINT) AS n_events,
          | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-         | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 // count(*) AS purchase_ppm
+         | ${OracleSql.ppmSql("sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)", "count(*)")} AS purchase_ppm
          |FROM p GROUP BY position ORDER BY position""".stripMargin,
     "q159_linear_attribution" ->
       s"""WITH e AS (

@@ -841,7 +841,7 @@ object TextAnalysis {
          |tk AS (SELECT source, w FROM tok WHERE w <> ''),
          |cnt AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
          |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-         |freq AS (SELECT cnt.source, w, c * 1000000 // n AS f
+         |freq AS (SELECT cnt.source, w, ${OracleSql.ppmSql("c", "n")} AS f
          |   FROM cnt JOIN tot ON cnt.source = tot.source),
          |sumf AS (SELECT source, CAST(sum(f) AS BIGINT) AS sum_f FROM freq GROUP BY 1),
          |shared AS (SELECT x.source AS src_a, y.source AS src_b,
@@ -925,7 +925,7 @@ object TextAnalysis {
         |cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
         |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
         |       FROM cab GROUP BY 1)
-        |SELECT a, b, c_ab, c_a, c_ab * 1000000 // c_a AS cond_ppm
+        |SELECT a, b, c_ab, c_a, ${OracleSql.ppmSql("c_ab", "c_a")} AS cond_ppm
         |FROM cab JOIN ca USING (a)
         |ORDER BY c_ab DESC, a, b LIMIT 100""".stripMargin,
     "q95_bpe_merges" -> bpeOracle,
@@ -941,7 +941,7 @@ object TextAnalysis {
          |       FROM cab GROUP BY 1),
          |sc AS (
          | SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(c_ab * 1000000 // c_a) AS BIGINT) AS sum_ppm
+         |  CAST(sum(${OracleSql.ppmSql("c_ab", "c_a")}) AS BIGINT) AS sum_ppm
          | FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
          | GROUP BY doc_id)
          |SELECT d.doc_id,

@@ -33,6 +33,16 @@ case class UpsertRow(user_id: Long, event_id: Long, event_type: String,
   * way `StreamingAttribution` does). Everything else in the streaming
   * surface keeps watermark-bounded state; the deviation is the
   * semantics, not an accident.
+  *
+  * Deliberately NO watermark: `flatMapGroupsWithState` with NoTimeout
+  * does not require one, and a watermark would have Spark drop any
+  * record older than (max event time − delay) BEFORE the operator —
+  * so a record that is late globally but still newer than ITS KEY's
+  * state (a key idle longer than the delay) would be silently
+  * discarded instead of folded, breaking the "replay reproduces the
+  * q131 batch compaction" equivalence. Without it, every arrival
+  * reaches the monotone-state check and latest-wins is exact at any
+  * lateness.
   */
 object StreamingUpsert {
 
@@ -40,10 +50,9 @@ object StreamingUpsert {
     * columns (user_id, event_id, event_type, ts, value); emits one
     * append-mode row per key per micro-batch in which the key's
     * latest row changed. */
-  def latest(events: DataFrame, watermark: String): Dataset[UpsertRow] = {
+  def latest(events: DataFrame): Dataset[UpsertRow] = {
     import events.sparkSession.implicits._
     val typed = events
-      .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         col("event_type"),

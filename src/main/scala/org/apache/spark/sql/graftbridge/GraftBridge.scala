@@ -57,12 +57,20 @@ object GraftBridge {
     * checkpoint + unpersist, `sparkContext.getPersistentRDDs` still
     * holds the RDD). Round-cache eviction (q59/q167/q182) must reach
     * through the leaf and unpersist THAT RDD. Returns true when a
-    * checkpointed leaf was found and dropped. */
-  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean = {
-    val leaves = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    * checkpointed leaf was found and dropped.
+    *
+    * CONTRACT: pass only a frame that IS a checkpoint result — i.e.
+    * whose ROOT plan node is the `LogicalRDD` the checkpoint produced.
+    * The guard below enforces it: a derived plan (filter/join/project
+    * over a checkpoint) is refused (returns false, drops nothing),
+    * because unpersisting every embedded `LogicalRDD` leaf would
+    * destroy the blocks of a still-live SHARED checkpoint — and since
+    * localCheckpoint truncates lineage, the shared frame would then
+    * throw on its next execution instead of recomputing. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); true
+      case _ => false
     }
-    leaves.foreach(_.unpersist(blocking = false))
-    leaves.nonEmpty
-  }
 }

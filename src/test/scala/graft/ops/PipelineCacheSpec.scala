@@ -102,4 +102,27 @@ class PipelineCacheSpec extends SparkTestBase {
     assert((persistedIds -- before).isEmpty,
       "the checkpoint RDD must be gone after unpersistCheckpoint")
   }
+
+  test("unpersistCheckpoint refuses a DERIVED plan embedding a shared checkpoint") {
+    import spark.implicits._
+    def persistedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persistedIds
+    val cp = (1 to 100).toDF("x").localCheckpoint(true)
+    assert(cp.count() === 100L)
+    // a plan DERIVED from the checkpoint is not itself the checkpoint:
+    // unpersisting through it would destroy the shared frame's blocks,
+    // and (lineage truncated) the shared frame would then throw.
+    val derived = cp.filter($"x" > 50).selectExpr("x * 2 AS y")
+    val dropped = org.apache.spark.sql.graftbridge.GraftBridge
+      .unpersistCheckpoint(derived)
+    assert(!dropped, "derived plans must be refused, not reached into")
+    assert((persistedIds -- before).nonEmpty,
+      "the shared checkpoint's blocks must survive the refused call")
+    assert(derived.count() === 50L, "shared frame still executable")
+    // the checkpoint frame itself is still accepted
+    assert(org.apache.spark.sql.graftbridge.GraftBridge
+      .unpersistCheckpoint(cp))
+    assert((persistedIds -- before).isEmpty)
+  }
 }

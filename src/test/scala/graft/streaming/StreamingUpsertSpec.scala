@@ -15,19 +15,26 @@ class StreamingUpsertSpec extends SparkTestBase {
 
   /** u1: two versions in batch 1 (only the later emits), then a newer
     * one in batch 2 (second emission). u2: one version in batch 1,
-    * then a STALE older record in batch 2 — no emission, snapshot
-    * must not regress. u3: same-microsecond tie broken by event_id. */
+    * then a STALE older record in batch 2 — it REACHES the operator
+    * (no watermark pre-filter) and the monotone-state check suppresses
+    * it: no emission, snapshot must not regress. u3: same-microsecond
+    * tie broken by event_id. u4: batch-2 record is GLOBALLY late
+    * (09:30, far behind every other key's event time — a watermark
+    * would have dropped it pre-operator) yet newer than u4's own 09:00
+    * state → must fold and emit. */
   private lazy val inDir: String = {
     val d = tmpDir("supsert-in")
     Seq((1L, 10L, "signup", ts("2026-01-01 10:00:00"), 1.0),
       (1L, 11L, "view", ts("2026-01-01 10:05:00"), 2.0),
       (2L, 12L, "click", ts("2026-01-01 10:06:00"), 3.0),
       (3L, 13L, "view", ts("2026-01-01 10:07:00"), 4.0),
-      (3L, 14L, "click", ts("2026-01-01 10:07:00"), 5.0))
+      (3L, 14L, "click", ts("2026-01-01 10:07:00"), 5.0),
+      (4L, 15L, "signup", ts("2026-01-01 09:00:00"), 8.0))
       .toDF("user_id", "event_id", "event_type", "ts", "value")
       .coalesce(1).write.parquet(s"$d/b1.parquet")
     Seq((1L, 20L, "purchase", ts("2026-01-01 10:10:00"), 6.0),
-      (2L, 21L, "error", ts("2026-01-01 10:01:00"), 7.0)) // stale for u2
+      (2L, 21L, "error", ts("2026-01-01 10:01:00"), 7.0), // stale for u2
+      (4L, 22L, "view", ts("2026-01-01 09:30:00"), 9.0)) // late globally, newer for u4
       .toDF("user_id", "event_id", "event_type", "ts", "value")
       .coalesce(1).write.parquet(s"$d/b2.parquet")
     Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
@@ -43,7 +50,7 @@ class StreamingUpsertSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$inDir/b1.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet")
-    val q = StreamingUpsert.latest(stream, "1 minute")
+    val q = StreamingUpsert.latest(stream)
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("supsert-ckpt"))
       .format("memory").queryName("supsert").outputMode("append")
@@ -54,13 +61,16 @@ class StreamingUpsertSpec extends SparkTestBase {
         r.getAs[String]("event_type"), r.getAs[Long]("us"),
         r.getAs[Long]("value_cents")))
     // u1 emits twice (batch1 collapse → view, batch2 → purchase);
-    // u2 emits ONCE (stale batch-2 row suppressed); u3 once with the
-    // event_id tie-break.
-    assert(rows.length === 4)
+    // u2 emits ONCE (stale batch-2 row suppressed BY THE STATE CHECK —
+    // no watermark exists to drop it first); u3 once with the event_id
+    // tie-break; u4 emits twice (the globally-late batch-2 row is
+    // newer than u4's state and must fold).
+    assert(rows.length === 6)
     val byUser = rows.groupBy(_._1)
     assert(byUser(1L).map(_._2).toSet === Set(11L, 20L))
     assert(byUser(2L).map(_._2).toSeq === Seq(12L))
     assert(byUser(3L).map(_._2).toSeq === Seq(14L))
+    assert(byUser(4L).map(_._2).toSet === Set(15L, 22L))
     // final snapshot (last emission per key) ≡ the batch latest-wins
     // rule over the full input
     val all = spark.read.parquet(s"$inDir/*.parquet").collect()
