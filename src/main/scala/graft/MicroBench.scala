@@ -44,9 +44,20 @@ object MicroBench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    args.foreach(once) // warm-up pass, JVM + codegen
+    // Same orphan-checkpoint discipline as Bench (see
+    // Bench.sweepOrphanCheckpoints): without it, a multi-query
+    // invocation leaks each query's terminal checkpoint blocks into
+    // the next query's measurement.
+    def sweptRuns(name: String, k: Int): Seq[Double] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val g0 = ops.PipelineCache.generation
+      val rs = (1 to k).map { _ => System.gc(); once(name) }
+      Bench.sweepOrphanCheckpoints(spark, before, g0)
+      rs
+    }
+    args.foreach(sweptRuns(_, 1)) // warm-up pass, JVM + codegen
     val results = args.map { name =>
-      val runs = (1 to n).map { _ => System.gc(); once(name) }
+      val runs = sweptRuns(name, n)
       println(f"MICRO $name min=${runs.min}%.3f " +
         s"runs=[${runs.map(r => f"$r%.2f").mkString(", ")}]")
       name -> runs

@@ -97,14 +97,27 @@ object PipelineCache {
     * subtree referenced N times by the same plan materializes once
     * instead of N times (persist dedupes subtree recomputation even
     * inside a single action). */
+  /** Monotone count of cache-entry computations. Bench's orphan-
+    * checkpoint sweep reads it around each timed query: a change means
+    * the query (re)built a pipeline entry whose plan may EMBED
+    * locally-checkpointed ancestors (q52's label frame, q95's merge
+    * table), so new checkpoints from that query must be left alive —
+    * unpersisting a truncated-lineage ancestor of a live cache entry
+    * would make later reads throw instead of recompute. */
+  private val generationCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def generation: Long = generationCounter.get
+
   def getOrPersist(s: SparkSession, dir: String, owner: String)
       (build: => DataFrame): DataFrame =
     if (!enabled(s)) build
     else {
       val sk = sessionKey(s)
       registerEviction(s, sk)
-      cache.getOrElseUpdate((sk, dir, owner),
-        build.persist(StorageLevel.MEMORY_AND_DISK))
+      cache.getOrElseUpdate((sk, dir, owner), {
+        generationCounter.incrementAndGet()
+        build.persist(StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   /** Drop (and unpersist) every entry this `owner` holds in `s` —

@@ -49,6 +49,16 @@ object GraftBridge {
       case _ => None
     }
 
+  /** `RDD.isLocallyCheckpointed` has a Scala-private signature but
+    * public bytecode (it's what pyspark calls over py4j); Bench's
+    * orphan-checkpoint sweep needs it to target exactly the leak
+    * class (terminal localCheckpoint blocks) and nothing else, so go
+    * through the public bytecode. */
+  private lazy val isLocallyCheckpointedM =
+    classOf[org.apache.spark.rdd.RDD[_]].getMethod("isLocallyCheckpointed")
+  def isLocallyCheckpointed(r: org.apache.spark.rdd.RDD[_]): Boolean =
+    isLocallyCheckpointedM.invoke(r).asInstanceOf[Boolean]
+
   /** Eagerly drop the storage blocks behind a `localCheckpoint(true)`
     * frame. `Dataset.unpersist` is a NO-OP for checkpointed frames —
     * it only removes CacheManager entries, and a local checkpoint

@@ -103,6 +103,42 @@ class PipelineCacheSpec extends SparkTestBase {
       "the checkpoint RDD must be gone after unpersistCheckpoint")
   }
 
+  test("generation moves on a build, not on a cache hit (Bench sweep guard)") {
+    spark.conf.set(PipelineCache.ConfKey, "true")
+    try {
+      def build = spark.range(3).toDF("doc_id")
+      val g0 = PipelineCache.generation
+      PipelineCache.getOrPersist(spark, sf, "owner_gen")(build)
+      assert(PipelineCache.generation == g0 + 1, "miss must bump generation")
+      PipelineCache.getOrPersist(spark, sf, "owner_gen")(build)
+      assert(PipelineCache.generation == g0 + 1, "hit must NOT bump generation")
+      PipelineCache.invalidate(spark, "owner_gen")
+      PipelineCache.getOrPersist(spark, sf, "owner_gen")(build)
+      assert(PipelineCache.generation == g0 + 2,
+        "rebuild after invalidate must bump generation (owner queries " +
+          "always read as generation-moved, so Bench never sweeps them)")
+    } finally {
+      PipelineCache.clear(spark)
+      spark.conf.unset(PipelineCache.ConfKey)
+    }
+  }
+
+  test("isLocallyCheckpointed bridge discriminates checkpoint blocks from plain persists") {
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.graftbridge.GraftBridge
+    val cp = (1 to 10).toDF("x").localCheckpoint(true)
+    val plain = (1 to 10).toDF("y").persist()
+    plain.count()
+    val persisted = spark.sparkContext.getPersistentRDDs.values.toSeq
+    assert(persisted.exists(bridge.isLocallyCheckpointed),
+      "the checkpoint RDD must report locally-checkpointed")
+    assert(persisted.exists(r => !bridge.isLocallyCheckpointed(r)),
+      "the plain persisted frame must NOT report locally-checkpointed " +
+        "(Bench's sweep must never touch cache-manager blocks)")
+    plain.unpersist(blocking = true)
+    assert(bridge.unpersistCheckpoint(cp))
+  }
+
   test("unpersistCheckpoint refuses a DERIVED plan embedding a shared checkpoint") {
     import spark.implicits._
     def persistedIds: Set[Int] =
