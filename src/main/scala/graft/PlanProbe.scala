@@ -1,0 +1,146 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Runtime-plan probe: `runMain graft.PlanProbe q87_kcore [more…]`
+  * runs each named query once (Bench-equivalent session: AQE on,
+  * pipeline cache on) and prints, for EVERY execution the query
+  * triggers — the terminal noop write AND each per-round eager
+  * `localCheckpoint` job — the AQE-FINAL join/exchange operator
+  * census.
+  *
+  * This is the runtime complement to [[PlanGolden]]: the golden
+  * artifact pins the static (AQE-off) shape of the terminal plan,
+  * which by design cannot see (a) what AQE actually turned a join
+  * into once it saw real shuffle sizes, or (b) the plans of
+  * intermediate executions inside round-structured queries (kcore /
+  * BFS / PageRank materialize a frame per round; the terminal plan is
+  * just a LogicalRDD leaf). Use this to adjudicate questions like
+  * "did the per-round semi-join get the runtime SMJ→broadcast
+  * conversion, or is it pinned to a shuffle join by a stats-less
+  * checkpoint leaf?" — the answer decides whether a conf nudge is
+  * needed, instead of guessing from `.explain` on the cold plan.
+  */
+object PlanProbe {
+
+  /** AQE-final operator names: unwrap [[AdaptiveSparkPlanExec]] to the
+    * plan it actually ran (`executedPlan` after materialization).
+    * Operators reached only through a cached relation's internal plan
+    * are prefixed `cached:` — at execution time those subtrees are
+    * read from storage blocks, not re-run (they executed when the
+    * cache materialized, usually in an earlier round/execution), so
+    * counting them as live joins would misread a round-structured
+    * query as quadratically deepening. */
+  def finalNodes(p: SparkPlan, cached: Boolean = false): Seq[String] = {
+    val rest = p match {
+      case a: AdaptiveSparkPlanExec => finalNodes(a.executedPlan, cached)
+      // AQE materializes stages as leaf wrappers (ResultQueryStageExec /
+      // ShuffleQueryStageExec / BroadcastQueryStageExec); the real
+      // operators live behind `plan`
+      case q: QueryStageExec => finalNodes(q.plan, cached)
+      case im: InMemoryTableScanExec =>
+        finalNodes(im.relation.cachedPlan, cached = true)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(finalNodes(_, cached))
+    }
+    val name =
+      (if (cached) "cached:" else "") + p.getClass.getSimpleName
+    name +: rest
+  }
+
+  /** One-line census of the operators that decide scale behavior:
+    * join strategies, exchanges, AQE shuffle reads. */
+  def census(plan: SparkPlan): String = {
+    val names = finalNodes(plan)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_FULL"))
+      return names.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (n, g) => s"$n×${g.size}" }.mkString(" ")
+    val interesting = names.filter { n =>
+      !n.startsWith("cached:") && (
+        n.contains("Join") || n.contains("Exchange") ||
+          n.contains("AQEShuffleRead") || n.contains("Cartesian"))
+    }
+    if (interesting.isEmpty) "(no live joins/exchanges)"
+    else interesting.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (n, g) => s"$n×${g.size}" }.mkString(" ")
+  }
+
+  /** `runMain graft.PlanProbe ALL` sweeps every query and writes the
+    * per-execution censuses to this artifact — committed as runtime
+    * evidence beside the static PLAN_SHAPES.txt. Unlike the golden, it
+    * is NOT spec-asserted: AQE's broadcast/coalesce decisions depend on
+    * runtime sizes, so the artifact documents what the engine did at
+    * the recorded SF rather than pinning a host-independent property. */
+  val ArtifactPath = "RUNTIME_PLANS.txt"
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PlanProbe <query_name>|ALL [more…]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(ops.PipelineCache.ConfKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val events = mutable.ArrayBuffer.empty[(String, String)]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        events.synchronized {
+          events += ((funcName, census(qe.executedPlan)))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+
+    val all = args.contains("ALL")
+    val names =
+      if (all) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    val lines = names.map { name =>
+      events.synchronized(events.clear())
+      ops.PipelineCache.invalidate(spark, name)
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val g0 = ops.PipelineCache.generation
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      // listener events are delivered asynchronously on the listener
+      // bus — drain before reading
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .waitListenerBusEmpty(spark, 30000)
+      Bench.sweepOrphanCheckpoints(spark, before, g0)
+      val evs = events.synchronized(events.toSeq)
+      println(s"PROBE $name: ${evs.size} executions")
+      evs.zipWithIndex.foreach {
+        case ((fn, c), i) => println(f"  [$i%02d] $fn%-16s $c")
+      }
+      name -> evs
+    }
+    if (all) {
+      val out = lines.map { case (n, evs) =>
+        evs.zipWithIndex.map { case ((fn, c), i) =>
+          s"$n\t$i\t$fn\t$c"
+        }.mkString("\n")
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(ArtifactPath), out)
+      println(s"[plan-probe] wrote ${names.size} queries to $ArtifactPath")
+    }
+    spark.stop()
+  }
+}
