@@ -799,7 +799,10 @@ object Dedup {
       .select(col("t").as("j_milli_min"),
         coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).cast("long").as("n_docs_affected"),
-        expr("coalesce(n_docs, 0L) * 1000000 div n_total").as("affected_ppm"))
+        // greatest(…,1): the |T|-row literal frame evaluates even on an
+        // EMPTY corpus (n_total = 0), unlike data-sized ppm columns
+        expr("coalesce(n_docs, 0L) * 1000000 div greatest(n_total, 1L)")
+          .as("affected_ppm"))
       .orderBy("j_milli_min")
   }
 
@@ -1273,7 +1276,7 @@ object Dedup {
          |SELECT CAST(th.t AS BIGINT) AS j_milli_min,
          | CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
          | CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs_affected,
-         | ${OracleSql.ppmSql("coalesce(n_docs, 0)", "n_total")}
+         | ${OracleSql.ppmSql("coalesce(n_docs, 0)", "greatest(n_total, 1)")}
          |   AS affected_ppm
          |FROM th LEFT JOIN pa ON pa.t = th.t
          |        LEFT JOIN da ON da.t = th.t

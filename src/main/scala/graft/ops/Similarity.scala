@@ -631,10 +631,16 @@ object Similarity {
     val stats = qv.select(posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("pos").collect()
-    val mnArr = stats.map(_.getAs[Long]("mn"))
-      .mkString("array(", "L, ", "L)")
-    val rngArr = stats.map(r => r.getAs[Long]("mx") - r.getAs[Long]("mn"))
-      .mkString("array(", "L, ", "L)")
+    // empty-input guard: mkString's start/end on a zero-dim collect
+    // would render "array(L)" — an unresolvable COLUMN reference, not
+    // an empty literal. No row ever evaluates the lambda then, so any
+    // well-typed constant array serves.
+    def arrLit(vals: Array[Long]): String =
+      if (vals.isEmpty) "array(0L)"
+      else vals.mkString("array(", "L, ", "L)")
+    val mnArr = arrLit(stats.map(_.getAs[Long]("mn")))
+    val rngArr = arrLit(
+      stats.map(r => r.getAs[Long]("mx") - r.getAs[Long]("mn")))
     def mn(i: String) = s"element_at($mnArr, $i + 1)"
     def rng(i: String) = s"element_at($rngArr, $i + 1)"
     // dq = x when the dim is constant (rng 0 ⇒ mn = x), else the
