@@ -44,6 +44,20 @@ case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
   */
 object StreamingAttribution {
 
+  /** Quarantine filter shared by the typed stateful operators: a row
+    * missing any field the operator's state logic requires would kill
+    * the QUERY at the encoder (`Null value appeared in non-nullable
+    * field`) — for a 24/7 ingest stream one poison record must not
+    * take down the pipeline (the FlightSessions discipline). Excluded
+    * rows are outside every operator's contract (no key to group on,
+    * no event time to order by); at scale the production deployment
+    * routes `NOT wellFormed` to a dead-letter sink instead of
+    * dropping. `event_type` stays nullable — String fields encode
+    * null fine and the operators treat unknown types as non-matches. */
+  private[streaming] def wellFormed(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+      col("ts").isNotNull && col("value").isNotNull)
+
   /** Attribute a purchase stream. `events` needs columns (user_id,
     * event_id, event_type, ts, value); emits one append-mode row per
     * purchase. */
@@ -51,7 +65,7 @@ object StreamingAttribution {
       horizonMicros: Long = graft.ops.Temporal.AttributionHorizonMicros)
       : Dataset[AttributedPurchase] = {
     import events.sparkSession.implicits._
-    val typed = events
+    val typed = wellFormed(events)
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),

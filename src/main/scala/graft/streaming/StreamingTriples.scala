@@ -74,7 +74,12 @@ object StreamingTriples {
       out.result().iterator
     }
 
+    // poison-record guard (see StreamingAttribution.wellFormed): a
+    // null key/ts/id row would kill the query at the Ev encoder.
+    // `value` is not consumed here, so only the used fields gate.
     events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .selectExpr("user_id", "event_id", "ts", "event_type")
       .as[Ev]

@@ -52,7 +52,9 @@ object StreamingUpsert {
     * latest row changed. */
   def latest(events: DataFrame): Dataset[UpsertRow] = {
     import events.sparkSession.implicits._
-    val typed = events
+    // poison-record guard (see StreamingAttribution.wellFormed): a
+    // null key/ts/id/value row would kill the query at the encoder
+    val typed = StreamingAttribution.wellFormed(events)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         col("event_type"),
