@@ -8,12 +8,14 @@ import graft.Tables
   * runs before trusting a load: column profiling (q62) and declarative
   * constraint validation (q63).
   *
-  * Scale shape: q62 is ONE pass over the table — all null counts,
-  * distinct counts and min/max come from a single aggregate (the
-  * multi-distinct Expand, same machinery as q10), then a `stack`
-  * unpivot of the one result row; at petabyte scale the exact
-  * distincts swap for the q39 HLL sketches without changing the
-  * frame. q63's row rules are one conditional aggregate over one scan;
+  * Scale shape: q62 is TWO passes over the table — null counts,
+  * distinct counts and numeric/date bounds from one hash aggregate
+  * (the multi-distinct Expand, same machinery as q10), string bounds
+  * from a second grouping-free pass over just the string columns (see
+  * [[profile]] for why mixing them demotes the whole Expand to sorted
+  * aggregation), then a `stack` unpivot of the joined one-row result;
+  * at petabyte scale the exact distincts swap for the q39 HLL
+  * sketches without changing the frame. q63's row rules are one conditional aggregate over one scan;
   * the referential rule is a broadcast-able anti-join — violations,
   * never full joins, cross the network. */
 object Quality {
@@ -36,17 +38,43 @@ object Quality {
 
   /** Column profile of `orders` (q62): per column — nulls, exact
     * distincts, min/max in a canonical string rendering — plus the
-    * table row count on every row. */
+    * table row count on every row.
+    *
+    * The aggregation is SPLIT in two so the heavy pass stays hash-
+    * based: a `min`/`max` whose buffer is a string is not a mutable
+    * aggregation-buffer type, and ONE such aggregate demotes the whole
+    * multi-distinct Expand to SortAggregate — measured at sf0.1 that
+    * sorted the 7×-expanded input three times (SortExec×3,
+    * SortAggregateExec×4) for 3.4 s isolated. Splitting gives
+    *   1. the Expand pass (null counts, exact distincts, numeric/date
+    *      bounds — all mutable buffers) as a pure HashAggregate, and
+    *   2. the string bounds as a SEPARATE grouping-free aggregate —
+    *      with no grouping keys SortAggregate needs no SortExec, so
+    *      it is one cheap streaming pass over two dictionary-encoded
+    *      columns,
+    * then joins the two single-row frames on a literal key (broadcast
+    * hash join, not a cartesian). Same two-scan shape at 100 TB: the
+    * second scan reads only the two string columns. */
   def profile(s: SparkSession, dir: String): DataFrame = {
-    val aggs = profiled.flatMap { case (name, c, render) =>
+    val stringBuffered = Set("o_orderstatus", "o_orderpriority")
+    val hashAggs = profiled.flatMap { case (name, c, render) =>
       Seq(
         count(lit(1)).minus(count(c)).cast("long").as(s"nn_$name"),
-        countDistinct(c).cast("long").as(s"nd_$name"),
-        render(min(c)).as(s"mn_$name"),
-        render(max(c)).as(s"mx_$name"))
+        countDistinct(c).cast("long").as(s"nd_$name")) ++
+        (if (stringBuffered(name)) Nil
+         else Seq(
+           render(min(c)).as(s"mn_$name"),
+           render(max(c)).as(s"mx_$name")))
     }
-    val one = Tables.orders(s, dir)
-      .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+    val main = Tables.orders(s, dir)
+      .agg(count(lit(1)).cast("long").as("n_rows"), hashAggs: _*)
+    val strAggs = profiled.collect {
+      case (name, c, render) if stringBuffered(name) =>
+        Seq(render(min(c)).as(s"mn_$name"), render(max(c)).as(s"mx_$name"))
+    }.flatten
+    val strBounds = Tables.orders(s, dir).agg(strAggs.head, strAggs.tail: _*)
+    val one = main.withColumn("jk", lit(1))
+      .join(broadcast(strBounds.withColumn("jk", lit(1))), "jk")
     val stackArgs = profiled.map { case (name, _, _) =>
       s"'$name', nn_$name, nd_$name, mn_$name, mx_$name"
     }.mkString(", ")

@@ -25,6 +25,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q111_hard_negatives", // q34's K-row centroid assign
 
     "q49_tfidf_topk", // 1-row corpus count
+    "q62_data_profile", // 1-row hash-agg profile × 1-row string bounds
     "q66_resample_ffill", // 1-row grid bounds
     "q119_interp_resample", // 1-row grid bounds (q66's build, twice as-of'd)
     "q68_triangles", // 1-row stats × 1-row triangle count
@@ -119,7 +120,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q56_dedup_clusters_ls" -> 2, "q57_ann_pq" -> 4,
     "q58_ann_ivfpq" -> 9, "q59_kmeans" -> 12,
     "q60_funnel" -> 4, "q61_cohort_retention" -> 5,
-    "q62_data_profile" -> 2, "q63_constraints" -> 2,
+    // q62: Expand hash-agg (2) + the split-off grouping-free string
+    // bounds pass (1) — the split is what keeps the Expand hash-based
+    // (see Quality.profile; measured 3.79 s → 1.60 s isolated)
+    "q62_data_profile" -> 3, "q63_constraints" -> 2,
     "q64_geo_density" -> 3, "q65_geo_close_pairs" -> 3,
     "q66_resample_ffill" -> 4, "q67_pagerank" -> 10,
     "q68_triangles" -> 11, "q69_inverted_index" -> 3,
