@@ -144,15 +144,29 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
   }
 
-  /** Nearest-centroid ranks: vector × 16 broadcast centroids (linear
-    * N×K map-side work), row_number by (cos desc, cid). Preserves
-    * every input column (q111 threads `label` through). */
+  /** Nearest-centroid ranks: per vector, the K broadcast centroids are
+    * scored and ranked INSIDE one scalar expression — transform to
+    * struct(−ccos, cid), array_sort (lexicographic ≡ cos desc, cid
+    * asc), posexplode to (crn, cid, ccos). The previous crossJoin +
+    * row_number window materialized N×K rows and exchanged ALL of them
+    * on vec_id; this form does the same N×K scoring map-side with NO
+    * exchange — at corpus scale the assignment stage becomes
+    * embarrassingly parallel. Preserves every input column (q111
+    * threads `label` through). */
   private def centroidRanks(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    vecs.crossJoin(broadcast(cent))
-      .select(vecs.columns.map(col).toSeq :+ col("cid") :+
-        cosMicro(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("ccos"): _*)
-      .withColumn("crn", row_number().over(w))
+    val centArr = cent
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn2"))).as("cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .select(vecs.columns.map(col).toSeq :+
+        posexplode(array_sort(transform(col("cents"), c =>
+          struct(
+            (-cosMicro(dot(col("q"), c.getField("cq")), col("n2"),
+              c.getField("cn2"))).as("negcos"),
+            c.getField("cid").as("cid"))))): _*)
+      .select(vecs.columns.map(col).toSeq ++ Seq(
+        col("col.cid").as("cid"),
+        (-col("col.negcos")).as("ccos"),
+        (col("pos") + 1).as("crn")): _*)
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -392,15 +406,27 @@ object Similarity {
     def withN2(c: DataFrame): DataFrame =
       c.withColumn("cn2", dot(col("cq"), col("cq")))
 
-    // nearest centroid per vector: d = n2 + cn2 − 2⟨q,cq⟩, ties → min k
+    // nearest centroid per vector: d = n2 + cn2 − 2⟨q,cq⟩, ties → min k.
+    // MAP-SIDE argmin: the K centroids collapse to a one-row array and
+    // `array_min` over struct(d, k) — lexicographic, so exactly (min d,
+    // tie min k) — picks the winner inside the scalar expression. The
+    // earlier crossJoin + row_number window materialized N×K rows and
+    // exchanged ALL of them on vec_id every round; this form keeps
+    // assignment embarrassingly parallel (no exchange at all), which is
+    // the shape that matters when N is the corpus (measured: q59
+    // 2.36 s → see MICROBENCH_r09).
     def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("d").asc, col("k").asc)
-      v.crossJoin(broadcast(withN2(cent)))
-        .select(col("vec_id"), col("q"), col("k"),
-          (col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq"))).as("d"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("q"), col("k"), col("d"))
+      val centArr = withN2(cent)
+        .agg(collect_list(struct(col("k"), col("cq"), col("cn2"))).as("cents"))
+      v.crossJoin(broadcast(centArr))
+        .withColumn("best", array_min(transform(col("cents"), c =>
+          struct(
+            (col("n2") + c.getField("cn2")
+              - lit(2L) * dot(col("q"), c.getField("cq"))).as("d"),
+            c.getField("k").as("k")))))
+        .select(col("vec_id"), col("q"),
+          col("best").getField("k").as("k"),
+          col("best").getField("d").as("d"))
     }
 
     // element-wise floor(mean); clusters that lost every member keep

@@ -103,10 +103,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q28_minhash_lsh_pairs" -> 3, "q29_near_dedup" -> 5,
     "q30_simhash" -> 1, "q31_simhash_pairs" -> 3,
     "q32_ngram_anchor_jaccard" -> 2, "q33_ann_bruteforce" -> 2,
-    "q34_ann_ivf" -> 6, "q35_emb_neardup" -> 3,
-    // q111: q34's probe shape (assignment window + probe window +
-    // bucket join + top-k window) with the label threaded through
-    "q111_hard_negatives" -> 6,
+    // q34: the centroid assign/probe ranking runs INSIDE a scalar
+    // expression (no N×K window exchange — see Similarity
+    // .centroidRanks); what remains is the bucket join + top-k window
+    "q34_ann_ivf" -> 2, "q35_emb_neardup" -> 3,
+    // q111: q34's map-side probe shape with the label threaded through
+    "q111_hard_negatives" -> 2,
     "q36_mm_metadata" -> 1, "q37_mm_features" -> 1,
     "q38_mm_frames" -> 1, "q39_sketch_distinct" -> 3,
     "q40_quantile_sketch" -> 5, "q41_range_join_attribution" -> 2,
@@ -118,7 +120,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q52_dedup_clusters" -> 2, "q53_pii_scrub" -> 1,
     "q54_decontaminate" -> 3, "q55_sequence_pack" -> 2,
     "q56_dedup_clusters_ls" -> 2, "q57_ann_pq" -> 4,
-    "q58_ann_ivfpq" -> 9, "q59_kmeans" -> 12,
+    // q58/q59: centroid assignment is map-side (centroidRanks/argmin
+    // rewrite); q59's only exchange is the final orderBy
+    "q58_ann_ivfpq" -> 5, "q59_kmeans" -> 1,
     "q60_funnel" -> 4, "q61_cohort_retention" -> 5,
     // q62: Expand hash-agg (2) + the split-off grouping-free string
     // bounds pass (1) — the split is what keeps the Expand hash-based
@@ -128,7 +132,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q66_resample_ffill" -> 4, "q67_pagerank" -> 10,
     "q68_triangles" -> 11, "q69_inverted_index" -> 3,
     "q70_bm25" -> 7, "q71_heavy_hitters" -> 5,
-    "q72_ann_ivfpq_residual" -> 10, "q73_dataset_mix" -> 1,
+    // q72: residual IVF-PQ after the map-side centroidRanks rewrite
+    // (was 10 with the window-based assign/probe rankings)
+    "q72_ann_ivfpq_residual" -> 5, "q73_dataset_mix" -> 1,
     "q74_dup_gram_coverage" -> 5, "q75_pmi_pairs" -> 3,
     "q76_scd2_history" -> 2, "q77_bigram_lm" -> 2,
     "q78_iqr_outliers" -> 3,
@@ -146,9 +152,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // canon self-join + presentation sort.
     "q91_er_canonical" -> 8,
     "q92_salted_agg" -> 3,
-    // q59's rounds (12) + the rep rank window on k; the members/rep
-    // duplication of the assign subtree collapses to ReusedExchange.
-    "q93_sem_dedup" -> 13,
+    // q59's map-side assign leaves only the rep rank window on k and
+    // the members↔rep broadcast join.
+    "q93_sem_dedup" -> 2,
     // chunk_hash first-occurrence window + doc_id regroup + sort
     "q94_paragraph_dedup" -> 3,
     // q96: vocab join rides a broadcast off the checkpointed BPE
@@ -287,9 +293,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q140_sketch_rollup" -> 5,
     // q141: day census + the constant-sized merge
     "q141_stats_rollup" -> 2,
-    // q143: q33's plan (2) + q34's plan (6) + the (q_id, vec_id)
-    // audit join and per-query rollup over two k·|queries| frames
-    "q143_ann_recall" -> 10,
+    // q143: q33's plan (2) + q34's map-side plan (2) + the (q_id,
+    // vec_id) audit join and per-query rollup
+    "q143_ann_recall" -> 6,
     // q144: ONE Q×N broadcast pass computes both cosines; both rank
     // windows partition by q_id (one exchange, two sorts) + rollup
     "q144_matryoshka_overlap" -> 2,
