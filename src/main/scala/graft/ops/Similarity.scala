@@ -97,7 +97,7 @@ object Similarity {
     quantized(s, dir).select("vec_id", "q")
 
   /** round(1e6·dot / sqrt(n2a·n2b)) — IEEE-deterministic on exact ints. */
-  private def cosMicro(d: Column, n2a: Column, n2b: Column): Column =
+  private[ops] def cosMicro(d: Column, n2a: Column, n2b: Column): Column =
     round(lit(1000000.0) * d /
       sqrt(n2a.cast("double") * n2b.cast("double"))).cast("long")
 
@@ -153,7 +153,7 @@ object Similarity {
     * exchange — at corpus scale the assignment stage becomes
     * embarrassingly parallel. Preserves every input column (q111
     * threads `label` through). */
-  private def centroidRanks(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  private[ops] def centroidRanks(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val centArr = cent
       .agg(collect_list(struct(col("cid"), col("cq"), col("cn2"))).as("cents"))
     vecs.crossJoin(broadcast(centArr))
