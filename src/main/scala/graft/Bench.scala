@@ -77,6 +77,30 @@ object Bench {
       orphans.size
     }
 
+  /** The sweep's window discipline, correct by construction: snapshot
+    * the persisted-RDD ids AND read the cache generation BEFORE `body`
+    * runs, sweep after (also on failure — a half-run query's terminal
+    * checkpoints are exactly as orphaned as a completed one's; the
+    * generation guard still skips the sweep if the failure landed
+    * mid-cache-build). All three measurement harnesses (Bench,
+    * MicroBench, PlanProbe) share this one window so a future change
+    * to the guard cannot silently revert one of them to the q54
+    * 9.4 s-vs-1.9 s GC-debt leak. Returns (body's result, RDDs
+    * swept). */
+  private[graft] def withCheckpointSweep[T](spark: SparkSession)(
+      body: => T): (T, Int) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val g0 = ops.PipelineCache.generation
+    try {
+      val r = body
+      (r, sweepOrphanCheckpoints(spark, before, g0))
+    } catch {
+      case e: Throwable =>
+        sweepOrphanCheckpoints(spark, before, g0)
+        throw e
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -127,10 +151,9 @@ object Bench {
     // q95→q96).
     var swept = 0
     def measuredOnce(n: String, runs: Int): Seq[Either[String, Double]] = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val g0 = ops.PipelineCache.generation
-      val rs = Seq.fill(runs)(runOnce(n, SparkEntry.queries(n)))
-      swept += Bench.sweepOrphanCheckpoints(spark, before, g0)
+      val (rs, k) = Bench.withCheckpointSweep(spark)(
+        Seq.fill(runs)(runOnce(n, SparkEntry.queries(n))))
+      swept += k
       rs
     }
 

@@ -44,17 +44,13 @@ object MicroBench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // Same orphan-checkpoint discipline as Bench (see
-    // Bench.sweepOrphanCheckpoints): without it, a multi-query
-    // invocation leaks each query's terminal checkpoint blocks into
-    // the next query's measurement.
-    def sweptRuns(name: String, k: Int): Seq[Double] = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val g0 = ops.PipelineCache.generation
-      val rs = (1 to k).map { _ => System.gc(); once(name) }
-      Bench.sweepOrphanCheckpoints(spark, before, g0)
-      rs
-    }
+    // Same orphan-checkpoint discipline as Bench (one shared window —
+    // Bench.withCheckpointSweep): without it, a multi-query invocation
+    // leaks each query's terminal checkpoint blocks into the next
+    // query's measurement.
+    def sweptRuns(name: String, k: Int): Seq[Double] =
+      Bench.withCheckpointSweep(spark)(
+        (1 to k).map { _ => System.gc(); once(name) })._1
     args.foreach(sweptRuns(_, 1)) // warm-up pass, JVM + codegen
     val results = args.map { name =>
       val runs = sweptRuns(name, n)

@@ -115,16 +115,26 @@ object PlanProbe {
     val lines = names.map { name =>
       events.synchronized(events.clear())
       ops.PipelineCache.invalidate(spark, name)
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val g0 = ops.PipelineCache.generation
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      // listener events are delivered asynchronously on the listener
-      // bus — drain before reading
-      org.apache.spark.sql.graftbridge.GraftBridge
-        .waitListenerBusEmpty(spark, 30000)
-      Bench.sweepOrphanCheckpoints(spark, before, g0)
-      val evs = events.synchronized(events.toSeq)
+      // Per-query isolation (same rationale as Bench.runOnce): in an
+      // ALL sweep one failing query must cost one "error" line, not
+      // the whole artifact — unisolated, every prior query's census is
+      // lost and RUNTIME_PLANS.txt can't be refreshed at all.
+      val evs = try {
+        Bench.withCheckpointSweep(spark) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          // listener events are delivered asynchronously on the
+          // listener bus — drain before reading
+          org.apache.spark.sql.graftbridge.GraftBridge
+            .waitListenerBusEmpty(spark, 30000)
+        }
+        events.synchronized(events.toSeq)
+      } catch {
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage)
+            .replaceAll("\\s+", " ").take(160)
+          Seq(("error", s"(probe failed: $msg)"))
+      }
       println(s"PROBE $name: ${evs.size} executions")
       evs.zipWithIndex.foreach {
         case ((fn, c), i) => println(f"  [$i%02d] $fn%-16s $c")

@@ -40,17 +40,37 @@ object FlightSessions {
   final case class FlightSession(icao24: String, session_start: Timestamp,
       session_end: Timestamp, n_states: Long)
 
+  /** Microsecond event time. FlightStates emits fractional-second
+    * (microsecond) timestamps, so gaps are compared in micros —
+    * exactly like sessionsBatch; a millis comparison would close
+    * boundary gaps (e.g. 1800000.4 ms) differently on the two paths.
+    * (The `% 1000` keeps only the sub-millisecond nanos `getTime`
+    * hasn't already counted.) Shared with [[FlightSessionsTws]] so
+    * the two stateful forms cannot drift on this detail. */
+  private[streaming] def us(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Merge one event-time into the open-session set: absorb every
+    * session reachable within the gap on EITHER side (≤ 2 of them —
+    * open sessions are pairwise > gap apart by construction), bridging
+    * two when the event lands between them. This fold IS the
+    * sessionization semantics; [[FlightSessionsTws]] shares it so the
+    * fMGWS and transformWithState twins stay merge-rule-identical by
+    * construction, not by test luck. */
+  private[streaming] def merge(sess: List[OpenSession], ts: Timestamp,
+      gapUs: Long): List[OpenSession] = {
+    val (near, far) = sess.partition(o =>
+      us(ts) >= us(o.start) - gapUs && us(ts) <= us(o.end) + gapUs)
+    val all = ts :: near.map(_.start) ::: near.map(_.end)
+    OpenSession(all.minBy(us), all.maxBy(us), near.map(_.n).sum + 1L) :: far
+  }
+
   def sessionsStream(clean: DataFrame, gapMinutes: Int = 30,
       watermark: String = "1 hour"): Dataset[FlightSession] = {
     val s = clean.sparkSession
     import s.implicits._
     val gapMs = gapMinutes * 60000L
     val gapUs = gapMinutes * 60000000L
-    // FlightStates emits fractional-second (microsecond) timestamps, so
-    // the gap is compared in micros — exactly like sessionsBatch; a
-    // millis comparison would close boundary gaps (e.g. 1800000.4 ms)
-    // differently on the two paths.
-    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     def fn(key: String, rows: Iterator[StateRow],
         state: GroupState[OpenSessions]): Iterator[FlightSession] = {
@@ -59,13 +79,7 @@ object FlightSessions {
       if (!state.hasTimedOut) {
         // micro-batch slice for this key, event-time order
         rows.toArray.sortBy(r => us(r.ts)).foreach { r =>
-          // sessions reachable from r within the gap (≤ 2 of them:
-          // open sessions are pairwise > gap apart by construction)
-          val (near, far) = sess.partition(o =>
-            us(r.ts) >= us(o.start) - gapUs && us(r.ts) <= us(o.end) + gapUs)
-          val all = r.ts :: near.map(_.start) ::: near.map(_.end)
-          sess = OpenSession(all.minBy(us), all.maxBy(us),
-            near.map(_.n).sum + 1L) :: far
+          sess = merge(sess, r.ts, gapUs)
         }
       }
       // emit exactly the sessions the watermark has SEALED: once

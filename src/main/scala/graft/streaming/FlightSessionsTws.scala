@@ -30,7 +30,7 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode,
   * provider (required by transformWithState). */
 object FlightSessionsTws {
 
-  import FlightSessions.{StateRow, OpenSession, FlightSession}
+  import FlightSessions.{StateRow, OpenSession, FlightSession, us, merge}
 
   private class SessionProcessor(gapMinutes: Int)
       extends StatefulProcessor[String, StateRow, FlightSession] {
@@ -41,9 +41,6 @@ object FlightSessionsTws {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       open = getHandle.getListState[OpenSession](
         "open", Encoders.product[OpenSession], TTLConfig.NONE)
-
-    private def us(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     /** Emit sessions the watermark has sealed (`wm ≥ end + gap + 1`),
       * store the remainder, (re)arm the timer for the earliest pending
@@ -67,11 +64,9 @@ object FlightSessionsTws {
       var sess: List[OpenSession] =
         if (open.exists()) open.get().toList else Nil
       rows.toArray.sortBy(r => us(r.ts)).foreach { r =>
-        val (near, far) = sess.partition(o =>
-          us(r.ts) >= us(o.start) - gapUs && us(r.ts) <= us(o.end) + gapUs)
-        val all = r.ts :: near.map(_.start) ::: near.map(_.end)
-        sess = OpenSession(all.minBy(us), all.maxBy(us),
-          near.map(_.n).sum + 1L) :: far
+        // the shared FlightSessions.merge IS the sessionization
+        // semantics — both twins fold through the same code
+        sess = merge(sess, r.ts, gapUs)
       }
       seal(key, sess, timerValues.getCurrentWatermarkInMs())
     }
