@@ -77,7 +77,17 @@ object PlanProbe {
     * evidence beside the static PLAN_SHAPES.txt. Unlike the golden, it
     * is NOT spec-asserted: AQE's broadcast/coalesce decisions depend on
     * runtime sizes, so the artifact documents what the engine did at
-    * the recorded SF rather than pinning a host-independent property. */
+    * the recorded SF rather than pinning a host-independent property.
+    *
+    * Reading refresh diffs: the ReusedExchange / AQEShuffleRead /
+    * runtime-converted-BHJ counters can differ between an ALL sweep
+    * and an isolated probe of the same query at the same SF (measured
+    * on q168: 19/18/17 in-sweep vs a bit-identical 17/16/17 across
+    * repeated isolated probes) — exchange reuse is sensitive to stage
+    * materialization order in a long-lived JVM, not to the data. A
+    * counter moving across refreshes is noise unless the
+    * ShuffleExchange count (the scale invariant, spec-pinned via
+    * PlanInvariantsSpec budgets) moves with it. */
   val ArtifactPath = "RUNTIME_PLANS.txt"
 
   def main(args: Array[String]): Unit = {

@@ -64,7 +64,18 @@ object Graphs {
     * ReusedExchange within each query (pinned by PlanInvariantsSpec).
     * Same conclusion as Similarity.embNearDupUncached's quantization
     * note: cache outputs that are small relative to their recompute,
-    * never ones that are as wide as their input. */
+    * never ones that are as wide as their input.
+    *
+    * Also tried and MEASURED WORSE (r9, sf0.1, isolated min-of-5 on
+    * the identical edge set): generating pairs from a per-order
+    * `collect_set` array (groupBy ok → sorted array → map-side a<b
+    * pair explode → distinct; saves the self-join and one exchange)
+    * at 1.48 s vs 1.29 s for this join form — the basket arrays cost
+    * more to build than the ReusedExchange join costs to probe, and
+    * unlike the window-count cap (which spills), `collect_set` of a
+    * degenerate mega-basket is one unbounded in-memory aggregation
+    * buffer, i.e. an executor-OOM hazard exactly where the cap
+    * matters. */
   private[ops] def edges(s: SparkSession, dir: String): DataFrame = {
     val li = incidence(s, dir)
     li.select(col("ok"), col("pk").as("a"))
