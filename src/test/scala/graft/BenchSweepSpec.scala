@@ -40,4 +40,29 @@ class BenchSweepSpec extends SparkTestBase {
     assert(Bench.sweepOrphanCheckpoints(spark, persistedIds, g0) === 0)
     plain.unpersist(blocking = true)
   }
+
+  test("withCheckpointSweep sweeps the body's checkpoints on success AND on failure") {
+    val before = persistedIds
+
+    val (n, swept) = Bench.withCheckpointSweep(spark) {
+      val cp = (1 to 10).toDF("x").localCheckpoint(true)
+      cp.count()
+    }
+    assert(n === 10L)
+    assert(swept === 1, "success path sweeps the body's checkpoint")
+    assert(persistedIds === before)
+
+    // the failure path must still sweep: a half-run query's terminal
+    // checkpoints are exactly as orphaned as a completed one's
+    val boom = intercept[RuntimeException] {
+      Bench.withCheckpointSweep(spark) {
+        val cp = (1 to 10).toDF("x").localCheckpoint(true)
+        assert(cp.count() === 10L)
+        throw new RuntimeException("query failed mid-run")
+      }
+    }
+    assert(boom.getMessage === "query failed mid-run")
+    assert(persistedIds === before,
+      "failure path must not leak the checkpoint blocks")
+  }
 }
