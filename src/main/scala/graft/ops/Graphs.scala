@@ -513,6 +513,14 @@ object Graphs {
     // shape measures 4.5 s isolated — the remaining gap to q67's
     // 2.5 s is the seed-frame build (lineitem⋈orders semi-join) plus
     // the per-round node-frame joins, all node-sized.
+    //
+    // Measurement spread (r9, identical code throughout): isolated
+    // min-of-7 ranged 3.3 → 5.3 s across the round and in-suite 3.6 →
+    // 7.4 s, with no correlated canary movement — the 9 chained
+    // data-sized shuffle stages in one AQE job make this the most
+    // GC-state-sensitive query in the suite. Adjudicate its round-
+    // over-round movement against the isolated MICROBENCH artifact,
+    // never the in-suite number alone.
     val adjd = adj.join(deg, "src")
     val r0 = smf.select(col("node"), col("sm").as("r"))
     val rn = (1 to PrIters).foldLeft(r0) { (r, _) =>
