@@ -58,6 +58,25 @@ object StreamingAttribution {
     events.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
       col("ts").isNotNull && col("value").isNotNull)
 
+  /** The typed [[AttrEvent]] projection shared by the attribution and
+    * upsert operators: poison-guarded, exact event-time micros,
+    * integer cents through `Det.cents` — the cross-engine rounding
+    * rule kept in ONE place (the FlightSessions.us discipline; three
+    * inline copies of the cents expression is how the rule drifts).
+    * `ts` rides along so a caller can `withWatermark` on the typed
+    * frame. */
+  private[streaming] def typedEvents(events: DataFrame): Dataset[AttrEvent] = {
+    import events.sparkSession.implicits._
+    wellFormed(events)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        graft.ops.Det.cents(col("value")).cast("long").as("cents"),
+        col("ts"))
+      .as[AttrEvent]
+  }
+
   /** Attribute a purchase stream. `events` needs columns (user_id,
     * event_id, event_type, ts, value); emits one append-mode row per
     * purchase. */
@@ -65,15 +84,7 @@ object StreamingAttribution {
       horizonMicros: Long = graft.ops.Temporal.AttributionHorizonMicros)
       : Dataset[AttributedPurchase] = {
     import events.sparkSession.implicits._
-    val typed = wellFormed(events)
-      .withWatermark("ts", watermark)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("event_id"),
-        col("event_type"),
-        unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[AttrEvent]
+    val typed = typedEvents(events).withWatermark("ts", watermark)
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, AttributedPurchase](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -90,14 +101,26 @@ object StreamingAttribution {
                   .filter(t => r.us - t.us <= horizonMicros)
                   .map(_.channel).getOrElse("direct")
                 out += AttributedPurchase(uid, r.event_id, ch, r.cents)
-              } else touch = Some(TouchState(r.event_type, r.us))
+              } else if (r.event_type != null)
+                // a NULL-typed row is a no-op, matching batch q148:
+                // its `when(event_type =!= "purchase", …)` is NULL
+                // there too, and last(…, ignoreNulls) skips it — it
+                // must neither become a null-channel touch nor shadow
+                // the real one
+                touch = Some(TouchState(r.event_type, r.us))
             }
             touch match {
               case Some(t) =>
                 state.update(t)
-                // dead once the watermark passes touch + horizon; the
-                // +1s guards the "timeout ≤ current watermark" check
-                val deadline = t.us / 1000L + horizonMicros / 1000L
+                // dead once the watermark passes touch + horizon.
+                // Sum BEFORE flooring to millis and add 1 (the
+                // FlightSessions sub-millisecond rule): flooring t.us
+                // and horizonMicros separately loses up to 999 µs
+                // EACH, and an early timeout evicts state a still-
+                // admissible edge-of-horizon purchase needs — late
+                // eviction is always safe (batch has none), early
+                // eviction diverges.
+                val deadline = (t.us + horizonMicros) / 1000L + 1L
                 state.setTimeoutTimestamp(
                   math.max(deadline, state.getCurrentWatermarkMs() + 1000L))
               case None => ()

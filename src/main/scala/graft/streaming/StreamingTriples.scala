@@ -44,11 +44,12 @@ object StreamingTriples {
 
     def fn(uid: Long, rows: Iterator[Ev],
         state: GroupState[Buffer]): Iterator[Trigram] = {
-      // local so the closure doesn't drag the enclosing object in
-      def us(t: Timestamp): Long =
-        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-      // event-time total order — (ts, event_id), q120's tie-break
-      def key(e: Ev): (Long, Long) = (us(e.ts), e.event_id)
+      // event-time total order — (ts, event_id), q120's tie-break.
+      // Micros via the shared FlightSessions.us (a call to an object
+      // method compiles to a static MODULE$ access, not a captured
+      // reference — no serialization cost, and one copy of the
+      // sub-millisecond rule).
+      def key(e: Ev): (Long, Long) = (FlightSessions.us(e.ts), e.event_id)
       val merged = (state.getOption.map(_.evs).getOrElse(Nil) ++ rows)
         .sortBy(key).toArray
       // watermark in millis; an event is FINAL-third when its whole
@@ -59,7 +60,7 @@ object StreamingTriples {
       val out = List.newBuilder[Trigram]
       while (k + 2 < merged.length && merged(k + 2).ts.getTime < wm) {
         out += Trigram(uid, merged(k).event_type, merged(k + 1).event_type,
-          merged(k + 2).event_type, us(merged(k).ts))
+          merged(k + 2).event_type, FlightSessions.us(merged(k).ts))
         k += 1
       }
       val rest = merged.drop(k).toList

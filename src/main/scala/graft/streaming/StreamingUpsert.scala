@@ -46,44 +46,51 @@ case class UpsertRow(user_id: Long, event_id: Long, event_type: String,
   */
 object StreamingUpsert {
 
+  /** The latest-wins fold — ONE copy of the semantics, shared with
+    * the `transformWithState` twin ([[StreamingUpsertTws]]) the way
+    * `FlightSessions.merge` is shared with its twin, so the tie rule
+    * and emission condition cannot drift between APIs. Returns the
+    * key's new state iff its latest row changed (emit), None
+    * otherwise (stale batch — no emission, no state write).
+    *
+    * Only the batch slice's (us, event_id) MAXIMUM matters:
+    * intermediate versions within a batch can never emit (only the
+    * final one does) and any row newer than `prev` makes the maximum
+    * newer too — so this is one maxBy, not a sort-and-fold. */
+  private[streaming] def fold(prev: Option[UpsertState],
+      rows: Iterator[AttrEvent]): Option[UpsertState] = {
+    if (!rows.hasNext) None
+    else {
+      val top = rows.maxBy(r => (r.us, r.event_id))
+      val newer = prev.forall(c =>
+        top.us > c.us || (top.us == c.us && top.event_id > c.event_id))
+      if (newer)
+        Some(UpsertState(top.event_id, top.event_type, top.us, top.cents))
+      else None
+    }
+  }
+
   /** Fold a change stream into latest-wins emissions. `events` needs
     * columns (user_id, event_id, event_type, ts, value); emits one
     * append-mode row per key per micro-batch in which the key's
     * latest row changed. */
   def latest(events: DataFrame): Dataset[UpsertRow] = {
     import events.sparkSession.implicits._
-    // poison-record guard (see StreamingAttribution.wellFormed): a
-    // null key/ts/id/value row would kill the query at the encoder
-    val typed = StreamingAttribution.wellFormed(events)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("event_id"),
-        col("event_type"),
-        unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[AttrEvent]
+    // poison-guarded typed projection shared with the attribution
+    // operator (StreamingAttribution.typedEvents)
+    val typed = StreamingAttribution.typedEvents(events)
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[UpsertState, UpsertRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[AttrEvent],
          state: GroupState[UpsertState]) =>
-          val ordered = rows.toSeq.sortBy(r => (r.us, r.event_id))
-          var cur = state.getOption
-          var changed = false
-          ordered.foreach { r =>
-            val newer = cur.forall(c =>
-              r.us > c.us || (r.us == c.us && r.event_id > c.event_id))
-            if (newer) {
-              cur = Some(UpsertState(r.event_id, r.event_type, r.us, r.cents))
-              changed = true
-            }
+          fold(state.getOption, rows) match {
+            case Some(c) =>
+              state.update(c)
+              Iterator.single(
+                UpsertRow(uid, c.event_id, c.event_type, c.us, c.cents))
+            case None => Iterator.empty
           }
-          if (changed) {
-            val c = cur.get
-            state.update(c)
-            Iterator.single(
-              UpsertRow(uid, c.event_id, c.event_type, c.us, c.cents))
-          } else Iterator.empty
       }
   }
 }

@@ -28,11 +28,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * HDFS-backed map provider holds every key on-heap). */
 object StreamingUpsertTws {
 
-  /** Latest-wins fold, one [[UpsertState]] per key. Input rows are
-    * applied in (us, event_id) order within a batch — the q131 total
-    * order — so one batch carrying several versions emits only the
-    * final one; a stale row (older than the key's state) neither
-    * regresses the snapshot nor emits. */
+  /** Latest-wins fold, one [[UpsertState]] per key. The fold itself
+    * is [[StreamingUpsert.fold]] — the twins share one copy of the
+    * tie rule and emission condition (the FlightSessions.merge
+    * discipline), so this class owns only the state-slot plumbing. */
   private class UpsertProcessor
       extends StatefulProcessor[Long, AttrEvent, UpsertRow] {
     @transient private var cur: ValueState[UpsertState] = _
@@ -43,23 +42,14 @@ object StreamingUpsertTws {
 
     override def handleInputRows(uid: Long, rows: Iterator[AttrEvent],
         timerValues: TimerValues): Iterator[UpsertRow] = {
-      val ordered = rows.toSeq.sortBy(r => (r.us, r.event_id))
-      var state = if (cur.exists()) Some(cur.get()) else None
-      var changed = false
-      ordered.foreach { r =>
-        val newer = state.forall(c =>
-          r.us > c.us || (r.us == c.us && r.event_id > c.event_id))
-        if (newer) {
-          state = Some(UpsertState(r.event_id, r.event_type, r.us, r.cents))
-          changed = true
-        }
+      val prev = if (cur.exists()) Some(cur.get()) else None
+      StreamingUpsert.fold(prev, rows) match {
+        case Some(c) =>
+          cur.update(c)
+          Iterator.single(
+            UpsertRow(uid, c.event_id, c.event_type, c.us, c.cents))
+        case None => Iterator.empty
       }
-      if (changed) {
-        val c = state.get
-        cur.update(c)
-        Iterator.single(
-          UpsertRow(uid, c.event_id, c.event_type, c.us, c.cents))
-      } else Iterator.empty
     }
   }
 
@@ -68,14 +58,7 @@ object StreamingUpsertTws {
     * input contract, same output rows). */
   def latest(events: DataFrame): Dataset[UpsertRow] = {
     import events.sparkSession.implicits._
-    val typed = StreamingAttribution.wellFormed(events)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("event_id"),
-        col("event_type"),
-        unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[AttrEvent]
+    val typed = StreamingAttribution.typedEvents(events)
     typed.groupByKey(_.user_id)
       .transformWithState(new UpsertProcessor,
         TimeMode.None(), OutputMode.Append())

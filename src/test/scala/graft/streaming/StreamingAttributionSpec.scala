@@ -62,4 +62,29 @@ class StreamingAttributionSpec extends SparkTestBase {
       (3L, 22L, "direct", 150L), // no touch ever
       (1L, 30L, "direct", 200L))) // click is 60 min stale > 30-min horizon
   }
+
+  test("a null-typed row is a no-op, not a touch: it must not shadow the real one") {
+    // Batch q148's `when(event_type =!= 'purchase', …)` is NULL for a
+    // null-typed row and last(…, ignoreNulls) skips it — the stream
+    // must match: u4's purchase credits 'email', not null/'direct'.
+    val d = tmpDir("sattr-null-in")
+    Seq((4L, 40L, Some("email"), ts("2026-01-01 10:00:00"), 0.0),
+      (4L, 41L, None: Option[String], ts("2026-01-01 10:01:00"), 0.0),
+      (4L, 42L, Some("purchase"), ts("2026-01-01 10:02:00"), 3.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$d/b1.parquet")
+    val schema = spark.read.parquet(s"$d/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/*.parquet")
+    val q = StreamingAttribution.attribute(stream, "1 minute")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("sattr-null-ckpt"))
+      .format("memory").queryName("sattr_null").outputMode("append")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sattr_null").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("channel"), r.getAs[Long]("cents"))).toSet
+    assert(got === Set((4L, 42L, "email", 300L)))
+  }
 }
