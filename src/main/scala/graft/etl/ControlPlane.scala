@@ -1,9 +1,6 @@
 package graft.etl
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Instant
-import scala.jdk.CollectionConverters._
 
 /** The reference's control plane — job ledger + file ledger — kept
   * deliberately OFF the data plane, mirroring the reference where these
@@ -55,10 +52,12 @@ trait ControlStore {
   def all(): Map[String, FileRecord]
 }
 
-/** Append-only JSONL file ledger; last record per file_name wins. */
+/** Append-only JSONL file ledger; last record per file_name wins.
+  * File mechanics (heal-before-append in-place truncation, torn-final-
+  * line-forgiving reads, single-process contract) live in the shared
+  * [[JsonlLedgerFile]]. */
 final class JsonlControlStore(path: String) extends ControlStore {
-  private val p: Path = Paths.get(path)
-  Option(p.getParent).foreach(Files.createDirectories(_))
+  private val ledger = new JsonlLedgerFile(path, "ledger")
 
   private def esc(s: String): String =
     s.flatMap {
@@ -68,59 +67,17 @@ final class JsonlControlStore(path: String) extends ControlStore {
       case c => c.toString
     }
 
-  /** A crash (or full disk) mid-append can leave a TORN final line
-    * with no terminating newline. Left in place it would corrupt the
-    * NEXT append by concatenation, turning one torn record into a
-    * permanently malformed interior line — so every append first
-    * truncates the file back to its last complete line. The fragment
-    * was never a durable record (its own write failed), so dropping it
-    * re-exposes the superseded status and the state machine re-runs
-    * that step. */
-  private def healTornTail(): Unit =
-    if (Files.exists(p) && Files.size(p) > 0) {
-      val bytes = Files.readAllBytes(p)
-      if (bytes.last != '\n'.toByte) {
-        val cut = bytes.lastIndexOf('\n'.toByte) + 1
-        // Truncate IN PLACE: a full rewrite (truncate-to-zero + write)
-        // would open a crash window in which every complete record is
-        // lost — a wider blast radius than the one torn line healed.
-        // FileChannel.truncate never touches the surviving prefix.
-        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
-        try ch.truncate(cut.toLong) finally ch.close()
-        System.err.println("[ledger] truncated torn final line before append")
-      }
-    }
-
   private def append(r: FileRecord): Unit = synchronized {
-    healTornTail()
     val err = r.errorMessage.map(e => "\"" + esc(e) + "\"").getOrElse("null")
     val line = s"""{"file_name":"${esc(r.fileName)}","status":"${r.status.name}",""" +
       s""""row_count":${r.rowCount},"error_message":$err,""" +
-      s""""last_updated":"${r.lastUpdated}"}""" + "\n"
-    Files.write(p, line.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      s""""last_updated":"${r.lastUpdated}"}"""
+    ledger.appendLine(line)
   }
 
   override def all(): Map[String, FileRecord] = synchronized {
-    if (!Files.exists(p)) Map.empty
-    else {
-      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).toSeq
-      lines.zipWithIndex.flatMap { case (l, i) =>
-        try Some(parseLine(l))
-        catch {
-          // ONLY a torn FINAL line is recoverable (a crash or full
-          // disk mid-append): drop it loudly — the record it would
-          // have superseded is still present, so the state machine
-          // re-runs that step. A malformed interior line is real
-          // corruption and still fails hard.
-          case e: Exception if i == lines.size - 1 =>
-            System.err.println(
-              s"[ledger] dropping torn final line (${e.getMessage})")
-            None
-        }
-      }.foldLeft(Map.empty[String, FileRecord])((m, r) => m + (r.fileName -> r))
-    }
+    ledger.readParsed(parseLine)
+      .foldLeft(Map.empty[String, FileRecord])((m, r) => m + (r.fileName -> r))
   }
 
   // Strict POSITIONAL parser for our own flat writer format. Fields are

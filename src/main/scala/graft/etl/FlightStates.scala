@@ -147,10 +147,24 @@ object FlightStates {
     * reference's discovery predicate `startswith('states_') and
     * endswith('.csv')` (S7/F5, `load_warehouse.py:174-175`) via
     * pathGlobFilter — evaluated at file-listing time, so non-matching
-    * files are never opened. */
+    * files are never opened.
+    *
+    * Dialect: the files are written by Python's csv.writer (and its
+    * faithful twin `ExtractJob.csvField`) — RFC 4180, quotes escaped
+    * by DOUBLING (`""`). Spark's default quote-escape is backslash,
+    * under which `"he said ""hi"""` reads back with both quote chars
+    * kept; `escape` is pinned to `"` so a quoted cell round-trips
+    * byte-identically with the DSv2 source path (and with the DuckDB
+    * oracle's read_csv). `multiLine` stays false DELIBERATELY: it
+    * would make every file a single unsplittable task — the wrong
+    * trade at scale — and no states field carries a raw newline (the
+    * API's strings are single-line; csvField would quote one, but
+    * pandas-side parity for that corner is not worth losing
+    * intra-file parallelism). */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
+      .option("escape", "\"")
       .option("pathGlobFilter", "states_*.csv")
       .schema(rawSchema)
       .csv(path)

@@ -182,17 +182,28 @@ object WarehouseBuild {
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
         } catch {
-          // only class-42 states (undefined objects / access rules —
-          // 42P01 Postgres, 42X05 Derby, 42S02 ODBC) mean "not there
-          // yet"; a transient failure (connection drop, lock timeout)
-          // swallowed as false would skip the DELETE and double-count
-          // the re-run — rethrow those
+          // ONLY undefined-object states mean "not there yet": 42P01
+          // (Postgres undefined_table), 42X05 (Derby), 42S02
+          // (MySQL/ODBC base table not found). Class 42 at large also
+          // covers privilege errors (42501 insufficient_privilege on
+          // an EXISTING table) — mapped to false, those would skip the
+          // DELETE and the append double-counts, exactly the failure
+          // this rethrow policy exists to prevent. Anything else
+          // (transient drop, lock timeout) rethrows too.
           case e: java.sql.SQLException
-              if Option(e.getSQLState).exists(_.startsWith("42")) => false
+              if Set("42P01", "42X05", "42S02")
+                .contains(String.valueOf(e.getSQLState)) => false
         }
       if (exists) {
+        // Quote via the same JdbcDialect Spark's writer resolved for
+        // this URL: hardcoded ANSI double quotes are a syntax error on
+        // dialects that quote differently (MySQL backticks without
+        // ANSI_QUOTES), and the writer created the column with the
+        // dialect's quoting.
+        val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          .quoteIdentifier("event_date")
         val st = conn.prepareStatement(
-          s"""DELETE FROM $table WHERE "event_date" = ?""")
+          s"DELETE FROM $table WHERE $qcol = ?")
         try dates.foreach { d => st.setDate(1, d); st.executeUpdate() }
         finally st.close()
       }

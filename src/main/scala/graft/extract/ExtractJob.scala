@@ -114,7 +114,11 @@ object ExtractJob {
     if (d.isNaN) "nan"
     else if (d == Double.PositiveInfinity) "inf"
     else if (d == Double.NegativeInfinity) "-inf"
-    else if (abs != 0.0 && (abs < 1e-4 || abs >= 1e16))
+    // ±0.0 before the BigDecimal path: BigDecimal drops the sign of
+    // zero, but Python's str(-0.0) is '-0.0' (a legal JSON value for
+    // e.g. vertical_rate) — detect the sign bit via 1/d
+    else if (d == 0.0) { if (1.0 / d < 0.0) "-0.0" else "0.0" }
+    else if (abs < 1e-4 || abs >= 1e16)
       String.valueOf(d) // outside Python's plain window — not a state field range
     else {
       val s = new java.math.BigDecimal(java.lang.Double.toString(d))
@@ -146,7 +150,16 @@ object ExtractJob {
       sb.append(row.elements().asScala.map(c => csvField(renderCell(c)))
         .mkString("", ",", "\r\n"))
     }
-    Files.write(file, sb.toString.getBytes(StandardCharsets.UTF_8))
+    // Write-then-rename so the file NEVER exists partially at its
+    // discoverable name: the staging discovery predicate
+    // (`states_*.csv`) can run concurrently with this tick, and a
+    // partial read would be marked processed in the ledger — the tail
+    // rows then permanently lost (the known-set skips the completed
+    // file). The '.tmp' suffix fails endswith('.csv'), so discovery
+    // never lists it; ATOMIC_MOVE makes the final name appear whole.
+    val tmp = dir.resolve(file.getFileName.toString + ".tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Some(file.toString)
   }
 

@@ -31,6 +31,16 @@ object HttpBackend {
       URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
         URLEncoder.encode(v, StandardCharsets.UTF_8)
     }.mkString("&")
+
+  /** Append query params to a URL that may already carry a query
+    * string (e.g. an endpoint configured as '/states/all?extended=1'):
+    * '&' then, '?' otherwise. A second literal '?' would make the
+    * server read everything after it as part of the first param's
+    * value — the bbox params silently dropped and a full-globe payload
+    * returned into a band that believes it fetched one slice. */
+  def withParams(url: String, params: Map[String, String]): String =
+    if (params.isEmpty) url
+    else url + (if (url.contains("?")) "&" else "?") + encode(params)
 }
 
 /** java.net.http implementation (JDK 11+, no extra dependency). */
@@ -55,7 +65,7 @@ final class JdkHttpBackend(timeout: Duration = Duration.ofSeconds(30))
 
   override def get(url: String, params: Map[String, String],
       headers: Map[String, String]): HttpReply = {
-    val full = if (params.isEmpty) url else url + "?" + HttpBackend.encode(params)
+    val full = HttpBackend.withParams(url, params)
     val b = HttpRequest.newBuilder(URI.create(full)).timeout(timeout).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
     val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())

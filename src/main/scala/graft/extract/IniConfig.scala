@@ -40,7 +40,13 @@ object IniConfig {
           if (sep <= 0) sys.error(s"config.ini line ${i + 1}: not a 'key = value' line: $raw")
           val sec = section.getOrElse(
             sys.error(s"config.ini line ${i + 1}: key before any [section]"))
-          out(sec).update(line.take(sep).trim.toLowerCase, line.drop(sep + 1).trim)
+          // Locale.ROOT: configparser's optionxform is ASCII str.lower;
+          // a default-locale lowercase turns 'CLIENT_ID' into
+          // 'clıent_ıd' (dotless ı) on a tr_TR JVM and every lookup
+          // then misses
+          out(sec).update(
+            line.take(sep).trim.toLowerCase(java.util.Locale.ROOT),
+            line.drop(sep + 1).trim)
         }
       }
     }

@@ -1,9 +1,6 @@
 package graft.extract
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Instant
-import scala.jdk.CollectionConverters._
 
 /** Job-run ledger + configuration reads — the extract stage's control
   * plane (`db_control` in the reference):
@@ -49,14 +46,21 @@ trait JobControl {
 /** File-backed control DB: config maps supplied at construction (the
   * reference seeds `configuration`/`job_definitions` by SQL insert —
   * data, not behavior); job_logs as append-only JSONL where the
-  * append IS the K5 update, latest record per log_id wins. */
+  * append IS the K5 update, latest record per log_id wins.
+  *
+  * SINGLE-PROCESS contract (see [[graft.etl.JsonlLedgerFile]]): the
+  * max+1 log-id allocation and the heal truncate are synchronized
+  * in-process only. Concurrent ticks sharing one job_logs.jsonl from
+  * SEPARATE JVMs would collide ids and can truncate each other's
+  * in-flight appends — that deployment must use [[JdbcJobControl]],
+  * whose `RETURNING log_id` allocates transactionally (the
+  * reference's production shape). */
 final class JsonlJobControl(
     path: String,
     config: Map[String, String],
     jobs: Map[String, Map[String, String]]) extends JobControl {
 
-  private val p: Path = Paths.get(path)
-  Option(p.getParent).foreach(Files.createDirectories(_))
+  private val ledger = new graft.etl.JsonlLedgerFile(path, "job_logs")
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   override def systemConfig(key: String): String =
@@ -67,28 +71,7 @@ final class JsonlJobControl(
     jobs.getOrElse(jobName,
       sys.error(s"job_name '$jobName' not found in job_definitions"))
 
-  /** Same crash contract as the staging ledger
-    * (`JsonlControlStore.healTornTail`): a torn final line would
-    * corrupt the NEXT append by concatenation — and Jackson would then
-    * silently parse only the FIRST of the two glued objects,
-    * permanently losing the later record — so truncate back to the
-    * last complete line before appending. */
-  private def healTornTail(): Unit =
-    if (Files.exists(p) && Files.size(p) > 0) {
-      val bytes = Files.readAllBytes(p)
-      if (bytes.last != '\n'.toByte) {
-        val cut = bytes.lastIndexOf('\n'.toByte) + 1
-        // In-place truncate (see JsonlControlStore.healTornTail): the
-        // readAllBytes + TRUNCATE_EXISTING rewrite had a crash window
-        // that lost the whole log, not just the torn line.
-        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
-        try ch.truncate(cut.toLong) finally ch.close()
-        System.err.println("[job_logs] truncated torn final line before append")
-      }
-    }
-
   private def append(r: JobLogRecord): Unit = synchronized {
-    healTornTail()
     val n = mapper.createObjectNode()
     n.put("log_id", r.logId)
     n.put("job_name", r.jobName)
@@ -102,28 +85,11 @@ final class JsonlJobControl(
       case Some(m) => n.put("message", m)
       case None => n.putNull("message")
     }
-    Files.write(p, (mapper.writeValueAsString(n) + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ledger.appendLine(mapper.writeValueAsString(n))
   }
 
   private def readAll(): Seq[JobLogRecord] = synchronized {
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-        .filter(_.nonEmpty)
-      lines.zipWithIndex.flatMap { case (line, i) =>
-        try Some(parseRecord(line))
-        catch {
-          // a torn FINAL line (crash mid-append, not yet healed by the
-          // next append) is recoverable — drop it loudly; interior
-          // corruption still fails hard
-          case e: Exception if i == lines.size - 1 =>
-            System.err.println(
-              s"[job_logs] dropping torn final line (${e.getMessage})")
-            None
-        }
-      }
-    }
+    ledger.readParsed(parseRecord)
   }
 
   private def parseRecord(line: String): JobLogRecord = {

@@ -84,7 +84,10 @@ class OpenSkyStatesSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new StatesTable(properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+    // Locale.ROOT (the IniConfig rule): option keys must normalize the
+    // same on every JVM locale
+    new StatesTable(properties.asScala
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap)
 }
 
 object OpenSkyStatesSource {
@@ -285,31 +288,42 @@ private[sources] class StatesReaderFactory(opts: Map[String, String],
         // F6 guards: missing/null/empty states → zero rows
         if (payload == null || !payload.has("states") || payload.get("states").isNull)
           Iterator.empty
-        else payload.get("states").elements().asScala
-          .map(st => (0 until graft.etl.FlightStates.RawColumns.size)
-            .map(i => ExtractJob.renderCell(st.get(i))))
-          .filter { cells =>
-            val lat = cells(LatIdx).toDoubleOption
-            lat match {
+        else {
+          // Cells render ON DEMAND with per-row memoization, honoring
+          // column pruning on the hot path: a select(icao24) renders
+          // only {icao24} + {latitude} (the ownership filter's input)
+          // per row instead of all 17 — pyDouble's BigDecimal walk is
+          // the per-cell cost worth skipping. renderCell never returns
+          // null, so null marks "not rendered yet".
+          val nCols = graft.etl.FlightStates.RawColumns.size
+          payload.get("states").elements().asScala.flatMap { st =>
+            val cells = new Array[String](nCols)
+            def cell(i: Int): String = {
+              if (cells(i) == null) cells(i) = ExtractJob.renderCell(st.get(i))
+              cells(i)
+            }
+            val owned = cell(LatIdx).toDoubleOption match {
               // position-less state: owned by the id-hash band so every
               // band that sees the (identical, per the class-doc
               // assumption) row agrees on a single emitter. icao24 is
               // the API's stable aircraft id; an id-less row falls back
               // to hashing the whole row so ownership stays agreed.
               case None =>
-                val id = cells(IdIdx)
-                val stable = if (id.nonEmpty) id else cells.mkString("\u0000")
+                val id = cell(IdIdx)
+                val stable =
+                  if (id.nonEmpty) id
+                  else (0 until nCols).map(cell).mkString("\u0000")
                 math.floorMod(scala.util.hashing.MurmurHash3.stringHash(stable),
                   p.splits) == p.idx
               case Some(v) => p.keepBelow.forall(v < _)
             }
-          }
-          .map { cells =>
-            InternalRow.fromSeq(colIdx.map { i =>
-              val c = cells(i)
+            if (!owned) None
+            else Some(InternalRow.fromSeq(colIdx.map { i =>
+              val c = cell(i)
               if (c.isEmpty) null else UTF8String.fromString(c)
-            })
+            }))
           }
+        }
       }
       private var current: InternalRow = _
       override def next(): Boolean =

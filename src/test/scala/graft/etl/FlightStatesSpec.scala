@@ -128,4 +128,25 @@ class FlightStatesSpec extends SparkTestBase {
     val clean = FlightStates.transform(FlightStates.withAudit(raw))
     assert(clean.filter(col("on_ground").isNull).count() === 0L)
   }
+
+  test("readRaw round-trips the writer's RFC-4180 doubled-quote escape") {
+    // ExtractJob.csvField (Python csv.writer dialect) escapes a quote
+    // by doubling; Spark's DEFAULT quote-escape is backslash, under
+    // which the cell reads back with both quote chars kept. readRaw
+    // pins escape='"' so a quoted cell is byte-identical after the
+    // round trip — the same cell the DSv2 source path delivers.
+    val d = tmpDir("csv-dialect")
+    val tricky = "he said \"hi\", twice"
+    val quoted = "\"" + tricky.replace("\"", "\"\"") + "\""
+    assert(quoted === "\"he said \"\"hi\"\", twice\"")
+    val header = FlightStates.RawColumns.mkString(",")
+    val row = Seq("abc123", quoted) ++ Seq.fill(FlightStates.RawColumns.size - 2)("")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "states_dialect_test.csv"),
+      (header + "\r\n" + row.mkString(",") + "\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val raw = FlightStates.readRaw(spark, d)
+    assert(raw.count() === 1L)
+    assert(raw.select("callsign").head().getString(0) === tricky)
+  }
 }

@@ -174,4 +174,20 @@ class ExtractJobSpec extends SparkTestBase {
     assert(ExtractJob.pyDouble(Double.PositiveInfinity) === "inf")
     assert(ExtractJob.pyDouble(Double.NegativeInfinity) === "-inf")
   }
+
+  test("withParams joins with '&' when the endpoint already has a query string") {
+    assert(HttpBackend.withParams("http://x/states", Map("lamin" -> "45.8"))
+      === "http://x/states?lamin=45.8")
+    assert(HttpBackend.withParams("http://x/states?extended=1",
+      Map("lamin" -> "45.8")) === "http://x/states?extended=1&lamin=45.8")
+    assert(HttpBackend.withParams("http://x/states?extended=1", Map.empty)
+      === "http://x/states?extended=1")
+  }
+
+  test("pyDouble keeps the sign of negative zero like Python str(-0.0)") {
+    // BigDecimal drops the sign of zero; Python prints '-0.0' (a legal
+    // JSON value for e.g. vertical_rate).
+    assert(ExtractJob.pyDouble(0.0) === "0.0")
+    assert(ExtractJob.pyDouble(-0.0) === "-0.0")
+  }
 }
