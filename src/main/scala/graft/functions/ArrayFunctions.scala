@@ -77,8 +77,17 @@ object ArrayFunctions {
     * expression in the hot path. False positives possible, false
     * negatives impossible (same hash constants as the aggregate). */
   def bloomMightContain(bits: Column, key: Column, words: Int, k: Int): Column = {
+    // Mirror BloomAgg's constructor invariants at Column-build time:
+    // a probe with parameters the aggregate would have rejected (or
+    // with different words/k than the filter was BUILT with) changes
+    // bit positions and silently drops matching rows via false
+    // negatives — the one failure a bloom pre-filter must never have.
+    require(words > 0 && (words & (words - 1)) == 0,
+      s"words must be a positive power of two, got $words")
+    require(k > 0 && k <= CountMinAgg.A.length,
+      s"k must be in 1..${CountMinAgg.A.length}, got $k")
     val mBits = words.toLong * 64L
-    (0 until k).map { j =>
+    val probes = (0 until k).map { j =>
       // key folded mod P first — mirrors BloomAgg.bitPos exactly, so
       // the probe agrees with the aggregate for ALL non-negative longs
       // (the unfolded product overflows above 2³⁹).
@@ -90,13 +99,26 @@ object ArrayFunctions {
       (word.bitwiseAND(call_function("shiftleft", lit(1L),
         (pos % lit(64L)).cast("int")))) =!= lit(0L)
     }.reduce(_ && _)
+    // A NEGATIVE fact-side key cannot be in the filter (BloomAgg
+    // rejects negatives loudly on the build side), so the correct
+    // probe answer is false — without the guard, Java's signed % makes
+    // every pos negative: element_at index 0 throws, and indices
+    // ≤ −1 silently read a word from the END of the array (an
+    // arbitrary true/false). Null keys propagate null, which the
+    // pre-filter treats as non-matching — same as the exact join.
+    when(key < 0L, lit(false)).otherwise(probes)
   }
 
   /** Per-table random-hyperplane LSH bucket ids for a quantized vector
     * (`array<long>`), planes baked in as codegen constants. */
   def hyperplaneBuckets(q: Column, planes: Array[Long], tables: Int,
       planesPerTable: Int, dim: Int): Column =
+    // COPY the planes (toIndexedSeq), never unsafeWrapArray: the Seq
+    // participates in the expression's semanticEquals/canonicalization
+    // (CSE, exchange reuse), so aliasing the caller's mutable buffer
+    // would let a later mutation silently change this expression's
+    // semantics — or let two genuinely different plane sets compare
+    // equal.
     GraftBridge.column(HyperplaneBuckets(GraftBridge.expression(q),
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(planes),
-      tables, planesPerTable, dim))
+      planes.toIndexedSeq, tables, planesPerTable, dim))
 }

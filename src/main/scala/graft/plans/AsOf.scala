@@ -41,9 +41,20 @@ object AsOf {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // Self-install under a lock on the session's ExperimentalMethods
+    // (the RangeJoin.attributionNatural discipline, same reason): the
+    // check-then-append on the shared extraStrategies var races under
+    // concurrent AsOf.join calls from two threads on one session —
+    // double-install is merely redundant (the strategy is idempotent),
+    // but a lost concurrent append of a DIFFERENT strategy would not
+    // be, and the victim surfaces later as Spark's opaque "No plan
+    // for" its node. Sessions wired via GraftExtensions never take
+    // this path at all.
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
 
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

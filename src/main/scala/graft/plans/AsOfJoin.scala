@@ -137,9 +137,13 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // NO copies here: the iterator's row buffer and each
         // UnsafeProjection's result buffer stay valid until the NEXT
         // advanceRight() call, and these references are only read
-        // before then — skipped/superseded rows (the dominant path at
-        // scale) therefore cost zero allocations; only a row actually
-        // RETAINED as the running match is copied, below.
+        // before then. Rows SKIPPED by the key/null prefix cost zero
+        // allocations; every QUALIFYING candidate is copied below
+        // (each supersedes the previous — the copy must happen before
+        // advanceRight invalidates the buffer, and whether a candidate
+        // is the last one isn't known until the next row is read), so
+        // a dense group pays O(candidates) copies per left cursor — the
+        // same buffer-reuse trade SortMergeJoin makes.
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rTs: InternalRow = _
@@ -176,9 +180,12 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val tc = if (c == 0 && !rTs.isNullAt(0)) tsOrd.compare(rTs, lTs) else 0
               if (c < 0 || (c == 0 && rTs.isNullAt(0))) advanceRight()
               else if (c == 0 && (if (forward) tc >= 0 else tc <= 0)) {
-                if (!rKey.anyNull) {
-                  lastMatch = rRow.copy(); lastMatchKey = rKey.copy()
-                }
+                // c == 0 implies rKey is null-free: lKey is null-free
+                // here (checked above) and the natural ordering
+                // separates null from non-null at the first differing
+                // field, so a null-keyed right row can never compare
+                // equal — it is consumed by the skip branch.
+                lastMatch = rRow.copy(); lastMatchKey = rKey.copy()
                 advanceRight()
               } else continue = false
               if (rRow == null) continue = false

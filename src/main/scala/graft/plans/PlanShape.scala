@@ -40,9 +40,11 @@ object PlanShape {
       // the same "PushedFilters" string `.explain` prints. Degrade to
       // a marker rather than failing the whole shape if rendering
       // throws (e.g. unevaluated scalar-subquery literals).
+      // NonFatal only: an OOM/interrupt mid-snapshot must propagate,
+      // not become a bogus "[?]" shape diff in the golden artifact.
       val pushed =
         try s.metadata.getOrElse("PushedFilters", "[]")
-        catch { case _: Throwable => "[?]" }
+        catch { case scala.util.control.NonFatal(_) => "[?]" }
       val cols = s.requiredSchema.map(_.name).mkString("+")
       s"${p.getClass.getSimpleName}(cols=$cols,pushed=$pushed)"
     case _ => p.getClass.getSimpleName

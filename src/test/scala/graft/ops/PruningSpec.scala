@@ -51,6 +51,34 @@ class PruningSpec extends SparkTestBase {
 
   private val CountMinAggP = org.apache.spark.sql.graftbridge.CountMinAgg.P
 
+  test("bloom probe answers false (not a crash or arbitrary read) for negative keys") {
+    // The build side rejects negatives loudly, so a negative fact key
+    // is provably absent — the probe must say false. Unguarded,
+    // Java's signed % made every bit position negative: element_at
+    // index 0 throws, index ≤ −64 silently reads a word from the END
+    // of the array.
+    val keys = (0L until 100L).toDF("k")
+    val bloom = keys.agg(
+      ArrayFunctions.bloomFilterAgg(col("k"), 64, 4).as("bits"))
+    val got = Seq(-1L, -63L, -64L, -100L, Long.MinValue, 5L).toDF("k")
+      .crossJoin(bloom)
+      .filter(ArrayFunctions.bloomMightContain(col("bits"), col("k"), 64, 4))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L), "only the present non-negative key probes true")
+  }
+
+  test("bloom probe rejects parameters the aggregate would reject") {
+    intercept[IllegalArgumentException] {
+      ArrayFunctions.bloomMightContain(col("b"), col("k"), 63, 4)
+    }
+    intercept[IllegalArgumentException] {
+      ArrayFunctions.bloomMightContain(col("b"), col("k"), 64, 0)
+    }
+    intercept[IllegalArgumentException] {
+      ArrayFunctions.bloomMightContain(col("b"), col("k"), 64, 5)
+    }
+  }
+
   test("bloom probe rejects most absent keys (false-positive rate sane)") {
     val keys = (0L until 4096L).toDF("k") // 4096 keys in 2^18 bits
     val bloom = keys.agg(
