@@ -82,8 +82,8 @@ object ArrayFunctions {
     // with different words/k than the filter was BUILT with) changes
     // bit positions and silently drops matching rows via false
     // negatives — the one failure a bloom pre-filter must never have.
-    require(words > 0 && (words & (words - 1)) == 0,
-      s"words must be a positive power of two, got $words")
+    require(words > 0 && words <= (1 << 24) && (words & (words - 1)) == 0,
+      s"words must be a positive power of two ≤ 2^24, got $words")
     require(k > 0 && k <= CountMinAgg.A.length,
       s"k must be in 1..${CountMinAgg.A.length}, got $k")
     val mBits = words.toLong * 64L
@@ -93,11 +93,13 @@ object ArrayFunctions {
       // (the unfolded product overflows above 2³⁹).
       val pos = (lit(CountMinAgg.A(j)) * (key % lit(CountMinAgg.P)) +
         lit(CountMinAgg.B(j))) % lit(CountMinAgg.P) % lit(mBits)
-      // pos < 2^31: floor(pos/64) is exact in double; bit test via
-      // shiftleft(1L, pos mod 64) — both codegen'd built-ins
-      val word = element_at(bits, floor(pos / lit(64L)).cast("int") + lit(1))
+      // word index and bit offset in pure integer arithmetic —
+      // shiftright/bitwiseAND mirror the aggregate's `pos >>> 6` /
+      // `& 63` directly (pos ≥ 0 here, so >> ≡ >>>), with no
+      // double-precision exactness caveat to maintain
+      val word = element_at(bits, shiftright(pos, 6).cast("int") + lit(1))
       (word.bitwiseAND(call_function("shiftleft", lit(1L),
-        (pos % lit(64L)).cast("int")))) =!= lit(0L)
+        pos.bitwiseAND(lit(63L)).cast("int")))) =!= lit(0L)
     }.reduce(_ && _)
     // A NEGATIVE fact-side key cannot be in the filter (BloomAgg
     // rejects negatives loudly on the build side), so the correct

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   * `[table][plane][dim] → planes(((t*planesPerTable)+p)*dim + j)`,
   * baked in as a codegen reference object — the higher-order-function
   * form re-allocates a zipped array per plane per row (36× per row at
-  * the q35 defaults). One pass, no per-row allocation beyond the
-  * result.
+  * the q35 defaults). One pass; per-row allocation is the result plus
+  * one scratch vector copy (the SimHash60 pattern), which buys back
+  * tables·planesPerTable−1 of every component's null-check +
+  * virtual-read pair.
   */
 case class HyperplaneBuckets(
     child: Expression,
@@ -43,6 +45,21 @@ case class HyperplaneBuckets(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dim)
+    // One pre-pass copies the vector into a local scratch array (the
+    // SimHash60 pattern): the t×p plane loops otherwise repeat the
+    // isNullAt + virtual getLong pair tables·planesPerTable times per
+    // component (36× at the q35 defaults). Null semantics unchanged —
+    // the pre-pass scans in index order, so the first null component
+    // still throws first.
+    val vec = new Array[Long](n)
+    var j0 = 0
+    while (j0 < n) {
+      if (v.isNullAt(j0))
+        throw new IllegalArgumentException(
+          "hyperplane_buckets: null vector component")
+      vec(j0) = v.getLong(j0)
+      j0 += 1
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -53,10 +70,7 @@ case class HyperplaneBuckets(
         var dot = 0L
         var j = 0
         while (j < n) {
-          if (v.isNullAt(j))
-            throw new IllegalArgumentException(
-              "hyperplane_buckets: null vector component")
-          dot += v.getLong(j) * planesArr(base + j)
+          dot += vec(j) * planesArr(base + j)
           j += 1
         }
         if (dot >= 0L) bucket |= (1 << p)
@@ -75,8 +89,19 @@ case class HyperplaneBuckets(
       val t = ctx.freshName("t"); val p = ctx.freshName("p")
       val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
+      val vec = ctx.freshName("vec")
+      // same scratch-vector pre-pass as nullSafeEval: one null check +
+      // one getLong per component instead of tables·planesPerTable
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $dim);
+         |final long[] $vec = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "hyperplane_buckets: null vector component");
+         |  }
+         |  $vec[$j] = $a.getLong($j);
+         |}
          |final int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
@@ -84,11 +109,7 @@ case class HyperplaneBuckets(
          |    final int $base = (($t * $planesPerTable) + $p) * $dim;
          |    long $dot = 0L;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      if ($a.isNullAt($j)) {
-         |        throw new IllegalArgumentException(
-         |          "hyperplane_buckets: null vector component");
-         |      }
-         |      $dot += $a.getLong($j) * $planesRef[$base + $j];
+         |      $dot += $vec[$j] * $planesRef[$base + $j];
          |    }
          |    if ($dot >= 0L) $bucket |= (1 << $p);
          |  }
