@@ -41,10 +41,16 @@ object Bench {
     * so even this reference host runs ~1.65× the r5 one.) */
   val CanaryRefSec = 0.545
 
-  /** Minimal JSON string escape shared with [[MicroBench]]. */
+  /** JSON string escape shared with [[MicroBench]] and [[Verify]] —
+    * ONE escaper for every harness artifact. Control chars \u-escape
+    * losslessly (the earlier replace-with-space form was lossy, and
+    * two divergent private escapers meant a control-char bug would be
+    * fixed in one artifact path only). */
   private[graft] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"
-    case c if c < ' ' => " "; case c => c.toString
+    case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** Locale-pinned fixed-point render: the default-locale `f"%.4f"`

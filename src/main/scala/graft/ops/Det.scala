@@ -45,7 +45,16 @@ object Det {
 
   /** THE tokenizer: split on runs of pinned whitespace after trim.
     * Every module that counts/explodes tokens must use this (or embed
-    * [[WsClass]]) so Spark and the DuckDB oracle tokenize identically. */
+    * [[WsClass]]) so Spark and the DuckDB oracle tokenize identically.
+    *
+    * Known, PINNED quirk: `trim` strips only ASCII spaces (identically
+    * in Spark and DuckDB), so text bounded by `\t`/`\n`/`\f`/`\r`
+    * yields a phantom empty first/last token ("\tfoo bar" → ["", foo,
+    * bar], count 3). Both engines agree cell-for-cell — 185 oracles
+    * hash against exactly these semantics — so this is the tokenizer's
+    * CONTRACT, not a bug to fix: changing it means changing
+    * [[wordsSql]] and re-verifying every text-family oracle in the
+    * same commit. */
   def words(c: Column): Column = split(trim(c), WsClass + "+")
 
   /** [[words]] as a DuckDB SQL fragment over an expression string. */

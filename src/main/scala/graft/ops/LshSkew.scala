@@ -72,14 +72,22 @@ object LshSkew {
         sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("over_cap_rows"),
         max(col("__bn")).as("max_bucket"))
     val capped =
-      if (strict(s))
+      if (strict(s)) {
+        // Name the conf key that actually RESOLVED the cap: with a
+        // per-family override set, telling the operator to raise the
+        // bare global (which the override shadows) sends them in a
+        // loop of raising a knob that changes nothing.
+        val capKey =
+          if (s.conf.getOption(s"$MaxBucketConf.$family").isDefined)
+            s"$MaxBucketConf.$family"
+          else MaxBucketConf
         // assert_true is NULL when the predicate holds, raises otherwise;
         // the isNull filter keeps every row that passed the assertion.
         sized.filter(assert_true(col("__bn") <= cap,
           concat(lit(s"LSH strict mode [$family]: bucket on (" +
-            keys.mkString(", ") + s") exceeds $MaxBucketConf=$cap: size="),
+            keys.mkString(", ") + s") exceeds $capKey=$cap: size="),
             col("__bn"))).isNull)
-      else sized.filter(col("__bn") <= cap)
+      } else sized.filter(col("__bn") <= cap)
     capped.drop("__bn")
   }
 
@@ -97,8 +105,7 @@ object LshSkew {
     scala.collection.concurrent.TrieMap.empty[(String, String), Skew]
 
   private def sessionKey(s: SparkSession): String =
-    org.apache.spark.sql.graftbridge.GraftBridge.sessionUUID(s)
-      .getOrElse("id:" + System.identityHashCode(s).toHexString)
+    org.apache.spark.sql.graftbridge.GraftBridge.sessionKeyOrIdentity(s)
 
   /** What the caps observed in this session so far, by family. */
   def observedSkew(s: SparkSession): Map[String, Skew] = {
@@ -127,6 +134,18 @@ object LshSkew {
   private def ensureListener(s: SparkSession): Unit = seen.synchronized {
     if (seen.add(s)) {
       val sk = sessionKey(s)
+      // Evict this session's counters at application end (the
+      // PipelineCache discipline): without it a long-lived JVM
+      // creating many sessions accumulates (sk, family) entries
+      // forever, and the identity-hash fallback key can be REUSED by
+      // a later session after this one is collected — its
+      // truncatedFamilies would then report another session's drops.
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            recorded.keys.filter(_._1 == sk).foreach(recorded.remove)
+        })
       s.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =

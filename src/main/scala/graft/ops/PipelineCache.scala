@@ -42,15 +42,12 @@ object PipelineCache {
   private val hookedApps =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Stable per-session identity. `sessionUUID` is unique for the
-    * session's lifetime AND never reused, unlike an identity hash,
-    * which a later session can collide with after this one is
-    * collected (and whose entries would otherwise never be evicted). */
+  /** Stable per-session identity — the shared
+    * [[org.apache.spark.sql.graftbridge.GraftBridge.sessionKeyOrIdentity]]
+    * (one definition for this registry and LshSkew's); see its doc for
+    * the identity-fallback reuse hazard the app-end eviction covers. */
   private def sessionKey(s: SparkSession): String =
-    org.apache.spark.sql.graftbridge.GraftBridge.sessionUUID(s)
-      // Non-classic implementations can't share persisted plans anyway;
-      // fall back to an identity key rather than fail.
-      .getOrElse("id:" + System.identityHashCode(s).toHexString)
+    org.apache.spark.sql.graftbridge.GraftBridge.sessionKeyOrIdentity(s)
 
   /** Drop every cache entry belonging to `sk`, tolerating a stopped
     * context (unpersist on a dead session is then a best-effort no-op). */
@@ -114,10 +111,30 @@ object PipelineCache {
     else {
       val sk = sessionKey(s)
       registerEviction(s, sk)
-      cache.getOrElseUpdate((sk, dir, owner), {
-        generationCounter.incrementAndGet()
-        build.persist(StorageLevel.MEMORY_AND_DISK)
-      })
+      // NOT getOrElseUpdate: TrieMap evaluates its thunk non-atomically
+      // (lookup-then-putIfAbsent), so two threads racing the first use
+      // would BOTH build-and-persist and the loser's copy would sit in
+      // the CacheManager until session end with nothing holding a
+      // reference to unpersist it. Build outside, publish with
+      // putIfAbsent, and the loser unpersists its own copy. The
+      // generation bumps on BOTH paths — either way this query (re)ran
+      // a pipeline build in the caller's window, so the orphan-
+      // checkpoint sweep must stand down (its embedded checkpointed
+      // ancestors may feed a live entry).
+      val key = (sk, dir, owner)
+      cache.get(key) match {
+        case Some(df) => df
+        case None =>
+          val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+          generationCounter.incrementAndGet()
+          cache.putIfAbsent(key, built) match {
+            case None => built
+            case Some(winner) =>
+              try built.unpersist(blocking = false)
+              catch { case _: IllegalStateException => () }
+              winner
+          }
+      }
     }
 
   /** Drop (and unpersist) every entry this `owner` holds in `s` —

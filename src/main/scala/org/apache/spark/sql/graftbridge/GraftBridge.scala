@@ -49,6 +49,17 @@ object GraftBridge {
       case _ => None
     }
 
+  /** Stable per-session registry key: the session UUID (unique for the
+    * session's lifetime AND never reused), falling back to an identity
+    * hash for non-classic implementations — which CAN collide with a
+    * later session once this one is collected, so registries keyed by
+    * the fallback must also evict on application end. ONE definition
+    * (shared by PipelineCache and LshSkew) so a fix to the fallback
+    * cannot silently miss a twin. */
+  def sessionKeyOrIdentity(s: org.apache.spark.sql.SparkSession): String =
+    sessionUUID(s)
+      .getOrElse("id:" + System.identityHashCode(s).toHexString)
+
   /** `RDD.isLocallyCheckpointed` has a Scala-private signature but
     * public bytecode (it's what pyspark calls over py4j); Bench's
     * orphan-checkpoint sweep needs it to target exactly the leak

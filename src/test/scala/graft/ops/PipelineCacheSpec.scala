@@ -41,6 +41,43 @@ class PipelineCacheSpec extends SparkTestBase {
     }
   }
 
+  test("a concurrent first use publishes ONE entry and unpersists the loser's copy") {
+    spark.conf.set(PipelineCache.ConfKey, "true")
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def build = {
+        builds.incrementAndGet()
+        gate.await() // hold every builder inside the race window
+        spark.range(5).toDF("doc_id")
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (1 to 4).map(_ => Future(
+        PipelineCache.getOrPersist(spark, sf, "owner_race")(build)))
+      // wait until at least one thread is inside build, then release
+      while (builds.get() == 0) Thread.sleep(5)
+      gate.countDown()
+      val frames = fs.map(Await.result(_, 30.seconds))
+      // every caller gets the SAME published frame
+      assert(frames.toSet.size === 1, "all callers must get the winner")
+      frames.head.count()
+      // After clear(), NO CacheManager entry may survive. A losing
+      // racer's copy is invisible to clear (only the stored winner is
+      // unpersisted), so a leak shows up as an equivalent fresh plan
+      // still reporting a cached storage level — the CacheManager
+      // matches by plan, not by Dataset identity.
+      PipelineCache.clear(spark)
+      assert(spark.range(5).toDF("doc_id").storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE,
+        "a losing racer's persisted copy leaked past clear()")
+    } finally {
+      PipelineCache.clear(spark)
+      spark.conf.unset(PipelineCache.ConfKey)
+    }
+  }
+
   test("entries are per-session (sessionUUID key) and evicted at application end") {
     spark.conf.set(PipelineCache.ConfKey, "true")
     val other = spark.newSession()
