@@ -193,6 +193,16 @@ object Bench {
         s""""swept_checkpoint_rdds":$swept,"sf":"${esc(sfDir)}"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_OUT.json"), json + "\n")
+    // Compact summary as the very LAST stdout line (only sbt's fixed
+    // [success] trailer follows): the r9 driver capture clipped the
+    // ~6 KB full line at the head of its tail window → `parsed: null`.
+    // This ~200-byte line always fits whole; per-query detail stays in
+    // the full line above and in the committed BENCH_OUT.json.
+    val nErr = measured.count(_._2.isLeft)
+    println(
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",$canary""" +
+        s""""queries_n":${measured.size},"errors_n":$nErr,""" +
+        s""""detail":"BENCH_OUT.json","sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

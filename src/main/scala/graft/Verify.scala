@@ -45,8 +45,15 @@ object Verify {
           val dir = Paths.get(s"$outDir/$name")
           if (Files.exists(dir)) {
             import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(Files.deleteIfExists(_))
+            // Files.walk holds a directory handle until closed; collect
+            // the paths under try/finally so a cleanup after every
+            // failed query doesn't leak one handle per failure for the
+            // JVM's lifetime.
+            val walk = Files.walk(dir)
+            val paths =
+              try walk.iterator().asScala.toSeq
+              finally walk.close()
+            paths.reverse.foreach(Files.deleteIfExists(_))
           }
         } catch { case e2: Throwable =>
           System.err.println(

@@ -159,7 +159,18 @@ object ExtractJob {
     // never lists it; ATOMIC_MOVE makes the final name appear whole.
     val tmp = dir.resolve(file.getFileName.toString + ".tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, file, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // Some network/overlay mounts cannot rename atomically. Fall
+        // back to a plain move: the whole-file-appears guarantee
+        // weakens to rename-usually-instantaneous, but a hard failure
+        // of every extract tick on such mounts is strictly worse — the
+        // discovery race window shrinks from "whole write" to "one
+        // rename" either way.
+        Files.move(tmp, file,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     Some(file.toString)
   }
 

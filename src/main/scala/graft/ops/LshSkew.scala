@@ -101,26 +101,38 @@ object LshSkew {
   /** (over_cap_rows summed, max_bucket high-water) per family. */
   final case class Skew(overCapRows: Long, maxBucket: Long)
 
+  // Counters are keyed by the SESSION OBJECT through a WeakHashMap, not
+  // by a derived string key: a string registry keyed by the
+  // identity-hash fallback could be REUSED by a later session once the
+  // original is collected (merging another session's drop counters),
+  // and evicting only at application end left dead sessions' entries
+  // resident for the JVM's lifetime. With a weak key the entry dies
+  // with the session — no reuse window, no app-lifetime growth. The
+  // value (a per-family TrieMap) must never reference the session, or
+  // the weak key could never be collected.
   private val recorded =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Skew]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Skew]]()
 
-  private def sessionKey(s: SparkSession): String =
-    org.apache.spark.sql.graftbridge.GraftBridge.sessionKeyOrIdentity(s)
+  private def famMap(s: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Skew] =
+    recorded.synchronized {
+      var m = recorded.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Skew]
+        recorded.put(s, m)
+      }
+      m
+    }
 
   /** What the caps observed in this session so far, by family. */
-  def observedSkew(s: SparkSession): Map[String, Skew] = {
-    val sk = sessionKey(s)
-    recorded.collect { case ((k, fam), v) if k == sk => fam -> v }.toMap
-  }
+  def observedSkew(s: SparkSession): Map[String, Skew] = famMap(s).toMap
 
   /** Families whose cap actually dropped candidate rows this session. */
   def truncatedFamilies(s: SparkSession): Map[String, Skew] =
     observedSkew(s).filter(_._2.overCapRows > 0)
 
-  def resetObserved(s: SparkSession): Unit = {
-    val sk = sessionKey(s)
-    recorded.keys.filter(_._1 == sk).foreach(recorded.remove)
-  }
+  def resetObserved(s: SparkSession): Unit = famMap(s).clear()
 
   // One listener per session; WeakHashMap so stopped sessions can be
   // collected. The listener surfaces every graft_lsh_skew_* observation
@@ -133,19 +145,13 @@ object LshSkew {
 
   private def ensureListener(s: SparkSession): Unit = seen.synchronized {
     if (seen.add(s)) {
-      val sk = sessionKey(s)
-      // Evict this session's counters at application end (the
-      // PipelineCache discipline): without it a long-lived JVM
-      // creating many sessions accumulates (sk, family) entries
-      // forever, and the identity-hash fallback key can be REUSED by
-      // a later session after this one is collected — its
-      // truncatedFamilies would then report another session's drops.
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            recorded.keys.filter(_._1 == sk).foreach(recorded.remove)
-        })
+      // The listener captures the session's per-family TrieMap, NOT the
+      // session itself: the session strongly references the listener
+      // (via listenerManager), so a session capture would be a harmless
+      // cycle, but capturing only the value keeps the WeakHashMap
+      // invariant obvious — nothing reachable from the value pins the
+      // weak key.
+      val fams = famMap(s)
       s.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
@@ -154,7 +160,7 @@ object LshSkew {
               val family = name.stripPrefix("graft_lsh_skew_")
               val dropped = row.getAs[Long]("over_cap_rows")
               val maxB = row.getAs[Long]("max_bucket")
-              recorded.updateWith((sk, family)) {
+              fams.updateWith(family) {
                 case Some(p) => Some(Skew(p.overCapRows + dropped,
                   math.max(p.maxBucket, maxB)))
                 case None => Some(Skew(dropped, maxB))

@@ -56,7 +56,16 @@ object Quality {
     * hash join, not a cartesian). Same two-scan shape at 100 TB: the
     * second scan reads only the two string columns. */
   def profile(s: SparkSession, dir: String): DataFrame = {
-    val stringBuffered = Set("o_orderstatus", "o_orderpriority")
+    val orders = Tables.orders(s, dir)
+    // Which columns route to the second pass is derived from the ACTUAL
+    // column type, not a name list: a string column added to `profiled`
+    // without updating a hand-kept set would silently demote the main
+    // Expand back to SortAggregate (the 3.4 s regression the split
+    // fixed).
+    val stringBuffered = profiled.collect {
+      case (name, _, _) if orders.schema(name).dataType ==
+        org.apache.spark.sql.types.StringType => name
+    }.toSet
     val hashAggs = profiled.flatMap { case (name, c, render) =>
       Seq(
         count(lit(1)).minus(count(c)).cast("long").as(s"nn_$name"),
@@ -66,15 +75,21 @@ object Quality {
            render(min(c)).as(s"mn_$name"),
            render(max(c)).as(s"mx_$name")))
     }
-    val main = Tables.orders(s, dir)
+    val main = orders
       .agg(count(lit(1)).cast("long").as("n_rows"), hashAggs: _*)
     val strAggs = profiled.collect {
       case (name, c, render) if stringBuffered(name) =>
         Seq(render(min(c)).as(s"mn_$name"), render(max(c)).as(s"mx_$name"))
     }.flatten
-    val strBounds = Tables.orders(s, dir).agg(strAggs.head, strAggs.tail: _*)
-    val one = main.withColumn("jk", lit(1))
-      .join(broadcast(strBounds.withColumn("jk", lit(1))), "jk")
+    // With no string columns the second pass (and its join) vanishes —
+    // also keeps strAggs.head total.
+    val one =
+      if (strAggs.isEmpty) main
+      else {
+        val strBounds = orders.agg(strAggs.head, strAggs.tail: _*)
+        main.withColumn("jk", lit(1))
+          .join(broadcast(strBounds.withColumn("jk", lit(1))), "jk")
+      }
     val stackArgs = profiled.map { case (name, _, _) =>
       s"'$name', nn_$name, nd_$name, mn_$name, mx_$name"
     }.mkString(", ")

@@ -413,8 +413,8 @@ object Similarity {
     // earlier crossJoin + row_number window materialized N×K rows and
     // exchanged ALL of them on vec_id every round; this form keeps
     // assignment embarrassingly parallel (no exchange at all), which is
-    // the shape that matters when N is the corpus (measured: q59
-    // 2.36 s → see MICROBENCH_r09).
+    // the shape that matters when N is the corpus (measured isolated
+    // min-of-7: 1.96 s vs 2.36 s for the window form — MICROBENCH_r10).
     def assign(cent: DataFrame): DataFrame = {
       val centArr = withN2(cent)
         .agg(collect_list(struct(col("k"), col("cq"), col("cn2"))).as("cents"))
@@ -424,6 +424,11 @@ object Similarity {
             (col("n2") + c.getField("cn2")
               - lit(2L) * dot(col("q"), c.getField("cq"))).as("d"),
             c.getField("k").as("k")))))
+        // array_min of an EMPTY centroid array is null; keep the old
+        // crossJoin+row_number edge case (zero rows, not N null-k rows)
+        // so a reuse outside kmeans' non-empty-seed invariant can't
+        // leak nulls downstream.
+        .filter(col("best").isNotNull)
         .select(col("vec_id"), col("q"),
           col("best").getField("k").as("k"),
           col("best").getField("d").as("d"))
