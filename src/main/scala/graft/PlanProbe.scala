@@ -90,6 +90,38 @@ object PlanProbe {
     * PlanInvariantsSpec budgets) moves with it. */
   val ArtifactPath = "RUNTIME_PLANS.txt"
 
+  /** Run one query end-to-end on `sfDir` and return the AQE-final
+    * census of every execution it triggered (funcName → census), in
+    * execution order. The seam [[main]] and `PlanProbeSpec` share, so
+    * the spec's runtime-strategy assertions measure exactly what the
+    * committed RUNTIME_PLANS.txt artifact records. */
+  def probe(spark: SparkSession, name: String, sfDir: String)
+      : Seq[(String, String)] = {
+    val events = mutable.ArrayBuffer.empty[(String, String)]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        events.synchronized {
+          events += ((funcName, census(qe.executedPlan)))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      ops.PipelineCache.invalidate(spark, name)
+      Bench.withCheckpointSweep(spark) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        // listener events are delivered asynchronously on the
+        // listener bus — drain before reading
+        org.apache.spark.sql.graftbridge.GraftBridge
+          .waitListenerBusEmpty(spark, 30000)
+      }
+      events.synchronized(events.toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PlanProbe <query_name>|ALL [more…]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,39 +139,16 @@ object PlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val events = mutable.ArrayBuffer.empty[(String, String)]
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit =
-        events.synchronized {
-          events += ((funcName, census(qe.executedPlan)))
-        }
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-
     val all = args.contains("ALL")
     val names =
       if (all) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     val lines = names.map { name =>
-      events.synchronized(events.clear())
-      ops.PipelineCache.invalidate(spark, name)
       // Per-query isolation (same rationale as Bench.runOnce): in an
       // ALL sweep one failing query must cost one "error" line, not
       // the whole artifact — unisolated, every prior query's census is
       // lost and RUNTIME_PLANS.txt can't be refreshed at all.
-      val evs = try {
-        Bench.withCheckpointSweep(spark) {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          // listener events are delivered asynchronously on the
-          // listener bus — drain before reading
-          org.apache.spark.sql.graftbridge.GraftBridge
-            .waitListenerBusEmpty(spark, 30000)
-        }
-        events.synchronized(events.toSeq)
-      } catch {
+      val evs = try probe(spark, name, sfDir)
+      catch {
         case e: Throwable =>
           val msg = String.valueOf(e.getMessage)
             .replaceAll("\\s+", " ").take(160)

@@ -45,4 +45,52 @@ class PlanProbeSpec extends SparkTestBase {
         s"the group-by exchange is live, got: $live")
     } finally base.unpersist(blocking = true)
   }
+
+  // ---- AQE-final strategy membership for the heavy graph queries ----
+  // RUNTIME_PLANS.txt is deliberately unasserted (ReusedExchange /
+  // AQEShuffleRead counters drift with stage materialization order in
+  // a long-lived JVM), but the JOIN STRATEGY SET is the property the
+  // scale story rests on, and a silent runtime flip should be a red
+  // test, not a bench-regression surprise rounds later. These are
+  // loose set-membership checks on live (non-cached) join operators —
+  // never operator counts.
+
+  private val probeSf = "/root/testdata/sf0.1"
+
+  /** Live join-operator class names per execution. */
+  private def joinSets(name: String): Seq[(String, Set[String])] =
+    PlanProbe.probe(spark, name, probeSf).map { case (fn, census) =>
+      fn -> census.split(" ").toSeq
+        .filter(t => t.contains("Join") && !t.startsWith("cached:"))
+        .map(_.takeWhile(_ != '×')).toSet
+    }
+
+  test("q88 BFS: every per-round relax join runs as BroadcastHashJoin at sf0.1") {
+    val execs = joinSets("q88_bfs_hops")
+    // the frontier is tiny relative to the edge list in every round,
+    // so AQE must broadcast it — a shuffle join here means the
+    // stats-less checkpoint leaf pinned the frontier to a data-sized
+    // exchange, the exact flip this guards against
+    val offending = execs.filter { case (_, joins) =>
+      joins.nonEmpty && joins != Set("BroadcastHashJoinExec")
+    }
+    assert(execs.exists(_._2.nonEmpty),
+      s"probe saw no join-bearing executions — harness broke: $execs")
+    assert(offending.isEmpty,
+      s"BFS relax joins must all be runtime-broadcast at sf0.1; got $offending")
+  }
+
+  test("q177 PPR: the data-sized node joins stay shuffle-based at sf0.1") {
+    val joins = joinSets("q177_personalized_pagerank").flatMap(_._2).toSet
+    // the per-round rank frame is node-sized: it must move by shuffle
+    // (SMJ or SHJ), never by broadcast-collect of the whole graph —
+    // small constant frames (teleport seeds, degree caps) MAY
+    // broadcast, so BHJ presence alone is fine
+    assert(joins.exists(Set("SortMergeJoinExec", "ShuffledHashJoinExec")),
+      s"q177 lost its shuffle-based node joins at sf0.1 — a runtime " +
+        s"broadcast of a data-sized frame is scale-wrong; live joins: $joins")
+    assert(!joins.contains("BroadcastNestedLoopJoinExec") &&
+      !joins.contains("CartesianProductExec"),
+      s"q177 must never plan a nested-loop/cartesian join; got $joins")
+  }
 }
