@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Fit per-query scaling exponents from MicroBench sweeps over the
+ScaleDataGen series and write BENCH_SCALING.json.
+
+Usage:
+  python3 tools/fit_scaling.py out.json sf1:path1.json sf2:path2.json ...
+
+Each input is a MICROBENCH_OUT.json produced by `runMain graft.MicroBench`
+with SPARK_GRAFT_SF_DIR pointed at the matching ScaleDataGen output dir.
+
+For every query the report carries min-of-N seconds per sf, the
+pairwise log-log slope between consecutive sf points, and `exponent`,
+the least-squares slope over all points. Reading guide: per-query
+fixed overhead (job submit, codegen, stage scheduling — a few hundred
+ms at this harness's scales) dominates at the small end and biases the
+all-points slope DOWN, so the top pairwise slope (largest data, where
+overhead is most amortized) is the scale-honest number; `exponent_top`
+repeats it for machine consumption. A query is flagged super-linear
+when exponent_top > 1.25 (n·log n across one decade is ~1.08; 1.25
+leaves room for measurement noise before it means quadratic work).
+"""
+import json
+import math
+import sys
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    series = []
+    for arg in sys.argv[2:]:
+        sf, path = arg.split(":", 1)
+        with open(path) as f:
+            series.append((float(sf), json.load(f)))
+    series.sort(key=lambda p: p[0])
+    sfs = [sf for sf, _ in series]
+
+    queries = sorted(
+        set.intersection(*[set(doc["queries"]) for _, doc in series]))
+    report = {}
+    flagged = []
+    for q in queries:
+        mins = [doc["queries"][q]["min"] for _, doc in series]
+        pair_slopes = [
+            round(math.log(mins[i + 1] / mins[i]) /
+                  math.log(sfs[i + 1] / sfs[i]), 3)
+            for i in range(len(mins) - 1)
+        ]
+        # least-squares slope over all points
+        lx = [math.log(s) for s in sfs]
+        ly = [math.log(t) for t in mins]
+        mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+        slope = (sum((x - mx) * (y - my) for x, y in zip(lx, ly)) /
+                 sum((x - mx) ** 2 for x in lx))
+        entry = {
+            "sec_by_sf": {str(sf): round(t, 4) for sf, t in zip(sfs, mins)},
+            "pair_slopes": pair_slopes,
+            "exponent": round(slope, 3),
+            "exponent_top": pair_slopes[-1],
+        }
+        if q != "q01_pricing_summary" and pair_slopes[-1] > 1.25:
+            entry["flag"] = "super-linear"
+            flagged.append(q)
+        report[q] = entry
+
+    doc = {
+        "series": [
+            {"sf": sf, "n": d.get("n"), "cpus": d.get("cpus"),
+             "dir": d.get("sf"), "canary": d.get("canary")}
+            for sf, d in series
+        ],
+        "threshold_exponent_top": 1.25,
+        "flagged_super_linear": flagged,
+        "queries": report,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+    w = max(len(q) for q in queries)
+    print(f"{'query'.ljust(w)}  " +
+          "  ".join(f"t@{sf}" .rjust(8) for sf in sfs) +
+          "   slopes        exp_top")
+    for q in queries:
+        e = report[q]
+        times = "  ".join(
+            f"{e['sec_by_sf'][str(sf)]:8.3f}" for sf in sfs)
+        flag = "  <-- SUPER-LINEAR" if "flag" in e else ""
+        print(f"{q.ljust(w)}  {times}   {e['pair_slopes']}"
+              f"  {e['exponent_top']:+.3f}{flag}")
+    print(f"\nflagged: {flagged or 'none'} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
