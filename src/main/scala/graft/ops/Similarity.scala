@@ -413,8 +413,10 @@ object Similarity {
     // earlier crossJoin + row_number window materialized N×K rows and
     // exchanged ALL of them on vec_id every round; this form keeps
     // assignment embarrassingly parallel (no exchange at all), which is
-    // the shape that matters when N is the corpus (measured isolated
-    // min-of-7: 1.96 s vs 2.36 s for the window form — MICROBENCH_r10).
+    // the shape that matters when N is the corpus (measured at the
+    // rewrite: window form 2.36 s → 1.96 s isolated min-of-7, same
+    // host; current committed evidence: MICROBENCH_r10.json q59
+    // min 2.22 s at canary 1.554 ≈ 1.4 s normalized).
     def assign(cent: DataFrame): DataFrame = {
       val centArr = withN2(cent)
         .agg(collect_list(struct(col("k"), col("cq"), col("cn2"))).as("cents"))
