@@ -35,24 +35,29 @@ def main() -> None:
     sfs = [sf for sf, _ in series]
 
     queries = sorted(
-        set.intersection(*[set(doc["queries"]) for _, doc in series]))
+        set.union(*[set(doc["queries"]) for _, doc in series]))
     report = {}
     flagged = []
     for q in queries:
-        mins = [doc["queries"][q]["min"] for _, doc in series]
+        pts = [(sf, doc["queries"][q]["min"]) for sf, doc in series
+               if q in doc["queries"]]
+        if len(pts) < 2:
+            continue
+        qsfs = [sf for sf, _ in pts]
+        mins = [t for _, t in pts]
         pair_slopes = [
             round(math.log(mins[i + 1] / mins[i]) /
-                  math.log(sfs[i + 1] / sfs[i]), 3)
+                  math.log(qsfs[i + 1] / qsfs[i]), 3)
             for i in range(len(mins) - 1)
         ]
         # least-squares slope over all points
-        lx = [math.log(s) for s in sfs]
+        lx = [math.log(s) for s in qsfs]
         ly = [math.log(t) for t in mins]
         mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
         slope = (sum((x - mx) * (y - my) for x, y in zip(lx, ly)) /
                  sum((x - mx) ** 2 for x in lx))
         entry = {
-            "sec_by_sf": {str(sf): round(t, 4) for sf, t in zip(sfs, mins)},
+            "sec_by_sf": {str(sf): round(t, 4) for sf, t in zip(qsfs, mins)},
             "pair_slopes": pair_slopes,
             "exponent": round(slope, 3),
             "exponent_top": pair_slopes[-1],
@@ -75,14 +80,15 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=False)
         f.write("\n")
-    w = max(len(q) for q in queries)
+    w = max(len(q) for q in report)
     print(f"{'query'.ljust(w)}  " +
-          "  ".join(f"t@{sf}" .rjust(8) for sf in sfs) +
+          "  ".join(f"t@{sf}".rjust(8) for sf in sfs) +
           "   slopes        exp_top")
-    for q in queries:
+    for q in sorted(report):
         e = report[q]
         times = "  ".join(
-            f"{e['sec_by_sf'][str(sf)]:8.3f}" for sf in sfs)
+            f"{e['sec_by_sf'][str(sf)]:8.3f}" if str(sf) in e["sec_by_sf"]
+            else " " * 8 for sf in sfs)
         flag = "  <-- SUPER-LINEAR" if "flag" in e else ""
         print(f"{q.ljust(w)}  {times}   {e['pair_slopes']}"
               f"  {e['exponent_top']:+.3f}{flag}")
