@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   *     token — observed 250/5000 with 255 'dup' occurrences) and
   *     0.16 % exact duplicates — near-dup candidate volume per doc
   *     stays constant, so q104/q109/q93 scale with N, not N²;
-  *   - embeddings: unit-normalized 64-dim Gaussians with a small
-  *     per-label bias (label-centroid norm ≈ 0.07 vs residual ≈ 1 —
-  *     the observed faint cluster structure that keeps IVF cell
-  *     occupancy and k-means round cost representative);
+  *   - embeddings: unit-normalized 64-dim Gaussians with labels
+  *     INDEPENDENT of geometry — no bias is planted, because the
+  *     driver's observed label-centroid norm (0.0700) equals 1/√200,
+  *     i.e. pure sampling noise of a 200-vector mean; at m
+  *     vectors/label the centroid norm lands at 1/√m at every sf by
+  *     construction, keeping IVF cell occupancy and k-means round
+  *     cost representative (see [[embeddings]]);
   *   - events: user population scales with sf at a constant
   *     ~66 events/user, value ~ Exponential(mean 50), 30-day span —
   *     the per-user exchange volume per key stays constant.

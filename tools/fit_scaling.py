@@ -18,7 +18,17 @@ overhead is most amortized) is the scale-honest number; `exponent_top`
 repeats it for machine consumption. A query is flagged super-linear
 when exponent_top > 1.25 (n·log n across one decade is ~1.08; 1.25
 leaves room for measurement noise before it means quadratic work).
+
+Exemption: q01_pricing_summary is EXEMPT from the super-linear flag —
+it rides along in every sweep as the host-noise canary (see
+Bench.CanaryQuery), not as a scaling subject, and its sub-second
+runtimes are dominated by JVM state rather than data volume (observed
+min-of-7 spread 0.315–0.847 s on identical code). Its exponent is
+still reported; the exempt list is emitted in the JSON so the
+carve-out is visible in the artifact.
 """
+
+EXEMPT = ["q01_pricing_summary"]  # canary, not a scaling subject
 import json
 import math
 import sys
@@ -62,7 +72,7 @@ def main() -> None:
             "exponent": round(slope, 3),
             "exponent_top": pair_slopes[-1],
         }
-        if q != "q01_pricing_summary" and pair_slopes[-1] > 1.25:
+        if q not in EXEMPT and pair_slopes[-1] > 1.25:
             entry["flag"] = "super-linear"
             flagged.append(q)
         report[q] = entry
@@ -74,6 +84,7 @@ def main() -> None:
             for sf, d in series
         ],
         "threshold_exponent_top": 1.25,
+        "exempt": EXEMPT,
         "flagged_super_linear": flagged,
         "queries": report,
     }
