@@ -41,6 +41,38 @@ object Bench {
     * so even this reference host runs ~1.65× the r5 one.) */
   val CanaryRefSec = 0.545
 
+  /** Canary BASKET (round-10 verdict item 1): a single-query divisor
+    * is too noisy to carry the round-over-round comparison — identical
+    * r10 code produced normalized totals of 115.5 s and 54.2 s because
+    * q01 alone hit a noisy moment (ratio 1.28 vs 3.119 on the same
+    * binary). The basket times ~5 cheap, plan-stable queries and takes
+    * the MEDIAN per-query ratio as the host-noise estimate; one
+    * query's GC spike can no longer deflate or inflate every other
+    * query's normalized time. References are the committed r10
+    * quiet-host full-bench values (423be30 BENCH_OUT.json, canary
+    * 1.28) — IN-SUITE numbers, so numerator and denominator are
+    * measured the same way (the q01-vs-0.545 legacy field mixes an
+    * in-suite numerator with an isolated min-of-7 reference and reads
+    * ~1.3 on a quiet host; the basket reads ~1.0 there by
+    * construction). The legacy single-q01 canary field stays in the
+    * JSON for cross-round continuity. */
+  val CanaryBasket: Seq[(String, Double)] = Seq(
+    "q01_pricing_summary" -> 0.6976,
+    "q03_revenue_by_nation" -> 0.5681,
+    "q16_small_qty_revenue" -> 0.6985,
+    "q61_cohort_retention" -> 0.3497,
+    "q84_source_sample" -> 0.1760)
+
+  /** Median of the basket's per-query time/reference ratios; the even
+    * case averages the middle pair. Ratios for failed queries are
+    * absent — callers pass only the successful ones. */
+  private[graft] def basketMedian(ratios: Seq[Double]): Double = {
+    val s = ratios.sorted
+    if (s.isEmpty) 1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   /** JSON string escape shared with [[MicroBench]] and [[Verify]] —
     * ONE escaper for every harness artifact. Control chars \u-escape
     * losslessly (the earlier replace-with-space form was lossy, and
@@ -179,15 +211,30 @@ object Bench {
     val errs = measured.collect { case (k, Left(e)) =>
       s""""${esc(k)}":"${esc(e)}"""" }.mkString("{", ",", "}")
     val total = measured.collect { case (_, Right(v)) => v }.sum
-    // normalized_total = total ÷ canary ratio: round-over-round totals
-    // adjudicable without hand math — a loaded host inflates total and
-    // canary alike, so the quotient is the host-independent number
-    // (round-8 verdict asked for exactly this field).
+    // normalized_total = total ÷ basket-median canary ratio:
+    // round-over-round totals adjudicable without hand math — a loaded
+    // host inflates total and canary alike, so the quotient is the
+    // host-independent number (round-8 verdict asked for the field;
+    // the round-10 verdict moved the divisor from single-q01 to the
+    // basket median). The legacy single-q01 "canary" object is kept
+    // for continuity; "canary_basket" carries the per-query ratios so
+    // a reader can see WHICH basket member was noisy.
+    val timed = measured.collect { case (k, Right(v)) => k -> v }.toMap
+    val basketRatios = CanaryBasket.flatMap { case (q, ref) =>
+      timed.get(q).map(v => q -> v / ref) }
+    val basketRatio = basketMedian(basketRatios.map(_._2))
+    val basket =
+      s""""canary_basket":{"ratio_median":${num(basketRatio, 3)},""" +
+        s""""ratios":${basketRatios.map { case (q, r) =>
+          s""""${esc(q)}":${num(r, 3)}""" }.mkString("{", ",", "}")},""" +
+        s""""refs":${CanaryBasket.map { case (q, ref) =>
+          s""""${esc(q)}":${num(ref, 4)}""" }.mkString("{", ",", "}")},""" +
+        s""""ref_source":"r10 quiet-host BENCH_OUT.json (423be30), in-suite"},""" +
+        s""""normalized_total":${num(total / basketRatio, 2)},"""
     val canary = measured.collectFirst { case (CanaryQuery, Right(v)) =>
       s""""canary":{"query":"$CanaryQuery","sec":${num(v, 4)},""" +
-        s""""ref_sec":${num(CanaryRefSec, 4)},"ratio":${num(v / CanaryRefSec, 3)}},""" +
-        s""""normalized_total":${num(total / (v / CanaryRefSec), 2)},"""
-    }.getOrElse("")
+        s""""ref_sec":${num(CanaryRefSec, 4)},"ratio":${num(v / CanaryRefSec, 3)}},"""
+    }.getOrElse("") + basket
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$canary"queries":$qs,"errors":$errs,""" +
         s""""swept_checkpoint_rdds":$swept,"sf":"${esc(sfDir)}"}"""

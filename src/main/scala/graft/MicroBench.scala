@@ -71,11 +71,26 @@ object MicroBench {
           s""""ref_sec":${Bench.num(Bench.CanaryRefSec, 4)},""" +
           s""""ratio":${Bench.num(runs.min / Bench.CanaryRefSec, 3)}},"""
     }.getOrElse("")
+    // Basket ratios for whichever basket members this invocation timed
+    // (median only when ≥3 present — a 1–2 member "basket" is just the
+    // single-query canary wearing a new name). Refs are Bench's
+    // in-suite quiet-host values; micro runs are isolated, so these
+    // ratios read systematically LOW vs a full-bench basket — compare
+    // micro-to-micro, not micro-to-bench.
+    val resultMap = results.toMap
+    val basketRatios = Bench.CanaryBasket.flatMap { case (q, ref) =>
+      resultMap.get(q).map(runs => q -> runs.min / ref) }
+    val basket =
+      if (basketRatios.size < 3) ""
+      else s""""canary_basket":{"ratio_median":${
+        Bench.num(Bench.basketMedian(basketRatios.map(_._2)), 3)},""" +
+        s""""ratios":${basketRatios.map { case (q, r) =>
+          s""""${Bench.esc(q)}":${Bench.num(r, 3)}""" }.mkString("{", ",", "}")}},"""
     val qs = results.map { case (name, runs) =>
       s""""${Bench.esc(name)}":{"min":${Bench.num(runs.min, 4)},"median":${Bench.num(med(runs), 4)},""" +
         s""""runs":[${runs.map(r => Bench.num(r, 4)).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"n":$n,"cpus":"${Bench.esc(cpus)}","sf":"${Bench.esc(sfDir)}",$canary"queries":$qs}"""
+    val json = s"""{"n":$n,"cpus":"${Bench.esc(cpus)}","sf":"${Bench.esc(sfDir)}",$canary$basket"queries":$qs}"""
     println(json)
     Files.writeString(Paths.get("MICROBENCH_OUT.json"), json + "\n")
     spark.stop()
