@@ -57,9 +57,17 @@ object PlanProbe {
 
   /** One-line census of the operators that decide scale behavior:
     * join strategies, exchanges, AQE shuffle reads. */
-  def census(plan: SparkPlan): String = {
+  def census(plan: SparkPlan): String =
+    census(plan, sys.env.contains("SPARK_GRAFT_PROBE_FULL"))
+
+  /** `full = true` reports EVERY node including `cached:`-prefixed
+    * ones — needed when the joins under audit live inside a
+    * PipelineCache-owned relation (q28's LSH candidate join runs at
+    * cache materialization, so the default live census reports the
+    * noop write as join-free). */
+  def census(plan: SparkPlan, full: Boolean): String = {
     val names = finalNodes(plan)
-    if (sys.env.contains("SPARK_GRAFT_PROBE_FULL"))
+    if (full)
       return names.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (n, g) => s"$n×${g.size}" }.mkString(" ")
     val interesting = names.filter { n =>
@@ -95,14 +103,16 @@ object PlanProbe {
     * execution order. The seam [[main]] and `PlanProbeSpec` share, so
     * the spec's runtime-strategy assertions measure exactly what the
     * committed RUNTIME_PLANS.txt artifact records. */
-  def probe(spark: SparkSession, name: String, sfDir: String)
-      : Seq[(String, String)] = {
+  def probe(spark: SparkSession, name: String, sfDir: String,
+      full: Boolean = false): Seq[(String, String)] = {
     val events = mutable.ArrayBuffer.empty[(String, String)]
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit =
         events.synchronized {
-          events += ((funcName, census(qe.executedPlan)))
+          events += ((funcName,
+            if (full) census(qe.executedPlan, full = true)
+            else census(qe.executedPlan)))
         }
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = ()

@@ -80,6 +80,91 @@ class PlanProbeSpec extends SparkTestBase {
       s"BFS relax joins must all be runtime-broadcast at sf0.1; got $offending")
   }
 
+  /** Per-execution live join-operator counts (name → multiplicity),
+    * parsed from the census's `Name×k` tokens. */
+  private def joinCounts(name: String): Seq[(String, Map[String, Int])] =
+    PlanProbe.probe(spark, name, probeSf).map { case (fn, census) =>
+      fn -> census.split(" ").toSeq
+        .filter(t => t.contains("Join") && !t.startsWith("cached:"))
+        .map { t =>
+          val (n, k) = t.span(_ != '×')
+          n -> (if (k.isEmpty) 1 else k.drop(1).toInt)
+        }.toMap
+    }
+
+  test("q104 exact-Jaccard: the hinted candidate join runs as SHJ, never SMJ") {
+    // the prefix-filter self-join carries a shuffle_hash hint
+    // (Dedup.scala — both sides data-scale, build side fits per
+    // partition); a silently dropped hint degrades it to SortMergeJoin
+    // (two full sorts of the candidate set) with no other red test
+    val joins = joinSets("q104_jaccard_join_exact").flatMap(_._2).toSet
+    assert(joins.contains("ShuffledHashJoinExec"),
+      s"q104's shuffle_hash-hinted candidate join was dropped; live joins: $joins")
+    assert(!joins.contains("SortMergeJoinExec"),
+      s"q104 planned a SortMergeJoin — the shuffle_hash hint degraded; got $joins")
+    assert(!joins.contains("BroadcastNestedLoopJoinExec") &&
+      !joins.contains("CartesianProductExec"),
+      s"q104 must never nested-loop; got $joins")
+  }
+
+  test("q28 minhash-LSH: the hinted candidate join survives inside the pipeline cache") {
+    // q28 OWNS the pairs pipeline-cache entry: its banded self-join
+    // executes when the cache materializes, so the live census reports
+    // the noop write as join-free — audit the FULL (cached-inclusive)
+    // node census instead, stripping the cached: prefix
+    val joins = PlanProbe.probe(spark, "q28_minhash_lsh_pairs", probeSf,
+        full = true)
+      .flatMap(_._2.split(" "))
+      .map(_.stripPrefix("cached:").takeWhile(_ != '×'))
+      .filter(_.contains("Join")).toSet
+    assert(joins.contains("ShuffledHashJoinExec"),
+      s"q28's shuffle_hash-hinted band join was dropped; joins: $joins")
+    assert(!joins.contains("SortMergeJoinExec"),
+      s"q28 planned a SortMergeJoin — the shuffle_hash hint degraded; got $joins")
+  }
+
+  test("q67 PageRank: round joins are hash-based, never nested-loop/cartesian") {
+    val execs = joinCounts("q67_pagerank")
+    assert(execs.exists(_._2.nonEmpty),
+      s"probe saw no join-bearing executions — harness broke: $execs")
+    val allowed = Set("BroadcastHashJoinExec", "SortMergeJoinExec",
+      "ShuffledHashJoinExec")
+    val offending = execs.filter(_._2.keys.exists(!allowed(_)))
+    assert(offending.isEmpty,
+      s"q67 round joins must stay hash/merge-based; got $offending")
+  }
+
+  test("q87 k-core: every peel round stays a shuffle aggregation, no live joins") {
+    // the peel is agg-based against the cached adjacency — each round
+    // execution is exactly one degree-count exchange; a live join
+    // appearing here means a round started re-deriving the adjacency
+    val execs = PlanProbe.probe(spark, "q87_kcore", probeSf)
+    assert(execs.size >= 2, s"k-core must run multiple peel rounds: $execs")
+    val offending = execs.filter { case (_, c) =>
+      c.contains("Join") || c.contains("Cartesian") }
+    assert(offending.isEmpty,
+      s"q87 peel rounds must be join-free shuffle aggs; got $offending")
+    assert(execs.forall(_._2.contains("ShuffleExchange")),
+      s"each peel round carries its degree-count exchange; got $execs")
+  }
+
+  test("q182 power iteration: only the declared 1-row BNLJ, one per round at most") {
+    // the max-norm frame is a DECLARED 1-row broadcast
+    // (PlanInvariantsSpec's allow-list); a SECOND nested-loop join in
+    // any round means a data-sized frame regressed to NLJ
+    val execs = joinCounts("q182_power_iteration")
+    assert(execs.exists(_._2.nonEmpty),
+      s"probe saw no join-bearing executions — harness broke: $execs")
+    val allowed = Set("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec")
+    val offending = execs.filter { case (_, js) =>
+      js.keys.exists(!allowed(_)) ||
+        js.getOrElse("BroadcastNestedLoopJoinExec", 0) > 1
+    }
+    assert(offending.isEmpty,
+      s"q182 rounds allow broadcast-hash plus at most the one declared " +
+        s"1-row BNLJ; got $offending")
+  }
+
   test("q177 PPR: the data-sized node joins stay shuffle-based at sf0.1") {
     val joins = joinSets("q177_personalized_pagerank").flatMap(_._2).toSet
     // the per-round rank frame is node-sized: it must move by shuffle
