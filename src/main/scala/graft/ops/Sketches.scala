@@ -127,6 +127,20 @@ object Sketches {
     * (the q39 discipline — exact side + flags is what the oracle
     * hashes; sketch bits stay out).
     *
+    * Estimator caveat (found by the round-11 sfg0.1 oracle sweep, and
+    * reproduced on the driver's own sf0.1): a STREAMED DataSketches
+    * HLL estimates with the HIP estimator, but a union result must
+    * fall back to the composite estimator — so comparing
+    * `estimate(union(dailies))` against `estimate(stream(week))`
+    * reads unequal the moment sketches leave exact coupon mode
+    * (~1.5 k distincts at the default lgK; sf0.01's ~150 users/week
+    * never got there, which is how the defect stayed green for ten
+    * rounds). The registers DO merge losslessly, so the honest
+    * equality pushes BOTH sides through the union path —
+    * `hll_union(wk, wk)` is an identity on registers that swaps the
+    * estimator to composite — and compares composite-to-composite
+    * over identical registers at every scale.
+    *
     * Scale shape: the daily sketch agg has map-side partials; the
     * weekly union moves one fixed-size sketch per (day) — bytes per
     * merge are O(sketch), never O(users). */
@@ -140,8 +154,10 @@ object Sketches {
     val merged = daily.groupBy("week")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
     val direct = e.groupBy("week")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"),
+      .agg(hll_sketch_agg(col("user_id")).as("wk"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("week"), col("exact_users"),
+        hll_sketch_estimate(hll_union(col("wk"), col("wk"))).as("direct_est"))
     merged.join(direct, "week")
       .select(col("week"), col("exact_users"),
         when(abs(col("merged_est") - col("exact_users")) * 20

@@ -7,7 +7,7 @@ columns by name, and compare row count, schema (column names), and
 cell values exactly. Local dev tool only — NOT part of the shipped
 library (the engine itself is pure Scala/Spark).
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 
 # Strict exact-type parity: a full sweep of all 185 queries showed no
@@ -40,7 +40,12 @@ def main(sf_dir, out_dir):
     print("duckdb version:", con.execute("SELECT version()").fetchone()[0])
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # the driver's testdata is one flat file per table; ScaleDataGen
+        # (Spark) writes a directory of part files — read either shape
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
