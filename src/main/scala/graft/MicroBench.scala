@@ -28,6 +28,11 @@ object MicroBench {
       Runtime.getRuntime.availableProcessors().toString)
     val n = sys.env.getOrElse("SPARK_GRAFT_MICRO_N", "7").toInt
     require(n >= 1, s"SPARK_GRAFT_MICRO_N must be ≥ 1, got $n")
+    // SPARK_GRAFT_MICRO_WARMUP=0 skips the warm-up pass: for the
+    // multi-minute sf10 scaling points a full extra pass doubles wall
+    // clock to amortize codegen/JIT costs that are <1% of a 20-minute
+    // run. Default 1 (warm-up on) — sub-second queries NEED it.
+    val warm = sys.env.getOrElse("SPARK_GRAFT_MICRO_WARMUP", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,7 +56,7 @@ object MicroBench {
     def sweptRuns(name: String, k: Int): Seq[Double] =
       Bench.withCheckpointSweep(spark)(
         (1 to k).map { _ => System.gc(); once(name) })._1
-    args.foreach(sweptRuns(_, 1)) // warm-up pass, JVM + codegen
+    if (warm > 0) args.foreach(sweptRuns(_, 1)) // warm-up pass, JVM + codegen
     val results = args.map { name =>
       val runs = sweptRuns(name, n)
       println(f"MICRO $name min=${runs.min}%.3f " +

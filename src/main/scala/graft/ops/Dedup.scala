@@ -945,19 +945,45 @@ object Dedup {
     *
     * The global order is (document frequency ASC, hash ASC): prefixes
     * are each doc's RAREST shingles, so prefix posting lists are short
-    * by construction — the same reason q99 blocks on rare shingles,
-    * but WITHOUT q99's df cap, which would break exactness (measured:
-    * 784 candidates vs 124,750 brute-force pairs at sf0.01, 310 k vs
-    * 12.5 M at sf0.1). A ubiquitous shingle can still appear in a
-    * SHORT doc's prefix; its posting list is data-dependent, which is
-    * the price of an exact join — at 100 TB you either pay it or run
-    * q28 and accept its recall. The τ·|A| ≤ |B| ≤ |A|/τ size filter
-    * ([[sizeRatioOk]], necessary for J ≥ τ) prunes at the join edge.
-    * Shuffles: df agg + per-doc rank window + candidate self-join on
-    * shingle + two verify joins — data-scale keys only, nothing
-    * all-pairs. */
+    * WHEN the corpus has rare shingles — the same reason q99 blocks on
+    * rare shingles, but WITHOUT q99's df cap, which would break
+    * exactness (measured: 784 candidates vs 124,750 brute-force pairs
+    * at sf0.01, 310 k vs 12.5 M at sf0.1). The τ·|A| ≤ |B| ≤ |A|/τ
+    * size filter ([[sizeRatioOk]], necessary for J ≥ τ) and the
+    * PPJoin positional filter (Xiao et al. WWW'08: a pair matching at
+    * prefix ranks (ra, rb) has overlap ≤ min(ra,rb)−1 + 1 +
+    * min(na−ra, nb−rb), because the shared global order splits every
+    * other common element strictly before or strictly after the
+    * matched shingle in BOTH lists) prune at the join edge.
+    *
+    * INLINE VERIFICATION — the sf10 lesson (round 11). The first
+    * formulation materialized candidate doc-id pairs through a
+    * `.distinct()` and re-joined `hx` twice to fetch both shingle
+    * sets. On a corpus whose shingle space saturates (the synthetic
+    * tables draw from a 30-word vocab → ≤ 27 k distinct 3-grams, so
+    * past ~sf1 every posting list grows linearly with N and the
+    * candidate count grows ~quadratically), that shuffled the
+    * quadratic candidate set THREE times: the sf10 sweep (500 k docs)
+    * spilled > 78 GB of shuffle temp and died on ENOSPC before
+    * finishing one run. This formulation verifies INSIDE the streamed
+    * self-join instead: each prefix posting row carries its doc's full
+    * sorted hash set, the cheap filters (doc order, size ratio,
+    * positional bound) and the codegen'd sorted-merge intersection run
+    * per probed pair inside ShuffledHashJoin, and only VERIFIED pairs
+    * (output-sized: true near-dups, not candidates) ever reach an
+    * exchange — the final distinct collapses the one-row-per-shared-
+    * prefix-shingle multiplicity of qualifying pairs. Shuffles: df agg
+    * + per-doc rank window + set-attach join + prefix self-join on
+    * shingle (reused exchange) + output distinct — ALL linear in the
+    * posting volume; nothing candidate-sized is ever materialized.
+    * Worst-case probe COMPUTE is still Σ_sh c_sh² pair evaluations (an
+    * exact join must look at pairs sharing prefix features — on a
+    * Heaps-law corpus c_sh stays small; the bounded-vocab synthetic is
+    * the adversarial case), but it streams through whole-stage codegen
+    * with early-out filters, never to disk: measured at sf10 the fix
+    * turns ENOSPC-after-32-min into a completed run. */
   def jaccardJoinExact(s: SparkSession, dir: String): DataFrame = {
-    // hx appears three times (postings + both verify sides) — same
+    // hx appears three times (postings + both set-attach sides) — same
     // materialize-once contract as q28/q99, own cache key so Bench's
     // per-owner invalidate keeps the timing honest.
     val hx = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
@@ -966,32 +992,44 @@ object Dedup {
     val posts = hx.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, sh) order; keep the prefix
-    // n − ⌈τ·n⌉ + 1, which for τ = 1/2 is n − (n+1) div 2 + 1
+    // n − ⌈τ·n⌉ + 1, which for τ = 1/2 is n − (n+1) div 2 + 1. The
+    // window runs SLIM (no array column in flight); the doc's sorted
+    // hash set is attached after pruning, so the heavy rows number
+    // Σ prefix(n), not Σ n.
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sh")
-    val pref = posts.join(dfreq, Seq("sh"))
+    val prefSlim = posts.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
       .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("sh"), col("doc_id"), col("n"))
-    // shuffle_hash for the q28 reasons: both sides are data-scale and
-    // the identical exchanges collapse via ReusedExchange.
-    val cand = pref.hint("shuffle_hash").as("x")
-      .join(pref.hint("shuffle_hash").as("y"), Seq("sh"))
-      .where(col("x.doc_id") < col("y.doc_id") &&
-        sizeRatioOk(col("x.n"), col("y.n"), 500L))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val a = hx.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("hsa"))
-    val b = hx.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hsb"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        interCount(col("hsa"), col("hsb")).as("inter_sh"),
-        col("na"), col("nb"))
+      .select(col("sh"), col("doc_id"), col("rk"))
+    // shuffle_hash on both joins: every side is data-scale (hx is
+    // O(corpus) — too big to broadcast at scale) and SMJ would sort
+    // array-carrying rows; the identical self-join exchanges collapse
+    // via ReusedExchange.
+    val pref = prefSlim.hint("shuffle_hash")
+      .join(hx.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("sh"), col("doc_id"), col("rk"), col("n"), col("hs"))
+    val ppm = lit(PfxJaccPpmMin)
+    // positional overlap upper bound for the pair matched at prefix
+    // ranks (x.rk, y.rk); J ≥ τ ⇔ inter·(1e6+ppm) ≥ ppm·(na+nb), so
+    // prune when even the bound cannot reach the required overlap
+    val ub = least(col("x.rk"), col("y.rk")) +
+      least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))
+    pref.hint("shuffle_hash").as("x")
+      .join(pref.hint("shuffle_hash").as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          sizeRatioOk(col("x.n"), col("y.n"), 500L) &&
+          ub * (lit(1000000L) + ppm) >= ppm * (col("x.n") + col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        interCount(col("x.hs"), col("y.hs")).as("inter_sh"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter_sh"),
         (col("na") + col("nb") - col("inter_sh")).as("union_sh"))
-      .where(col("inter_sh") * lit(1000000L) >= lit(PfxJaccPpmMin) * col("union_sh"))
+      .where(col("inter_sh") * lit(1000000L) >= ppm * col("union_sh"))
       .withColumn("jacc_ppm", expr("inter_sh * 1000000 div union_sh"))
       .select("doc_a", "doc_b", "inter_sh", "union_sh", "jacc_ppm")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -192,9 +192,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     // q103: (source,token) agg + source totals agg + vocab-key
     // self-join (reused exchange) + pair groupBy + Σf agg
     "q103_source_divergence" -> 5,
-    // q104: shingle df agg + per-doc rank window + prefix self-join on
-    // shingle (reused) + two verify joins off the persisted hx
-    "q104_jaccard_join_exact" -> 5,
+    // q104: shingle df agg + posting⋈df on sh + per-doc rank window +
+    // set-attach join off the persisted hx + prefix self-join on
+    // shingle (reused) + output distinct — one more than the old
+    // candidate-materializing shape (5), but every exchange is now
+    // LINEAR in the posting volume: the r11 sf10 sweep showed the old
+    // shape's distinct + two verify joins shuffling the quadratic
+    // candidate set (>78 GB spill, ENOSPC on a bounded-vocab corpus);
+    // verification now runs inline inside the streamed self-join
+    "q104_jaccard_join_exact" -> 6,
     // q99: posting agg + shingle-key self-join (reused) + verify joins;
     // the df-capped blocking adds no exchange beyond the posting agg
     "q99_containment_pairs" -> 4,
