@@ -928,8 +928,26 @@ object Dedup {
   // ---------- q104: exact Jaccard join via prefix filtering ----------
 
   /** Exact-join Jaccard threshold (ppm), compared by cross-multiply
-    * (no division) and floored to `jacc_ppm` only for display. */
+    * (no division) and floored to `jacc_ppm` only for display.
+    *
+    * SINGLE SOURCE OF TRUTH for τ: the size-ratio milli
+    * ([[PfxJaccSizeMilli]]) and the prefix length
+    * ([[pfxPrefixLenSql]]) are DERIVED from this value — the round-11
+    * advisor flagged that encoding τ three independent ways meant a
+    * threshold change could silently over-prune (size filter and
+    * prefix length no longer matching the verify threshold), voiding
+    * the exactness guarantee. */
   val PfxJaccPpmMin = 500000L
+
+  /** τ as milli for [[sizeRatioOk]] — derived, never hand-encoded.
+    * Exact because τ is specified in ppm at 1e3 granularity. */
+  val PfxJaccSizeMilli: Long = PfxJaccPpmMin / 1000L
+
+  /** Prefix length n − ⌈τ·n⌉ + 1 as SQL over column `n`, with
+    * ⌈τ·n⌉ computed in exact integer ppm arithmetic. For
+    * τ = 0.5 this reduces to the textbook n − (n+1) div 2 + 1. */
+  val PfxPrefixLenSql: String =
+    s"n - ((n * $PfxJaccPpmMin + 999999) div 1000000) + 1"
 
   /** Exact Jaccard set-similarity join (q104): every document pair
     * with shingle-set Jaccard ≥ 0.5 — EXACTLY. q28's banded min-hash
@@ -975,7 +993,20 @@ object Dedup {
     * prefix-shingle multiplicity of qualifying pairs. Shuffles: df agg
     * + per-doc rank window + set-attach join + prefix self-join on
     * shingle (reused exchange) + output distinct — ALL linear in the
-    * posting volume; nothing candidate-sized is ever materialized.
+    * posting volume IN ROWS; nothing candidate-sized is ever
+    * materialized. DOC-LENGTH CAVEAT (round-11 advisor): because each
+    * prefix posting row carries the doc's full sorted hash set, the
+    * exchange BYTES are Σ prefix(n)·|hs| ≈ n²/2 per document — linear
+    * in corpus size but quadratic in INDIVIDUAL document length. The
+    * measured corpora are short-doc (n ≤ ~300 shingles, row width
+    * ≤ ~2.4 KB); on a long-document corpus (10 k-shingle docs →
+    * ~200 MB of exchange data per doc) the r11 spill problem could
+    * resurface via row WIDTH rather than row count. The escape, if
+    * the 100-TB contract must cover unbounded document sizes, is a
+    * length-capped hybrid: slim prefix rows (no set attached) for
+    * docs above a shingle-count threshold, with one extra verify
+    * join fetching only THOSE docs' sets — paying a candidate-sized
+    * exchange only for the long-doc minority.
     * Worst-case probe COMPUTE is still Σ_sh c_sh² pair evaluations (an
     * exact join must look at pairs sharing prefix features — on a
     * Heaps-law corpus c_sh stays small; the bounded-vocab synthetic is
@@ -992,15 +1023,15 @@ object Dedup {
     val posts = hx.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, sh) order; keep the prefix
-    // n − ⌈τ·n⌉ + 1, which for τ = 1/2 is n − (n+1) div 2 + 1. The
-    // window runs SLIM (no array column in flight); the doc's sorted
-    // hash set is attached after pruning, so the heavy rows number
-    // Σ prefix(n), not Σ n.
+    // n − ⌈τ·n⌉ + 1 ([[PfxPrefixLenSql]], derived from the one τ
+    // constant). The window runs SLIM (no array column in flight);
+    // the doc's sorted hash set is attached after pruning, so the
+    // heavy rows number Σ prefix(n), not Σ n.
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sh")
     val prefSlim = posts.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
-      .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .where(col("rk") <= expr(PfxPrefixLenSql))
       .select(col("sh"), col("doc_id"), col("rk"))
     // shuffle_hash on both joins: every side is data-scale (hx is
     // O(corpus) — too big to broadcast at scale) and SMJ would sort
@@ -1019,7 +1050,7 @@ object Dedup {
       .join(pref.hint("shuffle_hash").as("y"),
         col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id") &&
-          sizeRatioOk(col("x.n"), col("y.n"), 500L) &&
+          sizeRatioOk(col("x.n"), col("y.n"), PfxJaccSizeMilli) &&
           ub * (lit(1000000L) + ppm) >= ppm * (col("x.n") + col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         interCount(col("x.hs"), col("y.hs")).as("inter_sh"),

@@ -57,6 +57,22 @@ DEFAULT_BOUND = 1.25
 DECLARED_BOUNDS = {"q68_triangles": 1.65,
                    "q104_jaccard_join_exact": 2.1}
 
+# Pre-saturation (non-top) decade bounds for declared-bound queries
+# whose super-linearity is a TOP-decade regime, not the algorithm at
+# every scale. The r11 advisor's point: q104's 2.1 top bound admits
+# both the fixed streamed shape (1.83) and a reintroduced quadratic
+# candidate-set shuffle (~1.9-2.0) — the top-decade flag alone cannot
+# catch the exact regression round 11 fixed (PlanInvariantsSpec's
+# exchange count pins it structurally). But q104's PRE-saturation
+# decades measure 0.8-0.9 (Heaps-law-corpus behavior), so checking
+# those against the default 1.25 restores slope-level teeth: a
+# quadratic defect inflates every decade, not just the saturated one.
+# q68 is intentionally absent — its m^1.5 is the algorithm at ALL
+# decades (measured 1.2-1.4 pre-top), so its 1.65 bound applies to
+# every pair slope instead.
+PRE_BOUNDS = {"q104_jaccard_join_exact": DEFAULT_BOUND,
+              "q68_triangles": 1.65}
+
 import json
 import math
 import sys
@@ -105,6 +121,21 @@ def main() -> None:
         if q not in EXEMPT and pair_slopes[-1] > bound:
             entry["flag"] = "super-linear"
             flagged.append(q)
+        # declared-bound queries also get their NON-top decades
+        # checked (see PRE_BOUNDS): default-bound queries already had
+        # every decade implicitly covered by exponent_top plus the
+        # series sweep, but a declared top bound must not grant the
+        # pre-saturation decades a free pass.
+        pre_bound = PRE_BOUNDS.get(q)
+        if (q not in EXEMPT and pre_bound is not None
+                and len(pair_slopes) > 1
+                and max(pair_slopes[:-1]) > pre_bound):
+            entry["pre_bound"] = pre_bound
+            entry["flag_pre"] = "super-linear-pre-saturation"
+            if q not in flagged:
+                flagged.append(q)
+        elif pre_bound is not None:
+            entry["pre_bound"] = pre_bound
         report[q] = entry
 
     doc = {
@@ -115,6 +146,7 @@ def main() -> None:
         ],
         "threshold_exponent_top": DEFAULT_BOUND,
         "declared_bounds": DECLARED_BOUNDS,
+        "pre_saturation_bounds": PRE_BOUNDS,
         "exempt": EXEMPT,
         "flagged_super_linear": flagged,
         "queries": report,
