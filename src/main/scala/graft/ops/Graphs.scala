@@ -201,57 +201,113 @@ object Graphs {
     * still alive after the budget with their induced degree — the
     * "dense backbone" a sampler keeps when pruning a link graph.
     *
-    * Per round: one hash agg (degrees) + two semi-joins of the edge
-    * list against surviving nodes — all shuffles on node keys, no
-    * driver state. The edge list SHRINKS monotonically, so later
-    * rounds are cheaper; at 100 TB each round is a bounded map-reduce
-    * over the surviving subgraph (the q52-style localCheckpoint note
-    * applies if the budget grows past ~6 rounds: unrolled semi-join
-    * plans deepen linearly). */
+    * DELTA-DEGREE rounds (round-12 rewrite, the r11 verdict's item 4
+    * — the q88 frontier trick applied to the peel): degrees are
+    * aggregated from the FULL edge list exactly once, up front; each
+    * round then (a) splits off the DROP set (degree < k — small, and
+    * shrinking toward the fixpoint), (b) decrements the surviving
+    * endpoints of edges incident to dropped nodes, and (c) filters
+    * those edges out. deg − drops + decrements ≡ degrees of the
+    * induced subgraph, so the round semantics — and the oracle's
+    * unrolled CTEs — are unchanged. The earlier formulation
+    * re-aggregated ALL 2m surviving half-edges every round (a
+    * full-graph shuffle × rounds); here the only per-round shuffle is
+    * the decrement count, sized by the edges REMOVED that round —
+    * every e-sized and deg-sized frame moves exclusively through
+    * broadcast joins against the tiny drop/decrement sets, so total
+    * shuffle volume across all rounds is one initial degree agg plus
+    * Σ removed-edges = O(m), not O(m·rounds). At 100 TB each round is
+    * three cached-edge-list scans with map-side filters — the scan is
+    * the floor any peel pays; the shuffle no longer multiplies.
+    *
+    * EMPTY-DROP EARLY EXIT: once a round's drop set is empty the peel
+    * is at its fixpoint — deg and e are invariant under every
+    * remaining round, so skipping them is output-identical to the
+    * fixed-round contract (the oracle still unrolls all rounds; its
+    * trailing CTEs are identities). The check is a single-row probe
+    * (`isEmpty`) on an already-materialized one-column checkpoint
+    * leaf — bounded driver work of the same class as the documented
+    * collect() exemptions. It matters because real k-core inputs
+    * reach the fixpoint early (the TPC-H-ish co-purchase graph has
+    * min degree 38 ≥ CoreK at sf0.1 — it peels NOTHING, and the
+    * pre-r12 shape still paid 4 full-graph degree aggregations for
+    * it); AQE's empty-relation propagation already erased the no-op
+    * joins, the exit also erases the no-op cache copies. */
   val CoreK = 3
   val CoreRounds = 4
 
-  def kcore(s: SparkSession, dir: String): DataFrame = {
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOf(edges(s, dir))
+
+  /** The peel on an explicit half edge list (a < b, both long) — the
+    * seam GraphsSpec uses to drive multi-round peels synthetically:
+    * the co-purchase graph never peels (min degree ≥ CoreK at every
+    * measured sf), so only a crafted edge list exercises the
+    * decrement arithmetic's corner cases (sequential peel waves,
+    * both-endpoints-dropped edges). */
+  private[ops] def kcoreOf(e0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Rounds run over the HALF edge list (a < b, m rows) rather than
-    // the symmetric adjacency (2m): degrees come from a two-scan
-    // union of the persisted half, semi-joins probe m rows, and the
-    // per-round persist stores half the bytes. Each round references
-    // the previous round's frame THREE times (degree agg + two
-    // semi-join probes); unpersisted, the lineage re-derives the edge
-    // build 3^rounds times (measured: never finishes at sf0.1). Same
-    // per-round persist + final localCheckpoint shape as q52 — on a
-    // cluster the persist is the natural per-round shuffle
-    // materialization.
+    // the symmetric adjacency (2m). Each round references the
+    // previous round's e twice (decrement build + induced filter);
+    // unpersisted, the lineage re-derives the edge build
+    // exponentially (measured on the pre-r12 shape: never finishes
+    // at sf0.1). deg/drop are node-sized single-column frames —
+    // eager localCheckpoints flatten the analyzed tree exactly as
+    // q88's layers do.
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var e = e0.persist(StorageLevel.MEMORY_AND_DISK)
     caches += e
+    // the ONE full-graph degree aggregation (2m rows) of the query
+    var deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    checkpoints += deg
+    var atFixpoint = false
     (1 to CoreRounds).foreach { _ =>
-      // keep is checkpointed EAGERLY each round: it is referenced
-      // twice (both semi-joins) and itself references e twice (the
-      // degree union), so left symbolic the analyzed tree grows
-      // 5^rounds — the checkpoint flattens it to a LogicalRDD leaf
-      // (the frame is one node-id column, tiny by construction).
-      val keep = e.select(col("a").as("n"))
-        .unionAll(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= CoreK).select("n")
-        .localCheckpoint(true)
-      checkpoints += keep
-      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += e
+      if (!atFixpoint) {
+        val drop = deg.filter(col("deg") < CoreK).select("n")
+          .localCheckpoint(true)
+        checkpoints += drop
+        if (drop.isEmpty) atFixpoint = true // remaining rounds are identities
+        else {
+          // decrements: each removed edge (one endpoint dropped) lowers
+          // the OTHER endpoint's degree by one; both-endpoints-dropped
+          // edges decrement rows the anti-join below discards anyway.
+          // semi/anti against the tiny drop frame → AQE broadcasts; the
+          // groupBy is the round's only exchange, sized by removed edges.
+          val dec = e.join(drop.select(col("n").as("b")), Seq("b"), "left_semi")
+            .select(col("a").as("n"))
+            .unionAll(
+              e.join(drop.select(col("n").as("a")), Seq("a"), "left_semi")
+                .select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dec"))
+          deg = deg.join(drop, Seq("n"), "left_anti")
+            .join(dec, Seq("n"), "left")
+            .select(col("n"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+            .localCheckpoint(true)
+          checkpoints += deg
+          e = e.join(drop.select(col("n").as("a")), Seq("a"), "left_anti")
+            .join(drop.select(col("n").as("b")), Seq("b"), "left_anti")
+            .select("a", "b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          caches += e
+        }
+      }
     }
-    val out = e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("core_deg"))
-      .select(col("node").as("part_id"), col("core_deg"))
+    // output = degrees of the final induced subgraph, which IS the
+    // maintained deg frame (the per-round invariant) minus the nodes
+    // decremented to isolation in the last round — no final 2m-row
+    // re-aggregation; the oracle's unrolled CTEs verify the invariant
+    // end-to-end every run.
+    val out = deg.filter(col("deg") > 0)
+      .select(col("n").as("part_id"), col("deg").as("core_deg"))
       .localCheckpoint(true)
     caches.foreach(_.unpersist(blocking = false))
-    // keep-set checkpoints are dead once the next round's e persists;
+    // round checkpoints are dead once `out` materializes;
     // Dataset.unpersist can't reach them (no CacheManager entry) —
     // drop their LogicalRDD blocks directly
     checkpoints.foreach(
@@ -262,40 +318,58 @@ object Graphs {
   /** q88: multi-source BFS — min-hop distance from a deterministic
     * seed set (part_id ≡ 0 mod SeedMod) within `BfsRounds` hops.
     *
-    * The frontier-relax round is min-aggregation, not frontier set
-    * difference: dist_i = min(dist_{i−1}, 1 + dist of any in-neighbor)
-    * — one equi-join + one hash agg per round, the Bellman-Ford-style
-    * shape whose shuffles all key on node ids. Monotone (min) and
-    * integer, so rounds unroll as oracle CTEs. Unreached nodes carry
-    * no row (no sentinel ∞ to disagree on). */
+    * FRONTIER-DELTA rounds (round-12 rewrite, the r11 verdict's item
+    * 4): in unit-weight BFS a node's min-hop is the round it is FIRST
+    * reached, so the relax join only needs to expand the nodes whose
+    * distance changed last round — the frontier — never the full
+    * reached set. Per round: one equi-join of the adjacency against
+    * the (small, eventually shrinking) frontier, a distinct on the
+    * expansion, and an anti-join against the union of previous
+    * layers; the disjoint layers union at the end, so no min-agg is
+    * needed anywhere. The earlier formulation re-joined and
+    * re-min-aggregated the FULL reached set every round — per-round
+    * relax volume grew with cumulative reach (Σ_i |reached_i|·d̄ rows)
+    * instead of with the delta (Σ_i |frontier_i|·d̄ — each edge
+    * relaxed at most twice TOTAL across all rounds); at 100 TB the
+    * delta shape is the difference between rounds that shrink as the
+    * BFS saturates and rounds that grow with everything seen so far.
+    * Monotone and integer as before, so rounds still unroll as oracle
+    * CTEs. Unreached nodes carry no row (no sentinel ∞ to disagree
+    * on). */
   val BfsRounds = 3
   val SeedMod = 100
 
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // adj is probed every round; each d_i references d_{i−1} twice
-    // (union + relax join), and d is TINY (one row per reached node),
-    // so rounds flatten d with an eager localCheckpoint instead of
-    // persist-and-track — same analyzed-tree bound as kcore's keep.
+    // adj is probed every round; each layer is TINY (one row per
+    // newly-reached node) and referenced by every later round's
+    // anti-join AND the final union, so layers flatten with an eager
+    // localCheckpoint — same analyzed-tree bound as kcore's rounds.
     val adj = adjacency(edges(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("src").as("node")).distinct()
-    var d = nodes.filter(col("node") % SeedMod === 0)
+    var frontier = nodes.filter(col("node") % SeedMod === 0)
       .select(col("node"), lit(0L).as("hop"))
       .localCheckpoint(true)
-    val rounds = scala.collection.mutable.ListBuffer(d)
-    (1 to BfsRounds).foreach { _ =>
-      val relaxed = adj.join(d, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
-      d = d.unionAll(relaxed).groupBy("node").agg(min("hop").as("hop"))
+    val layers = scala.collection.mutable.ListBuffer(frontier)
+    (1 to BfsRounds).foreach { i =>
+      // reached-so-far = union of checkpoint LEAVES (flat plan; no
+      // separate reached frame to re-checkpoint each round)
+      val reached = layers.map(_.select("node")).reduce(_ unionAll _)
+      frontier = adj.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
         .localCheckpoint(true)
-      rounds += d
+      layers += frontier
     }
     adj.unpersist(blocking = false)
-    // earlier rounds' distance checkpoints are dead (each round is
-    // eager); only the final frame feeds the returned plan
-    rounds.dropRight(1).foreach(
+    // every layer is live in the returned plan (the union below);
+    // checkpoint one merged result frame so the per-round blocks can
+    // be dropped eagerly instead of leaking to the terminal sweep
+    val out = layers.reduce(_ unionAll _).localCheckpoint(true)
+    layers.foreach(
       org.apache.spark.sql.graftbridge.GraftBridge.unpersistCheckpoint)
-    d.select(col("node").as("part_id"), col("hop"))
+    out.select(col("node").as("part_id"), col("hop"))
       .orderBy("part_id")
   }
 

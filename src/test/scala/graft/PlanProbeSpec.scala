@@ -134,18 +134,31 @@ class PlanProbeSpec extends SparkTestBase {
       s"q67 round joins must stay hash/merge-based; got $offending")
   }
 
-  test("q87 k-core: every peel round stays a shuffle aggregation, no live joins") {
-    // the peel is agg-based against the cached adjacency — each round
-    // execution is exactly one degree-count exchange; a live join
-    // appearing here means a round started re-deriving the adjacency
-    val execs = PlanProbe.probe(spark, "q87_kcore", probeSf)
-    assert(execs.size >= 2, s"k-core must run multiple peel rounds: $execs")
-    val offending = execs.filter { case (_, c) =>
+  test("q87 k-core: one full-graph agg, fixpoint exit, no shuffle joins") {
+    // the r12 delta-degree peel aggregates the FULL edge list exactly
+    // once (the initial degree count). At sf0.1 the co-purchase graph
+    // has min degree 38 ≥ CoreK: round 1's drop set is empty, the
+    // fixpoint exit fires, and the whole query is agg + drop filter +
+    // isEmpty probe + output — so the census must show exactly ONE
+    // ShuffleExchange-bearing degree aggregation and NO live join of
+    // any strategy (on peeling inputs the drop-set joins exist but
+    // must broadcast; GraphsSpec's synthetic peel covers that
+    // semantics, this pins the no-peel plan the benchmark measures).
+    val censuses = PlanProbe.probe(spark, "q87_kcore", probeSf)
+    assert(censuses.size >= 2,
+      s"k-core must at least aggregate degrees and probe the drop set: " +
+        s"$censuses")
+    val offending = censuses.filter { case (_, c) =>
       c.contains("Join") || c.contains("Cartesian") }
     assert(offending.isEmpty,
-      s"q87 peel rounds must be join-free shuffle aggs; got $offending")
-    assert(execs.forall(_._2.contains("ShuffleExchange")),
-      s"each peel round carries its degree-count exchange; got $execs")
+      s"no-peel k-core must carry no live joins (empty-relation " +
+        s"propagation + fixpoint exit); got $offending")
+    val shuffling = censuses.filter(_._2.contains("ShuffleExchange"))
+    assert(shuffling.size <= 2, // degree agg + terminal presentation sort
+      s"the up-front degree count and the presentation sort are the " +
+        s"only exchanges; got $censuses")
+    assert(shuffling.nonEmpty,
+      s"the up-front degree count must shuffle once; got $censuses")
   }
 
   test("q182 power iteration: only the declared 1-row BNLJ, one per round at most") {

@@ -74,6 +74,40 @@ class GraphsSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q87 kcore peels a crafted graph in sequential waves") {
+    // The co-purchase graph never peels (min degree 38 ≥ CoreK at
+    // sf0.1), so the data-driven test above exercises only the
+    // fixpoint exit. This graph drives the delta-degree arithmetic
+    // through its corner cases: a K4 core that survives, a first
+    // wave dropping {7, 8} (degree 2), whose removed edges decrement
+    // 5 and 6 below CoreK for a SECOND wave — including edge (5,6)
+    // with BOTH endpoints dropped — and node 4 decremented 4→3,
+    // surviving exactly at the threshold; round 3 hits the empty-drop
+    // fixpoint with a round to spare.
+    val crafted: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L), (5L, 8L), (6L, 8L))
+    // plain-Scala fixed-round peel, same loop as the data-driven test
+    var live: Map[Long, Seq[Long]] = crafted
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    (1 to Graphs.CoreRounds).foreach { _ =>
+      val keep = live.collect {
+        case (n, ds) if ds.size >= Graphs.CoreK => n
+      }.toSet
+      live = live.collect {
+        case (n, ds) if keep(n) => n -> ds.filter(keep)
+      }.filter(_._2.nonEmpty)
+    }
+    val expect = live.view.mapValues(_.size.toLong).toMap
+    assert(expect === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "fixture must peel down to the K4 core — crafted graph broken")
+    import spark.implicits._
+    val got = Graphs.kcoreOf(crafted.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("q88 bfs hops equals a plain-Scala Bellman-Ford relax") {
     var d: Map[Long, Long] = adj.keys
       .filter(_ % Graphs.SeedMod == 0).map(_ -> 0L).toMap
