@@ -39,6 +39,18 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      // BENCH PARITY (round-12 fix): Bench and Verify run with the
+      // pipeline cache ON; MicroBench historically did not, so a
+      // multi-referenced subtree (q99's hx ×3, q52's cluster frames)
+      // recomputed per reference and an "isolated re-measurement" of
+      // an in-suite delta silently compared two different engine
+      // configurations — q99 measured 23.5 s isolated vs 2.8 s
+      // in-suite on identical code and an only-1.45× host. The
+      // invalidate() in once() still forces every run to REBUILD its
+      // entries, so nothing is timed warm; the flag only stops
+      // within-run recomputation, exactly as in Bench.
+      .config(ops.PipelineCache.ConfKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
