@@ -6,14 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming state-store scale measurement (round-10 verdict item 6):
-  * the stateful operators are semantics-pinned by their specs, but the
-  * 100-TB claim that matters for a firehose — state bounded by the
-  * WATERMARK HORIZON, not by input size — was analytic until this
-  * main. It drains sfg-scale input (50 k docs / 1 M events at sf1.0,
-  * `graft.ScaleDataGen`) through the two state-heaviest operators
-  * under the RocksDB provider and records, per micro-batch, the
-  * numbers Structured Streaming already publishes for free
+/** Streaming state-store scale measurement (round-10 verdict item 6;
+  * widened to every stateful op family in round 12): the stateful
+  * operators are semantics-pinned by their specs, but the 100-TB claim
+  * that matters for a firehose — state bounded by the WATERMARK
+  * HORIZON, not by input size — was analytic until this main. It
+  * drains sfg-scale input (50 k docs / 1 M events at sf1.0,
+  * `graft.ScaleDataGen`) through the stateful operators under the
+  * RocksDB provider and records, per micro-batch, the numbers
+  * Structured Streaming already publishes for free
   * (StreamingQueryProgress): input rows, processing rate, state rows
   * total/updated/removed, and state memory.
   *
@@ -22,14 +23,26 @@ import org.apache.spark.sql.streaming.Trigger
   * artifact alone: `peak_state_rows` must plateau (bounded by
   * in-horizon data) while `rows_in_total` grows with the drained
   * input — an unbounded-state defect reads as peak ≈ cumulative at
-  * the last batch.
+  * the last batch. `StreamScaleSpec` pins exactly that plateau (state
+  * in the last drain-fifths no higher than mid-drain) per op, under
+  * BOTH state-store providers, so a lost watermark or a
+  * forgotten-eviction regression is a red test, not an artifact-diff
+  * surprise next round.
   *
-  *   - near-dup: documents spread uniformly over a 240-minute
-  *     event-time span, 15-minute horizon → only ~1/16 of the corpus
-  *     is ever in state; buckets evict as the watermark passes.
+  * Ops and their horizon geometry:
+  *   - near-dup & chunk-dedup: documents spread uniformly over a
+  *     240-minute event-time span, 15-minute horizon → only ~1/16 of
+  *     the corpus is ever in state; buckets/hashes evict as the
+  *     watermark passes.
   *   - heavy hitters: events over their native 30-day span, 1-day
   *     tumbling windows, 1-day watermark → ~2 windows of per-user
   *     counts live at once, 30 windows' worth drains through.
+  *   - interval join: view→purchase attribution over the event span,
+  *     30-minute join window, 60-minute watermark → buffered rows are
+  *     the in-window slice of both sides.
+  *   - sessionize: the fMGWS open-session state machine keyed by
+  *     user, 30-minute gap, 1-hour watermark → state is OPEN sessions
+  *     per key (sealed ones emit and leave).
   *
   * Input files are range-partitioned by event time with ascending
   * modification times so the file source replays them in time order —
@@ -38,6 +51,23 @@ import org.apache.spark.sql.streaming.Trigger
   * else as late).
   */
 object StreamScaleBench {
+
+  /** Per-drain scale stats — the structured form of one `ops` entry,
+    * shared by [[main]] (artifact) and `StreamScaleSpec` (bounds). */
+  final case class OpStats(
+      rowsInTotal: Long,
+      batches: Int,
+      wallSec: Double,
+      rowsPerSec: Double,
+      peakStateRows: Long,
+      endStateRows: Long,
+      peakStateMem: Long,
+      stateRemovedTotal: Long,
+      stateRowsByBatch: Seq[Long])
+
+  val OpNames: Seq[String] =
+    Seq("neardup", "chunk_dedup", "heavy_hitters", "interval_join",
+      "sessionize")
 
   private def writeTimeOrdered(df: DataFrame, ts: String, dir: String,
       nFiles: Int): Unit = {
@@ -54,13 +84,14 @@ object StreamScaleBench {
     }
   }
 
-  /** Drain `stream` to the noop sink with AvailableNow and return the
-    * per-batch progress JSON rows + a summary. */
-  private def drain(spark: SparkSession, name: String, out: DataFrame)
-      : (Seq[String], String) = {
+  /** Drain `out` to the noop sink with AvailableNow and return the
+    * per-batch progress JSON rows + the structured stats. */
+  private def drain(spark: SparkSession, name: String, out: DataFrame,
+      tmpRoot: String): (Seq[String], OpStats) = {
+    val ckpt = s"$tmpRoot/ckpt_$name"
     val q = out.writeStream.format("noop")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"/tmp/ssb_ckpt_$name")
+      .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
     val progs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
@@ -80,19 +111,138 @@ object StreamScaleBench {
     val totalRows = progs.map(_.numInputRows).sum
     val wallSec = progs.map(p => Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)).sum / 1000.0
-    val peakState = progs.flatMap(_.stateOperators.headOption)
-      .map(_.numRowsTotal).foldLeft(0L)(math.max)
-    val endState = progs.lastOption.flatMap(_.stateOperators.headOption)
-      .map(_.numRowsTotal).getOrElse(0L)
-    val peakMem = progs.flatMap(_.stateOperators.headOption)
-      .map(_.memoryUsedBytes).foldLeft(0L)(math.max)
-    val summary =
-      s"""{"rows_in_total":$totalRows,"batches":${progs.size},""" +
-        s""""wall_sec":${Bench.num(wallSec, 1)},""" +
-        s""""rows_per_sec":${Bench.num(if (wallSec > 0) totalRows / wallSec else 0, 1)},""" +
-        s""""peak_state_rows":$peakState,"end_state_rows":$endState,""" +
-        s""""peak_state_mem_bytes":$peakMem}"""
-    (rows, summary)
+    val byBatch = progs.map(p =>
+      p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L))
+    val removed = progs.map(p =>
+      p.stateOperators.headOption.map(_.numRowsRemoved).getOrElse(0L)).sum
+    val stats = OpStats(
+      rowsInTotal = totalRows,
+      batches = progs.size,
+      wallSec = wallSec,
+      rowsPerSec = if (wallSec > 0) totalRows / wallSec else 0,
+      peakStateRows = byBatch.foldLeft(0L)(math.max),
+      endStateRows = byBatch.lastOption.getOrElse(0L),
+      peakStateMem = progs.flatMap(_.stateOperators.headOption)
+        .map(_.memoryUsedBytes).foldLeft(0L)(math.max),
+      stateRemovedTotal = removed,
+      stateRowsByBatch = byBatch)
+    (rows, stats)
+  }
+
+  private def summaryJson(s: OpStats): String =
+    s"""{"rows_in_total":${s.rowsInTotal},"batches":${s.batches},""" +
+      s""""wall_sec":${Bench.num(s.wallSec, 1)},""" +
+      s""""rows_per_sec":${Bench.num(s.rowsPerSec, 1)},""" +
+      s""""peak_state_rows":${s.peakStateRows},""" +
+      s""""end_state_rows":${s.endStateRows},""" +
+      s""""state_removed_total":${s.stateRemovedTotal},""" +
+      s""""peak_state_mem_bytes":${s.peakStateMem}}"""
+
+  /** Documents spread uniformly over a 240-minute span. */
+  val DocSpanMin = 240
+  /** Near-dup / chunk-dedup watermark horizon (minutes). */
+  val DocHorizonMin = 15
+
+  private def timeSpreadDocs(spark: SparkSession, sfDir: String,
+      tmpRoot: String, nFiles: Int): String = {
+    val dir = s"$tmpRoot/docs"
+    val docsB = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docsB.count()
+    val spacingMs = DocSpanMin * 60000L / math.max(nDocs, 1)
+    writeTimeOrdered(
+      docsB.withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(spacingMs))),
+      "ts", dir, nFiles)
+    dir
+  }
+
+  private def docStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+
+  private def eventsDir(spark: SparkSession, sfDir: String,
+      tmpRoot: String, nFiles: Int): String = {
+    val dir = s"$tmpRoot/events"
+    writeTimeOrdered(
+      Tables.events(spark, sfDir).select(col("ts"), col("user_id")),
+      "ts", dir, nFiles)
+    dir
+  }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("ts TIMESTAMP, user_id LONG")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+
+  /** Prepare the named op's time-ordered input under `tmpRoot` and
+    * drain it; the seam [[main]] and `StreamScaleSpec` share, so the
+    * spec's bounds hold on exactly the pipeline the committed
+    * artifact measures. `nFiles` controls drain granularity (file
+    * source batches = nFiles / maxFilesPerTrigger(2)). */
+  private[graft] def runOp(spark: SparkSession, sfDir: String, name: String,
+      tmpRoot: String, nFiles: Int = 40): (Seq[String], OpStats) = {
+    val ckpt = Paths.get(s"$tmpRoot/ckpt_$name")
+    if (Files.exists(ckpt)) {
+      import scala.sys.process._
+      Seq("rm", "-rf", ckpt.toString).!
+    }
+    name match {
+      case "neardup" =>
+        val dir = timeSpreadDocs(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingNearDup
+          .minhashPairsStream(docStream(spark, dir), "ts", DocHorizonMin)
+          .toDF(), tmpRoot)
+      case "chunk_dedup" =>
+        val dir = timeSpreadDocs(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingChunkDedup
+          .chunkDedupStream(docStream(spark, dir), "ts",
+            s"$DocHorizonMin minutes"), tmpRoot)
+      case "heavy_hitters" =>
+        val dir = eventsDir(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingHeavyHitters.hotKeys(
+          eventStream(spark, dir), "ts", col("user_id"),
+          "1 day", "1 day", 50L), tmpRoot)
+      case "interval_join" =>
+        // view→purchase attribution derived from the event stream:
+        // every event is a view; the deterministic 1-in-5 hash subset
+        // re-arrives as purchases (purchase_ts == ts ⇒ the join's
+        // strict `>` excludes self-pairs; matches are views in the
+        // preceding 30 minutes)
+        val ev = Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
+          .withColumn("eid", xxhash64(col("user_id"), col("ts")))
+        val vDir = s"$tmpRoot/views"
+        val pDir = s"$tmpRoot/purchases"
+        writeTimeOrdered(ev.select(col("user_id"),
+          col("eid").as("view_id"), col("ts").as("view_ts")),
+          "view_ts", vDir, nFiles)
+        writeTimeOrdered(ev.filter(pmod(col("eid"), lit(5)) === 0)
+          .select(col("user_id"), col("eid").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+          "purchase_ts", pDir, nFiles)
+        val views = spark.readStream
+          .schema("user_id LONG, view_id LONG, view_ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 2).parquet(vDir)
+        val purchases = spark.readStream
+          .schema("user_id LONG, purchase_id LONG, purchase_ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 2).parquet(pDir)
+        drain(spark, name, streaming.StreamingJoin
+          .attributionJoin(views, purchases, "60 minutes", 30), tmpRoot)
+      case "sessionize" =>
+        // the fMGWS session state machine over the event firehose,
+        // keyed by user (the flight op's key column is just a string)
+        val dir = eventsDir(spark, sfDir, tmpRoot, nFiles)
+        val clean = eventStream(spark, dir)
+          .select(col("user_id").cast("string").as("icao24"),
+            col("ts").as("time_position"))
+        drain(spark, name, streaming.FlightSessions
+          .sessionsStream(clean, gapMinutes = 30, watermark = "1 hour")
+          .toDF(), tmpRoot)
+      case other => sys.error(s"unknown stream-scale op: $other")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -112,51 +262,23 @@ object StreamScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("neardup", "hotkeys").foreach { n =>
-      val d = Paths.get(s"/tmp/ssb_ckpt_$n")
-      if (Files.exists(d)) {
-        import scala.sys.process._
-        Seq("rm", "-rf", d.toString).!
-      }
+
+    val tmpRoot = "/tmp/ssb"
+    val meta = Map(
+      "neardup" -> s""""horizon_min":$DocHorizonMin,"span_min":$DocSpanMin""",
+      "chunk_dedup" -> s""""horizon_min":$DocHorizonMin,"span_min":$DocSpanMin""",
+      "heavy_hitters" -> """"window":"1 day","watermark":"1 day"""",
+      "interval_join" -> """"join_window_min":30,"watermark":"60 minutes"""",
+      "sessionize" -> """"gap_min":30,"watermark":"1 hour"""")
+    val entries = OpNames.map { n =>
+      val (rows, stats) = runOp(spark, sfDir, n, tmpRoot)
+      println(s"STREAM $n ${summaryJson(stats)}")
+      s""""$n":{"summary":${summaryJson(stats)},${meta(n)},""" +
+        s""""batches":[${rows.mkString(",")}]}"""
     }
-
-    // ---- near-dup over documents: 240-min span, 15-min horizon ----
-    val spanMin = 240
-    val docsB = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-    val nDocs = docsB.count()
-    val spacingMs = spanMin * 60000L / math.max(nDocs, 1)
-    writeTimeOrdered(
-      docsB.withColumn("ts",
-        timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(spacingMs))),
-      "ts", "/tmp/ssb_docs", 40)
-    val docStream = spark.readStream
-      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
-      .option("maxFilesPerTrigger", 2)
-      .parquet("/tmp/ssb_docs")
-    val (ndRows, ndSummary) = drain(spark, "neardup",
-      streaming.StreamingNearDup.minhashPairsStream(docStream, "ts", 15).toDF())
-    println(s"STREAM neardup $ndSummary")
-
-    // ---- heavy hitters over events: 30-day span, 1-day windows ----
-    val evB = Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
-    writeTimeOrdered(evB, "ts", "/tmp/ssb_events", 40)
-    val evStream = spark.readStream
-      .schema("ts TIMESTAMP, user_id LONG")
-      .option("maxFilesPerTrigger", 2)
-      .parquet("/tmp/ssb_events")
-    val (hhRows, hhSummary) = drain(spark, "hotkeys",
-      streaming.StreamingHeavyHitters.hotKeys(
-        evStream, "ts", col("user_id"), "1 day", "1 day", 50L))
-    println(s"STREAM hotkeys $hhSummary")
-
     val json =
       s"""{"sf":"${Bench.esc(sfDir)}","cpus":"${Bench.esc(cpus)}",""" +
-        s""""provider":"rocksdb","ops":{""" +
-        s""""neardup":{"summary":$ndSummary,"horizon_min":15,""" +
-        s""""span_min":$spanMin,"batches":[${ndRows.mkString(",")}]},""" +
-        s""""heavy_hitters":{"summary":$hhSummary,"window":"1 day",""" +
-        s""""watermark":"1 day","batches":[${hhRows.mkString(",")}]}}}"""
+        s""""provider":"rocksdb","ops":{${entries.mkString(",")}}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json.take(400))
     spark.stop()

@@ -23,6 +23,7 @@ class StreamingDedupRocksDBSpec extends StreamingDedupSpec with RocksDBProvider
 class StreamingHeavyHittersRocksDBSpec extends StreamingHeavyHittersSpec with RocksDBProvider
 class StreamingJoinRocksDBSpec extends StreamingJoinSpec with RocksDBProvider
 class StreamingNearDupRocksDBSpec extends StreamingNearDupSpec with RocksDBProvider
+class StreamScaleRocksDBSpec extends StreamScaleSpec with RocksDBProvider
 class StreamingPoisonRocksDBSpec extends StreamingPoisonSpec with RocksDBProvider
 class StreamingRestartRocksDBSpec extends StreamingRestartSpec with RocksDBProvider
 class StreamingTriplesRocksDBSpec extends StreamingTriplesSpec with RocksDBProvider
