@@ -393,15 +393,33 @@ object Graphs {
     * self-join of the degree-filtered adjacency on the shared
     * neighbor — with the [[LinkHubCap]] making it linear in |E| by
     * construction; the non-adjacency test is an anti-join against the
-    * edge set; top-k is a TakeOrdered with (a, b) tie-break. */
+    * edge set; top-k is a TakeOrdered with (a, b) tie-break.
+    *
+    * ROUND-12 sf10 FINDING, fixed: the degree filter originally ran
+    * as `count() OVER (PARTITION BY src)` on the full symmetric
+    * adjacency and the filtered frame was referenced on BOTH wedge
+    * sides — four window sorts of the 2|E| frame per run (240 M rows
+    * at sfg10), on top of an UNPERSISTED edge build referenced twice.
+    * At sfg1.0 that hid inside 10 s; at sfg10 the query ran > 30
+    * minutes (the r11 q104 lesson again: the next decade finds what
+    * the last one forgives). Now: the edge list materializes once
+    * (eager localCheckpoint, the q85 pass-1 pattern — terminal-sweep
+    * reclaimed), degrees come from one hash AGGREGATION (2 M rows
+    * out, partial-agg friendly, no global sort), and the adjacency is
+    * SEMI-JOINED against the low-degree center set — broadcast-sized
+    * by construction (the cap keeps only degree-≤64 nodes: 1,308 of
+    * 200 k nodes at sfg1.0), so the 2|E| frame never sorts and never
+    * shuffles for the filter. Output-identical (deg-by-agg ≡
+    * deg-by-window; the oracle replays it cell-exact). */
   def linkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    val e = edges(s, dir).localCheckpoint(true)
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val low = adj
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    val lowNodes = adj.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= LinkHubCap)
+      .select("src")
+    val low = adj.join(lowNodes, Seq("src"), "left_semi")
     val wedges = low.select(col("src").as("n"), col("dst").as("x"))
       .join(low.select(col("src").as("n"), col("dst").as("y")), Seq("n"))
       .filter(col("x") < col("y"))
