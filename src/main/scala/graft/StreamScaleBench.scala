@@ -143,19 +143,28 @@ object StreamScaleBench {
   /** Near-dup / chunk-dedup watermark horizon (minutes). */
   val DocHorizonMin = 15
 
+  /** Prepared-input memo: neardup and chunk_dedup (and repeat runs of
+    * any op) share the same (sfDir, tmpRoot, nFiles) docs/events dirs,
+    * so the count+write+mtime-stamp pass runs once per run instead of
+    * once per op (r12 advisor note — the rewrite was correct under
+    * overwrite mode, just wasted work). */
+  private val preparedDirs =
+    scala.collection.mutable.HashMap.empty[(String, String, Int, String), String]
+
   private def timeSpreadDocs(spark: SparkSession, sfDir: String,
-      tmpRoot: String, nFiles: Int): String = {
-    val dir = s"$tmpRoot/docs"
-    val docsB = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-    val nDocs = docsB.count()
-    val spacingMs = DocSpanMin * 60000L / math.max(nDocs, 1)
-    writeTimeOrdered(
-      docsB.withColumn("ts",
-        timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(spacingMs))),
-      "ts", dir, nFiles)
-    dir
-  }
+      tmpRoot: String, nFiles: Int): String =
+    preparedDirs.getOrElseUpdate((sfDir, tmpRoot, nFiles, "docs"), {
+      val dir = s"$tmpRoot/docs"
+      val docsB = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val nDocs = docsB.count()
+      val spacingMs = DocSpanMin * 60000L / math.max(nDocs, 1)
+      writeTimeOrdered(
+        docsB.withColumn("ts",
+          timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(spacingMs))),
+        "ts", dir, nFiles)
+      dir
+    })
 
   private def docStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -164,13 +173,14 @@ object StreamScaleBench {
       .parquet(dir)
 
   private def eventsDir(spark: SparkSession, sfDir: String,
-      tmpRoot: String, nFiles: Int): String = {
-    val dir = s"$tmpRoot/events"
-    writeTimeOrdered(
-      Tables.events(spark, sfDir).select(col("ts"), col("user_id")),
-      "ts", dir, nFiles)
-    dir
-  }
+      tmpRoot: String, nFiles: Int): String =
+    preparedDirs.getOrElseUpdate((sfDir, tmpRoot, nFiles, "events"), {
+      val dir = s"$tmpRoot/events"
+      writeTimeOrdered(
+        Tables.events(spark, sfDir).select(col("ts"), col("user_id")),
+        "ts", dir, nFiles)
+      dir
+    })
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

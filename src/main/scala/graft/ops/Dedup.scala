@@ -949,6 +949,22 @@ object Dedup {
   val PfxPrefixLenSql: String =
     s"n - ((n * $PfxJaccPpmMin + 999999) div 1000000) + 1"
 
+  /** q104 long-document ceiling (shingles per doc). The prefix join
+    * attaches each doc's FULL sorted hash set to every prefix posting
+    * row, so a single doc contributes ≈ prefix(n)·n·8 ≈ 4n² exchange
+    * BYTES — linear in corpus size but quadratic in individual
+    * document length (the round-11 advisor's row-WIDTH hazard: the
+    * measured corpora top out near ~300 shingles ≈ 2.4 KB rows, but a
+    * 10 k-shingle doc alone would push ~400 MB through the exchange
+    * and resurface the r11 ENOSPC spill via width rather than count).
+    * At this cap the worst single doc costs 4·4096² ≈ 67 MB — heavy
+    * but survivable. Beyond it [[jaccardJoinExact]] RAISES with the
+    * doc id and count (a diagnosable failure at the scan, before any
+    * spill), naming the escape: the length-capped hybrid sketched in
+    * the q104 scaladoc (slim prefix rows for over-cap docs + one
+    * extra verify join fetching only those docs' sets). */
+  val PfxMaxShinglesPerDoc = 4096L
+
   /** Exact Jaccard set-similarity join (q104): every document pair
     * with shingle-set Jaccard ≥ 0.5 — EXACTLY. q28's banded min-hash
     * is probabilistic (a qualifying pair can miss every band); this is
@@ -1001,8 +1017,11 @@ object Dedup {
     * measured corpora are short-doc (n ≤ ~300 shingles, row width
     * ≤ ~2.4 KB); on a long-document corpus (10 k-shingle docs →
     * ~200 MB of exchange data per doc) the r11 spill problem could
-    * resurface via row WIDTH rather than row count. The escape, if
-    * the 100-TB contract must cover unbounded document sizes, is a
+    * resurface via row WIDTH rather than row count. GUARDED (round
+    * 13): any doc over [[PfxMaxShinglesPerDoc]] shingles raises at
+    * the scan with its doc id and count — a long-doc corpus now
+    * fails diagnosably instead of re-spilling. The escape, if the
+    * 100-TB contract must cover unbounded document sizes, is a
     * length-capped hybrid: slim prefix rows (no set attached) for
     * docs above a shingle-count threshold, with one extra verify
     * join fetching only THOSE docs' sets — paying a candidate-sized
@@ -1017,9 +1036,20 @@ object Dedup {
     // hx appears three times (postings + both set-attach sides) — same
     // materialize-once contract as q28/q99, own cache key so Bench's
     // per-owner invalidate keeps the timing honest.
-    val hx = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
+    val hxRaw = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
       hashedShingles(s, dir)
     }
+    // long-doc guard: evaluated once per document at the cached frame,
+    // BEFORE any set-carrying row reaches an exchange (see
+    // [[PfxMaxShinglesPerDoc]] for the 4n²-bytes-per-doc arithmetic)
+    val hx = hxRaw.select(col("doc_id"), col("hs"),
+      when(col("n") <= lit(PfxMaxShinglesPerDoc), col("n"))
+        .otherwise(raise_error(format_string(
+          "q104 long-doc guard: doc_id=%d has %d shingles > cap " +
+            s"$PfxMaxShinglesPerDoc — the prefix join would exchange " +
+            "~4n^2 bytes for this doc; use the length-capped hybrid " +
+            "(jaccardJoinExact scaladoc)",
+          col("doc_id"), col("n")))).as("n"))
     val posts = hx.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, sh) order; keep the prefix

@@ -406,11 +406,18 @@ object Graphs {
     * (eager localCheckpoint, the q85 pass-1 pattern — terminal-sweep
     * reclaimed), degrees come from one hash AGGREGATION (2 M rows
     * out, partial-agg friendly, no global sort), and the adjacency is
-    * SEMI-JOINED against the low-degree center set — broadcast-sized
-    * by construction (the cap keeps only degree-≤64 nodes: 1,308 of
-    * 200 k nodes at sfg1.0), so the 2|E| frame never sorts and never
-    * shuffles for the filter. Output-identical (deg-by-agg ≡
-    * deg-by-window; the oracle replays it cell-exact). */
+    * SEMI-JOINED against the low-degree center set under an explicit
+    * [[broadcast]] hint, so the 2|E| frame never sorts and never
+    * shuffles for the filter. The hint is a bet on the graph FAMILY,
+    * not a by-construction bound: [[LinkHubCap]] caps per-node
+    * DEGREE, not node COUNT, so on a mostly-low-degree graph lowNodes
+    * is O(|V|) node ids (|V|·8 bytes — still broadcastable into the
+    * billions of nodes, and Spark fails loudly at the 8 GB broadcast
+    * ceiling rather than silently spilling). On the dense co-purchase
+    * graph it is tiny (1,308 of 200 k nodes at sfg1.0); a sparse-graph
+    * deployment should drop the hint and take the shuffled semi-join
+    * — output-identical either way (deg-by-agg ≡ deg-by-window; the
+    * oracle replays it cell-exact). */
   def linkPrediction(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).localCheckpoint(true)
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
@@ -419,7 +426,7 @@ object Graphs {
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= LinkHubCap)
       .select("src")
-    val low = adj.join(lowNodes, Seq("src"), "left_semi")
+    val low = adj.join(broadcast(lowNodes), Seq("src"), "left_semi")
     val wedges = low.select(col("src").as("n"), col("dst").as("x"))
       .join(low.select(col("src").as("n"), col("dst").as("y")), Seq("n"))
       .filter(col("x") < col("y"))

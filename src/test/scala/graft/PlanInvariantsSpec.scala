@@ -279,8 +279,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q132_topn_other" -> 2,
     // q133: bounds agg (1-row) + bin census + presentation sort
     "q133_equiwidth_hist" -> 3,
-    // q134: incidence self-join (reused exchange) + wedge census +
-    // the anti-join against the edge set + TakeOrdered
+    // q134: degree agg (under the explicit broadcast of the
+    // low-degree center set — r13 fix: unhinted, the AQE-off plan
+    // semi-joined with two extra exchanges) + incidence self-join
+    // (reused exchange) + wedge census + the anti-join against the
+    // edge set + TakeOrdered
     "q134_link_prediction" -> 5,
     // q135: first-seen agg + distinct + the user_id join + day census
     // (the cumulative window rides the bounded census)

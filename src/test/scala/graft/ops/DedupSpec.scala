@@ -293,6 +293,30 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty, "corpus has no qualifying pairs — test is vacuous")
   }
 
+  test("q104 long-doc guard raises diagnosably on an over-cap document") {
+    // 5000 distinct words → 4998 distinct 3-gram shingles, past the
+    // PfxMaxShinglesPerDoc=4096 ceiling: the guard must fail the job
+    // AT THE SCAN with the doc id in the message (the alternative is
+    // the r11 ENOSPC spill, hours later and diagnosis-free); the
+    // under-cap sibling doc proves the guard is per-row, not per-run
+    val d = tmpDir("longdocs")
+    val longText = (0 until 5000).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, longText, "en", "src0", longText.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val ex = intercept[Exception] {
+      Dedup.jaccardJoinExact(spark, d).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("q104 long-doc guard") && m.contains("doc_id=0")),
+      s"expected the guard message naming doc 0, got: ${msgs(ex).take(3)}")
+  }
+
   test("q102 leakage flag matches a recomputation from q52 × q48 outputs") {
     val sf = "/root/testdata/sf0.001"
     val clusters = Dedup.dedupClusters(spark, sf)

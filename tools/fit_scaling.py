@@ -67,9 +67,9 @@ DECLARED_BOUNDS = {"q68_triangles": 1.65,
 # decades measure 0.8-0.9 (Heaps-law-corpus behavior), so checking
 # those against the default 1.25 restores slope-level teeth: a
 # quadratic defect inflates every decade, not just the saturated one.
-# q68 is intentionally absent — its m^1.5 is the algorithm at ALL
-# decades (measured 1.2-1.4 pre-top), so its 1.65 bound applies to
-# every pair slope instead.
+# q68 intentionally does NOT get the 1.25 default pre-bound — its
+# m^1.5 is the algorithm at ALL decades (measured 1.2-1.4 pre-top),
+# so the entry below applies its declared 1.65 to every pair slope.
 PRE_BOUNDS = {"q104_jaccard_join_exact": DEFAULT_BOUND,
               "q68_triangles": 1.65}
 
@@ -92,6 +92,7 @@ def main() -> None:
         set.union(*[set(doc["queries"]) for _, doc in series]))
     report = {}
     flagged = []
+    flagged_pre = []
     for q in queries:
         pts = [(sf, doc["queries"][q]["min"]) for sf, doc in series
                if q in doc["queries"]]
@@ -132,6 +133,10 @@ def main() -> None:
                 and max(pair_slopes[:-1]) > pre_bound):
             entry["pre_bound"] = pre_bound
             entry["flag_pre"] = "super-linear-pre-saturation"
+            flagged_pre.append(q)
+            # flagged_super_linear stays the UNION (emptiness is the
+            # round gate); flagged_super_linear_pre says which check
+            # fired for entries that only tripped pre-saturation.
             if q not in flagged:
                 flagged.append(q)
         elif pre_bound is not None:
@@ -149,6 +154,7 @@ def main() -> None:
         "pre_saturation_bounds": PRE_BOUNDS,
         "exempt": EXEMPT,
         "flagged_super_linear": flagged,
+        "flagged_super_linear_pre": flagged_pre,
         "queries": report,
     }
     with open(out_path, "w") as f:
