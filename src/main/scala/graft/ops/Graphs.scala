@@ -583,13 +583,43 @@ object Graphs {
     * Non-seed nodes start (and teleport) at zero, so all mass in the
     * result is seed-derived by construction.
     *
-    * Same scale shape as q67: 2 node-keyed shuffles per round, the
-    * seed flag rides the rank frame, the loop builds only the plan.
+    * Same per-round arithmetic as q67 — 2 data-sized shuffles + one
+    * node-frame join — but NOT q67's plan-only loop. ROUND-13 sf10
+    * FINDING, fixed: with the loop building only the plan, every
+    * round reference re-evaluated the adjd subtree (edge self-join +
+    * degree splice — the full 240 M-row build at sfg10) and the smf
+    * subtree (degree agg + lineitem⋈orders semi-join), so the
+    * unrolled 3-round plan carried ~4 edge builds and 3 seed builds
+    * in ONE job; at sfg1.0 that hid inside 25 s, at sfg10 the job
+    * died with SparkOutOfMemoryError (UNABLE_TO_ACQUIRE_MEMORY at the
+    * 8 GiB driver default — execution memory exhausted by the
+    * concurrent subtree hash builds) — q67 survives the same shape
+    * only because it has no per-round seed join: ITS unrolled job
+    * carries one deduped edge exchange (ReuseExchange) and nothing
+    * else data-scale. Two fixes were measured at sfg10/48 GiB before
+    * landing this one: (a) eager-checkpointing the 2|E| degree-
+    * spliced adjacency itself (DISK_ONLY) + per-round rank
+    * checkpoints completed but at 475 s — the edge-scale block
+    * write/read round-trips and per-round re-sorts of the scan cost
+    * 5× q67's 93 s; (b) THIS shape — only the NODE-sized frames
+    * (degree, seed-mass) checkpoint, and the rank loop stays
+    * plan-only exactly like q67, so the unrolled job's data-scale
+    * content collapses back to q67's single reused edge exchange and
+    * the per-round work is the seed join of two node frames. The smf
+    * checkpoint is what removes the OOM driver: pre-fix, every round
+    * re-evaluated the seed subtree (degree agg + lineitem⋈orders
+    * semi-join) as live concurrent hash builds; post-fix those are
+    * two tiny RDD scans.
+    *
     * The seed set itself is one orders⋈lineitem semi-join — data-
-    * sized, but it collapses into the incidence build's exchanges. */
+    * sized, built once into the checkpointed seed-mass frame. */
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     val adj = adjacency(edges(s, dir))
+    // node-sized; read by the seed frame, the adjd splice, and the
+    // final degree join — checkpoint so none of them re-aggregates
+    // the 2|E| adjacency
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val urgentParts = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -600,6 +630,7 @@ object Graphs {
       .join(urgentParts.withColumn("seed", lit(1L)), Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("seed"), lit(0L)) * PrMass).as("sm"))
+      .localCheckpoint(true)
     // Every node of the symmetric graph HAS in-edges (the q67
     // argument), so each round's dst aggregation covers every node —
     // no per-round OUTER join back to the node frame is needed; the
@@ -615,11 +646,17 @@ object Graphs {
     //
     // Measurement spread (r9, identical code throughout): isolated
     // min-of-7 ranged 3.3 → 5.3 s across the round and in-suite 3.6 →
-    // 7.4 s, with no correlated canary movement — the 9 chained
+    // 7.4 s, with no correlated canary movement — the chained
     // data-sized shuffle stages in one AQE job make this the most
     // GC-state-sensitive query in the suite. Adjudicate its round-
     // over-round movement against the isolated MICROBENCH artifact,
     // never the in-suite number alone.
+    //
+    // the 2|E| degree-spliced adjacency stays PLAN-ONLY (q67's
+    // shape): the unrolled rounds reference it 3×, but the identical
+    // exchanges collapse via ReuseExchange within the one job —
+    // checkpointing this frame instead was measured 5× slower at
+    // sfg10 (edge-scale block round-trips; see scaladoc)
     val adjd = adj.join(deg, "src")
     val r0 = smf.select(col("node"), col("sm").as("r"))
     val rn = (1 to PrIters).foldLeft(r0) { (r, _) =>

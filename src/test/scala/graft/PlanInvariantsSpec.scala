@@ -417,10 +417,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // blocked self-join (reused exchange) + pair distinct + the two
     // verify joins' pair-key exchange + presentation sort
     "q176_tfidf_cosine_join" -> 9,
-    // q177: q67's 2-shuffles-per-round (3 rounds) + the seed-mass
-    // node-frame build and its per-round inner joins + degree/seed
-    // splice + presentation sort; incidence exchanges dedupe
-    "q177_personalized_pagerank" -> 11,
+    // q177: q67's plan-only rounds (edge-build exchanges dedupe via
+    // ReuseExchange — 4 reused statically) + the 3 rounds' dst
+    // censuses + the final degree/seed splice + presentation sort;
+    // the deg/seed-mass frames are checkpointed NODE-sized scans
+    // (r13 sf10 OOM fix), so no seed subtree re-evaluates per round
+    "q177_personalized_pagerank" -> 8,
     // q178: q52's label-prop rounds run eagerly at plan time (q87
     // pattern); the declared plan is the hash projection off the
     // checkpointed cluster leaf + presentation sort
