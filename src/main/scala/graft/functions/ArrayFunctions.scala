@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.{BloomAgg, CountMinAgg, DotProductLong, GraftBridge, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong, SortedPackedDotLong}
+import org.apache.spark.sql.graftbridge.{BloomAgg, CountMinAgg, DotProductLong, GraftBridge, GramCensusAgg, HyperplaneBuckets, Md5PrefixLong, SimHash60, SortedIntersectCount, SortedIntersectCountLong, SortedPackedDotLong}
 
 /** Public Column API over graft's native Catalyst expressions.
   *
@@ -59,6 +59,17 @@ object ArrayFunctions {
   def countMinSketch(key: Column, depth: Int, width: Int): Column =
     GraftBridge.column(
       CountMinAgg(GraftBridge.expression(key), depth, width)
+        .toAggregateExpression())
+
+  /** Integer Gram census aggregate over a fixed-width `array<bigint>`
+    * vector column: one `D(D+1)/2 + D + 1`-long buffer holding the
+    * upper-triangle pair products Σvᵢvⱼ, per-dim sums Σvᵢ, and the row
+    * count — the per-partition outer-product partial that replaces an
+    * N·D² nested-posexplode census (q182's covariance build). Fixed
+    * size, mergeable, exact 64-bit with loud overflow. */
+  def gramCensus(q: Column, dim: Int): Column =
+    GraftBridge.column(
+      GramCensusAgg(GraftBridge.expression(q), dim)
         .toAggregateExpression())
 
   /** Bloom-filter aggregate over a non-negative BIGINT key: a

@@ -949,20 +949,22 @@ object Dedup {
   val PfxPrefixLenSql: String =
     s"n - ((n * $PfxJaccPpmMin + 999999) div 1000000) + 1"
 
-  /** q104 long-document ceiling (shingles per doc). The prefix join
-    * attaches each doc's FULL sorted hash set to every prefix posting
-    * row, so a single doc contributes ≈ prefix(n)·n·8 ≈ 4n² exchange
-    * BYTES — linear in corpus size but quadratic in individual
-    * document length (the round-11 advisor's row-WIDTH hazard: the
-    * measured corpora top out near ~300 shingles ≈ 2.4 KB rows, but a
-    * 10 k-shingle doc alone would push ~400 MB through the exchange
-    * and resurface the r11 ENOSPC spill via width rather than count).
-    * At this cap the worst single doc costs 4·4096² ≈ 67 MB — heavy
-    * but survivable. Beyond it [[jaccardJoinExact]] RAISES with the
-    * doc id and count (a diagnosable failure at the scan, before any
-    * spill), naming the escape: the length-capped hybrid sketched in
-    * the q104 scaladoc (slim prefix rows for over-cap docs + one
-    * extra verify join fetching only those docs' sets). */
+  /** q104 long-document threshold (shingles per doc). The inline-
+    * verify prefix join attaches each doc's FULL sorted hash set to
+    * every prefix posting row, so a single doc contributes
+    * ≈ prefix(n)·n·8 ≈ 4n² exchange BYTES — linear in corpus size but
+    * quadratic in individual document length (the round-11 advisor's
+    * row-WIDTH hazard: the measured corpora top out near ~300
+    * shingles ≈ 2.4 KB rows, but a 10 k-shingle doc alone would push
+    * ~400 MB through the exchange and resurface the r11 ENOSPC spill
+    * via width rather than count). At this threshold the worst
+    * attached doc costs 4·4096² ≈ 67 MB — heavy but survivable.
+    * Docs ABOVE it take [[jaccardJoinExact]]'s length-capped hybrid
+    * path: their prefix rows ship SLIM (no set attached), and the
+    * pairs that involve them are verified by one extra fetch join —
+    * a candidate-sized exchange paid only for the long-doc minority
+    * (was a loud raise_error in round 13's first half; the hybrid
+    * replaces failing diagnosably with just working). */
   val PfxMaxShinglesPerDoc = 4096L
 
   /** Exact Jaccard set-similarity join (q104): every document pair
@@ -1017,15 +1019,24 @@ object Dedup {
     * measured corpora are short-doc (n ≤ ~300 shingles, row width
     * ≤ ~2.4 KB); on a long-document corpus (10 k-shingle docs →
     * ~200 MB of exchange data per doc) the r11 spill problem could
-    * resurface via row WIDTH rather than row count. GUARDED (round
-    * 13): any doc over [[PfxMaxShinglesPerDoc]] shingles raises at
-    * the scan with its doc id and count — a long-doc corpus now
-    * fails diagnosably instead of re-spilling. The escape, if the
-    * 100-TB contract must cover unbounded document sizes, is a
-    * length-capped hybrid: slim prefix rows (no set attached) for
-    * docs above a shingle-count threshold, with one extra verify
-    * join fetching only THOSE docs' sets — paying a candidate-sized
-    * exchange only for the long-doc minority.
+    * resurface via row WIDTH rather than row count.
+    *
+    * LENGTH-CAPPED HYBRID (round 13): a 1-row driver probe
+    * (`max(n)` off the cached shingle frame — bounded metadata, the
+    * frame materializes for the query anyway) picks the plan. A
+    * corpus whose widest doc fits [[PfxMaxShinglesPerDoc]] — every
+    * measured one — keeps the inline-verify plan above EXACTLY.
+    * Otherwise docs over the threshold ship their prefix rows SLIM
+    * (hs = null; rank, size and positional filters still apply —
+    * they read only n and rk), pairs with both sets present verify
+    * inline as before, and the minority of pairs touching a long doc
+    * route through a candidate `distinct` + one fetch join against
+    * the cached shingle frame to verify — the candidate-sized
+    * exchange is paid ONLY for long-doc pairs, which is the price of
+    * exactness (those sets cannot ride the posting rows without the
+    * 4n² width blow-up). Completeness is untouched: the prefix
+    * equi-join covers every qualifying pair regardless of which
+    * verify path scores it.
     * Worst-case probe COMPUTE is still Σ_sh c_sh² pair evaluations (an
     * exact join must look at pairs sharing prefix features — on a
     * Heaps-law corpus c_sh stays small; the bounded-vocab synthetic is
@@ -1036,20 +1047,16 @@ object Dedup {
     // hx appears three times (postings + both set-attach sides) — same
     // materialize-once contract as q28/q99, own cache key so Bench's
     // per-owner invalidate keeps the timing honest.
-    val hxRaw = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
+    val hx = PipelineCache.getOrPersist(s, dir, "q104_jaccard_join_exact/hx") {
       hashedShingles(s, dir)
     }
-    // long-doc guard: evaluated once per document at the cached frame,
-    // BEFORE any set-carrying row reaches an exchange (see
-    // [[PfxMaxShinglesPerDoc]] for the 4n²-bytes-per-doc arithmetic)
-    val hx = hxRaw.select(col("doc_id"), col("hs"),
-      when(col("n") <= lit(PfxMaxShinglesPerDoc), col("n"))
-        .otherwise(raise_error(format_string(
-          "q104 long-doc guard: doc_id=%d has %d shingles > cap " +
-            s"$PfxMaxShinglesPerDoc — the prefix join would exchange " +
-            "~4n^2 bytes for this doc; use the length-capped hybrid " +
-            "(jaccardJoinExact scaladoc)",
-          col("doc_id"), col("n")))).as("n"))
+    // corpus-width probe: ONE driver-side scalar off the cached frame
+    // (see the LENGTH-CAPPED HYBRID scaladoc — this decides the plan,
+    // it never sees data rows). Empty corpus → max(n) is null → the
+    // short-doc plan (which is empty-safe like every query).
+    val widest = hx.agg(max(col("n"))).head()
+    val hasLong = !widest.isNullAt(0) &&
+      widest.getLong(0) > PfxMaxShinglesPerDoc
     val posts = hx.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, sh) order; keep the prefix
@@ -1066,9 +1073,15 @@ object Dedup {
     // shuffle_hash on both joins: every side is data-scale (hx is
     // O(corpus) — too big to broadcast at scale) and SMJ would sort
     // array-carrying rows; the identical self-join exchanges collapse
-    // via ReusedExchange.
+    // via ReusedExchange. On a long-doc corpus over-threshold docs
+    // attach NO set — their rows stay slim through both exchanges.
+    val attach = if (hasLong)
+      hx.select(col("doc_id"),
+        when(col("n") <= lit(PfxMaxShinglesPerDoc), col("hs")).as("hs"),
+        col("n"))
+    else hx
     val pref = prefSlim.hint("shuffle_hash")
-      .join(hx.hint("shuffle_hash"), Seq("doc_id"))
+      .join(attach.hint("shuffle_hash"), Seq("doc_id"))
       .select(col("sh"), col("doc_id"), col("rk"), col("n"), col("hs"))
     val ppm = lit(PfxJaccPpmMin)
     // positional overlap upper bound for the pair matched at prefix
@@ -1076,20 +1089,43 @@ object Dedup {
     // prune when even the bound cannot reach the required overlap
     val ub = least(col("x.rk"), col("y.rk")) +
       least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))
-    pref.hint("shuffle_hash").as("x")
+    val matched = pref.hint("shuffle_hash").as("x")
       .join(pref.hint("shuffle_hash").as("y"),
         col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id") &&
           sizeRatioOk(col("x.n"), col("y.n"), PfxJaccSizeMilli) &&
           ub * (lit(1000000L) + ppm) >= ppm * (col("x.n") + col("y.n")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        interCount(col("x.hs"), col("y.hs")).as("inter_sh"),
-        col("x.n").as("na"), col("y.n").as("nb"))
+    // exact Jaccard verify + τ filter over (doc_a, doc_b, hsa, hsb,
+    // na, nb) — shared by the inline path and the hybrid's fetch path
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .select(col("doc_a"), col("doc_b"),
+        interCount(col("hsa"), col("hsb")).as("inter_sh"),
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter_sh"),
         (col("na") + col("nb") - col("inter_sh")).as("union_sh"))
       .where(col("inter_sh") * lit(1000000L) >= ppm * col("union_sh"))
       .withColumn("jacc_ppm", expr("inter_sh * 1000000 div union_sh"))
       .select("doc_a", "doc_b", "inter_sh", "union_sh", "jacc_ppm")
+    def pairCols(m: DataFrame): DataFrame = m
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.hs").as("hsa"), col("y.hs").as("hsb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    val result = if (!hasLong) verified(pairCols(matched)) else {
+      val inline = verified(pairCols(
+        matched.where(col("x.hs").isNotNull && col("y.hs").isNotNull)))
+      // pairs touching a long doc: collapse prefix multiplicity FIRST
+      // (slim id pairs — cheap), then fetch both sets once per pair
+      val fetched = matched
+        .where(col("x.hs").isNull || col("y.hs").isNull)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(hx.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
+          col("hs").as("hsa"), col("n").as("na")), Seq("doc_a"))
+        .join(hx.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
+          col("hs").as("hsb"), col("n").as("nb")), Seq("doc_b"))
+      inline.unionByName(verified(fetched))
+    }
+    result
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

@@ -859,37 +859,53 @@ object Similarity {
     * dimensions; its direction drives whitening and Matryoshka-style
     * truncation decisions, q144).
     *
-    * One corpus pass builds the exact integer Gram census: the D²
-    * (i, j) cell frame from a nested posexplode (map-side, then one
-    * hash agg). The scaled covariance C = n·G − s·sᵀ follows from
-    * q173's moment census by pure integer arithmetic (scaling by n²
-    * moves no eigenvector). [[PowIters]] synchronous rounds then run
-    * entirely on the D²-cell frame: y = C·x as a join + hash agg,
-    * renormalized to ppm of max|y| each round (q167's integer
-    * max-normalization; sign survives, truncating div matches //).
-    * x₀ = all-ones ppm — deterministic, and not orthogonal to the
-    * lead eigenvector except on measure-zero adversaries.
+    * One corpus pass builds the exact integer Gram census via the
+    * [[graft.functions.ArrayFunctions.gramCensus]] aggregate: each
+    * partition accumulates the D(D+1)/2 upper-triangle products, the
+    * D per-dim sums, and the row count into ONE fixed-size buffer
+    * (the per-partition outer-product partial — D(D+1)/2 multiply-
+    * adds per row in a single JVM loop, vs the N·D² generated rows of
+    * the nested-posexplode shape this replaced). The scaled covariance
+    * C = n·G − s·sᵀ follows by pure integer arithmetic (scaling by n²
+    * moves no eigenvector); the D² cell frame unfolds from the single
+    * census row. [[PowIters]] synchronous rounds then run entirely on
+    * the D²-cell frame: y = C·x as a join + hash agg, renormalized to
+    * ppm of max|y| each round (q167's integer max-normalization; sign
+    * survives, truncating div matches //). x₀ = all-ones ppm —
+    * deterministic, and not orthogonal to the lead eigenvector except
+    * on measure-zero adversaries.
     *
-    * Scale shape: the census build is one pass with map-side combine
-    * (at petabyte scale the same cells come from per-partition outer-
-    * product partials — the documented swap); every round is a D²⋈D
-    * join — constant cost. All sums ride DECIMAL(38,0): |C| ≤ n²·q²
-    * and |y| ≤ D·|C|·1e6 pass int64 long before the census does. */
+    * Scale shape: the census pass ships one ~17 KB buffer per
+    * partition however large the corpus; the only data-sized work is
+    * the scan itself. Gram cells are exact int64 (|cell| ≤ n·q² —
+    * ~2.6e13 rows of milli-quantized components before loud overflow);
+    * C and the round sums ride DECIMAL(38,0): |C| ≤ n²·q² and
+    * |y| ≤ D·|C|·1e6 pass int64 long before the census does. */
   def powerIteration(s: SparkSession, dir: String): DataFrame = {
-    val qq = Tables.embeddings(s, dir)
+    val D = 64 // embeddings are 64-dim; gram_census rejects ragged rows
+    val T = D * (D + 1) / 2
+    val census = Tables.embeddings(s, dir)
       .select(quantize(col("embedding")).as("q"))
-    val ex = qq.select(col("q"), posexplode(col("q")).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"), posexplode(col("q")).as(Seq("j", "vj")))
-    val gram = ex.groupBy("i", "j")
-      .agg(sum(expr("CAST(vi AS DECIMAL(38,0)) * vj")).as("g"),
-        count(lit(1)).as("n"))
-    val sums = qq.select(posexplode(col("q")).as(Seq("i", "vi")))
-      .groupBy("i").agg(Det.lsum(col("vi")).as("s"))
-    val cov = gram
-      .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
-      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
-      .select(col("i"), col("j"),
-        expr("n * g - CAST(si AS DECIMAL(38,0)) * sj").as("c"))
+      .agg(graft.functions.ArrayFunctions.gramCensus(col("q"), D).as("buf"))
+      // empty corpus → no cells (matches the posexplode shape and the
+      // oracle's DISTINCT-over-empty), not a D²-cell zero matrix
+      .filter(element_at(col("buf"), lit(T + D + 1)) > 0)
+    val cov = census
+      .select(col("buf"), explode(sequence(lit(0), lit(D * D - 1))).as("id"))
+      .selectExpr("buf", s"CAST(id div $D AS INT) AS i",
+        s"CAST(id % $D AS INT) AS j")
+      // 1-based element_at over the census buffer: gram(lo,hi) at
+      // lo·D − lo(lo−1)/2 + (hi−lo) (upper triangle, symmetric),
+      // sums at T + dim, count at T + D (all +1). DECIMAL(38,0)
+      // promotion BEFORE the products — n·g and si·sj overflow int64
+      // exactly where the old posexplode shape needed decimals too.
+      .selectExpr("i", "j",
+        s"""CAST(element_at(buf, ${T + D + 1}) AS DECIMAL(38,0))
+           |  * element_at(buf, CAST(least(i, j) * $D
+           |      - (least(i, j) * (least(i, j) - 1)) div 2
+           |      + (greatest(i, j) - least(i, j)) + 1 AS INT))
+           |- CAST(element_at(buf, ${T + 1} + i) AS DECIMAL(38,0))
+           |  * element_at(buf, ${T + 1} + j) AS c""".stripMargin)
       .localCheckpoint(true) // D² cells; rounds + their max builds read it
     val x0 = cov.select(col("j")).distinct()
       .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("x"))

@@ -114,6 +114,43 @@ class NativeKernelsPropertySpec extends SparkTestBase {
     assert(mism.count() === 0)
   }
 
+  test("GramCensusAgg == the nested-posexplode gram + sums + count census") {
+    val dim = 7 // small odd width — exercises the triangle indexing
+    val tri = dim * (dim + 1) / 2
+    val vecGen = Gen.listOfN(dim, Gen.choose(-700L, 700L))
+    val df = sample(vecGen, 300, 8L).toDF("q")
+    val buf = df.agg(ArrayFunctions.gramCensus(col("q"), dim).as("buf"))
+      .head().getSeq[Long](0)
+    // reference: the posexplode shape this kernel replaced
+    val gram = df
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("q")).as(Seq("j", "vj")))
+      .groupBy("i", "j").agg(sum(expr("vi * vj")).as("g"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val sums = df.select(posexplode(col("q")).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum(col("vi")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (i <- 0 until dim; j <- i until dim) {
+      val idx = i * dim - i * (i - 1) / 2 + (j - i)
+      assert(buf(idx) === gram((i, j))._1, s"gram($i,$j)")
+      assert(gram((i, j))._2 === 300L, s"count($i,$j)")
+    }
+    (0 until dim).foreach(i => assert(buf(tri + i) === sums(i), s"sum($i)"))
+    assert(buf(tri + dim) === 300L)
+    // strictness: ragged width and null components fail loudly
+    val ragged = intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("q")
+        .agg(ArrayFunctions.gramCensus(col("q"), dim)).head()
+    }
+    assert(ragged.getMessage != null)
+    // null vector rows are skipped, empty input yields the zero buffer
+    val zeros = df.select(lit(null).cast("array<bigint>").as("q"))
+      .agg(ArrayFunctions.gramCensus(col("q"), dim).as("buf"))
+      .head().getSeq[Long](0)
+    assert(zeros.forall(_ === 0L) && zeros.size === tri + dim + 1)
+  }
+
   test("ledger round-trips arbitrary printable file names and messages") {
     import graft.etl.{FileStatus, JsonlControlStore}
     val nameGen = wordGen.map(s => "states_" + s + ".csv")

@@ -293,28 +293,60 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty, "corpus has no qualifying pairs — test is vacuous")
   }
 
-  test("q104 long-doc guard raises diagnosably on an over-cap document") {
+  test("q104 length-capped hybrid ≡ brute force on an over-cap long-doc corpus") {
     // 5000 distinct words → 4998 distinct 3-gram shingles, past the
-    // PfxMaxShinglesPerDoc=4096 ceiling: the guard must fail the job
-    // AT THE SCAN with the doc id in the message (the alternative is
-    // the r11 ENOSPC spill, hours later and diagnosis-free); the
-    // under-cap sibling doc proves the guard is per-row, not per-run
+    // PfxMaxShinglesPerDoc=4096 threshold (round 13's first half
+    // raised here; the hybrid must now just WORK). The corpus forces
+    // every verify class at once: long×long (docs 0,1 — perturbed
+    // tail, J ≈ 0.92), short×long (doc 4 = doc 0's first 3002 words:
+    // inter 3000, union 4998, J = 0.6 — both sides pass the τ size
+    // ratio), and short×short (docs 2,3 — the inline path must keep
+    // running beside the hybrid's fetch path).
     val d = tmpDir("longdocs")
-    val longText = (0 until 5000).map(i => s"w$i").mkString(" ")
-    Seq(
-      (0L, longText, "en", "src0", longText.length.toLong),
-      (1L, base, "en", "src1", base.length.toLong)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val words = (0 until 5000).map(i => s"w$i")
+    val longA = words.mkString(" ")
+    val longB = (words.take(4800) ++ (0 until 200).map(i => s"x$i")).mkString(" ")
+    val shortC = longA.split(" ").take(3002).mkString(" ")
+    val docs = Seq(
+      (0L, longA, "en", "src0", longA.length.toLong),
+      (1L, longB, "en", "src1", longB.length.toLong),
+      (2L, base, "en", "src2", base.length.toLong),
+      (3L, base.replace("november", "NOVEMBER-CHANGED"), "en", "src3", 1L),
+      (4L, shortC, "en", "src4", shortC.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val ex = intercept[Exception] {
-      Dedup.jaccardJoinExact(spark, d).collect()
+    def shingleHashes(text: String): Set[Long] = {
+      val ws = text.trim.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+      val grams =
+        if (ws.size >= 3)
+          (0 to ws.size - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+        else Seq.empty
+      grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 2147483647L
+      }.toSet
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(m =>
-      m.contains("q104 long-doc guard") && m.contains("doc_id=0")),
-      s"expected the guard message naming doc 0, got: ${msgs(ex).take(3)}")
+    val sets = docs.map { case (id, text, _, _, _) => id -> shingleHashes(text) }
+    assert(sets.count(_._2.size > Dedup.PfxMaxShinglesPerDoc) === 2,
+      "fixture must contain exactly the two over-threshold docs")
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (da, ha) = sets(i); (db, hb) = sets(j)
+      inter = (ha & hb).size.toLong
+      union = ha.size + hb.size - inter
+      if inter * 1000000L >= Dedup.PfxJaccPpmMin * union
+    } yield (da, db, inter, union, inter * 1000000L / union)).toSeq
+    val got = Dedup.jaccardJoinExact(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // non-vacuous: a long×long, a short×long, and a short×short pair
+    val pairIds = expected.map(p => (p._1, p._2)).toSet
+    assert(pairIds((0L, 1L)), "long×long pair missing from fixture")
+    assert(pairIds((0L, 4L)), "short×long pair missing from fixture")
+    assert(pairIds((2L, 3L)), "short×short pair missing from fixture")
   }
 
   test("q102 leakage flag matches a recomputation from q52 × q48 outputs") {
