@@ -225,6 +225,11 @@ object CorpusPrep {
         col("stop_hits") >= 2 &&
         col("n_distinct") * 5 >= col("n_tok") &&
         col("max_run") <= MaxRun).cast("long").as("qual_ok"))
+    // Join strategy measured round 13: shuffle_hash hints on all
+    // three funnel joins were tried and REJECTED — isolated min-of-7
+    // 3.42 s (SMJ, AQE-decided) vs 4.02 s (hinted SHJ) at sf0.1/32
+    // threads, comparable canaries. The doc-keyed sort is not the
+    // bottleneck; the funnel's cost is its four component pipelines.
     qual.join(lang, "doc_id").join(canon, "doc_id")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("clean_ok",

@@ -29,7 +29,19 @@ object Sketches {
 
   /** q39 detail: per-nation HLL++ estimate beside the exact distinct
     * count, with the bound flag (±5 % — rsd 0.02, so 2.5 standard
-    * errors; at harness scales the sparse-mode estimate is exact). */
+    * errors — OR an absolute slack of 2). The relative bound alone is
+    * a LARGE-n guarantee: Spark's `approx_count_distinct` is dense
+    * HLL++ whose small-range path is linear counting over ~4 k
+    * registers, so a single register collision among n distinct keys
+    * (≈ n²/2m probability, data-deterministic) costs one whole count —
+    * 9 % at n = 11, unconditionally outside ±5 %. Found by the
+    * round-13 sf0.001 oracle sweep: nation 11 holds 11 customers, two
+    * hash to one register, estimate 10, flag 0 vs the oracle's pinned
+    * 1 — inherited from the first q39 round (reproduced on the r12
+    * snapshot), latent because sf0.01/sf0.1 cardinalities put every
+    * nation's collision error inside 5 %. The absolute slack covers
+    * ≤ 2 collisions; a sketch off by 3+ counts at tiny n (or > 5 %
+    * at scale) still fails the row, which is the flag's job. */
   def sketchDistinctDetail(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .groupBy(col("c_nationkey").as("nationkey"))
@@ -37,10 +49,13 @@ object Sketches {
         approx_count_distinct(col("c_custkey"), rsd = 0.02).as("approx_customers"),
         countDistinct(col("c_custkey")).as("exact_customers"))
       // |approx − exact| · 20 ≤ exact  ⇔  relative error ≤ 5 %, in
-      // integer arithmetic (no float haze in the flag itself).
+      // integer arithmetic (no float haze in the flag itself);
+      // |approx − exact| ≤ 2 is the small-n collision slack above.
       .withColumn("within_bound",
         when(abs(col("approx_customers") - col("exact_customers")) * 20
-          <= col("exact_customers"), lit(1)).otherwise(lit(0)))
+          <= col("exact_customers") ||
+          abs(col("approx_customers") - col("exact_customers")) <= 2,
+          lit(1)).otherwise(lit(0)))
 
   /** q39: the driver-checked projection — exact count + bound flag
     * (see class doc for why the raw estimate is not hashed). */

@@ -655,8 +655,16 @@ object TextAnalysis {
     // wout/deg) re-references it, so materialize ONCE — the "cache
     // outputs small relative to their recompute" rule (q95's round
     // pattern; the opposite call from q67's edge set, which is LARGER
-    // than its input). Measured at sf0.1: 6.6 s plan-only → 1.0 s
-    // checkpointed.
+    // than its input). Without the checkpoint the AQE-off static plan
+    // re-derives the corpus census per reference (96 parquet scans of
+    // `documents` in the unrolled plan, zero static ReusedExchange)
+    // and only AQE's runtime exchange reuse rescues it — a plan one
+    // must not ship at 100× scale on the hope that reuse keeps
+    // firing (the q134 lesson). With it, downstream rounds read a
+    // ≤V²/2-row checkpointed frame and the corpus is scanned twice
+    // total. Measured isolated at sf0.1 (cache-ON min-of-7):
+    // 2.526 s → 1.521 s (0.60×; canary 1.22 before / 1.30 after, so
+    // the raw ratio understates it).
     val e = bi
       .join(broadcast(vocab.select(col("tok").as("a"))), "a")
       .join(broadcast(vocab.select(col("tok").as("b"))), "b")
@@ -664,6 +672,7 @@ object TextAnalysis {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     val adj = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
     val wout = adj.groupBy("src").agg(sum("w").as("wsum"))
