@@ -191,4 +191,23 @@ class PlanProbeSpec extends SparkTestBase {
       !joins.contains("CartesianProductExec"),
       s"q177 must never plan a nested-loop/cartesian join; got $joins")
   }
+
+  test("q168 textrank: only the edge-census checkpoint scans the corpus") {
+    // round 13: the ≤V²/2-row edge census localCheckpoints
+    // (TextAnalysis.textrank), so exactly ONE execution touches the
+    // documents table and the rank rounds / final head read RDD
+    // leaves. Before the checkpoint the unrolled plan re-derived the
+    // census per reference (96 static parquet scans) and only AQE
+    // exchange reuse kept it cheap — this pins the fixed shape so a
+    // dropped checkpoint is a red test, not a bench surprise.
+    val execs = PlanProbe.probe(spark, "q168_textrank", probeSf,
+      full = true)
+    val scanning = execs.filter(_._2.contains("FileSourceScanExec"))
+    assert(scanning.map(_._1) == Seq("localCheckpoint"),
+      s"exactly one execution — the census checkpoint — may scan " +
+        s"files; got ${execs.map { case (fn, c) =>
+          fn -> c.split(" ").filter(_.startsWith("FileSourceScan"))
+            .mkString(",")
+        }}")
+  }
 }
