@@ -67,7 +67,14 @@ object StreamScaleBench {
 
   val OpNames: Seq[String] =
     Seq("neardup", "chunk_dedup", "heavy_hitters", "interval_join",
-      "sessionize")
+      "sessionize",
+      // round 13 (OPTIMIZATION_r13.md §12.5): the remaining stateful
+      // families, same drain harness. `upsert` is the one op whose
+      // bound is KEY CARDINALITY, not the watermark horizon (NoTimeout
+      // latest-wins — its scaladoc's documented deviation), so
+      // StreamScaleSpec pins it with a key-census check instead of
+      // the plateau check.
+      "exact_dedup", "attribution", "anomaly", "triples", "upsert")
 
   private def writeTimeOrdered(df: DataFrame, ts: String, dir: String,
       nFiles: Int): Unit = {
@@ -188,6 +195,29 @@ object StreamScaleBench {
       .option("maxFilesPerTrigger", 2)
       .parquet(dir)
 
+  /** Full-column events replay for the typed operators (attribution /
+    * upsert / triples need event_id + event_type + value; anomaly
+    * needs event_type). Same time-ordered layout as [[eventsDir]]. */
+  private def eventsFullDir(spark: SparkSession, sfDir: String,
+      tmpRoot: String, nFiles: Int): String =
+    preparedDirs.getOrElseUpdate((sfDir, tmpRoot, nFiles, "events_full"), {
+      val dir = s"$tmpRoot/events_full"
+      writeTimeOrdered(
+        Tables.events(spark, sfDir).select(col("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value").cast("double").as("value")),
+        "ts", dir, nFiles)
+      dir
+    })
+
+  private def eventsFullStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("ts TIMESTAMP, user_id LONG, event_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+
   /** Prepare the named op's time-ordered input under `tmpRoot` and
     * drain it; the seam [[main]] and `StreamScaleSpec` share, so the
     * spec's bounds hold on exactly the pipeline the committed
@@ -251,6 +281,50 @@ object StreamScaleBench {
         drain(spark, name, streaming.FlightSessions
           .sessionsStream(clean, gapMinutes = 30, watermark = "1 hour")
           .toDF(), tmpRoot)
+      case "exact_dedup" =>
+        // dropDuplicatesWithinWatermark on md5(text): state is the
+        // in-horizon hash set (the q44 twin)
+        val dir = timeSpreadDocs(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingDedup
+          .exactDedupStream(docStream(spark, dir), "ts",
+            s"$DocHorizonMin minutes"), tmpRoot)
+      case "attribution" =>
+        // fMGWS touch→purchase attribution keyed by user, event-time
+        // timeout at touch + horizon (the q148 twin)
+        val dir = eventsFullDir(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingAttribution
+          .attribute(eventsFullStream(spark, dir), "60 minutes").toDF(),
+          tmpRoot)
+      case "anomaly" =>
+        // windowed per-type counts vs a K-row broadcast baseline (the
+        // q146 twin). The baseline is the batch table's per-type mean
+        // daily count — deterministic, key-complete, and what an EWMA
+        // monitor would broadcast in production.
+        val dir = eventsFullDir(spark, sfDir, tmpRoot, nFiles)
+        val baseline = Tables.events(spark, sfDir)
+          .select(col("event_type").as("key"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .groupBy("key", "day").agg(count(lit(1)).as("n"))
+          .groupBy("key")
+          .agg(expr("sum(n) div count(1)").cast("long").as("pred"))
+        drain(spark, name, streaming.StreamingAnomaly
+          .monitor(eventsFullStream(spark, dir), "ts", col("event_type"),
+            "1 day", "1 day", baseline), tmpRoot)
+      case "triples" =>
+        // per-user trigram miner, buffer evicted by event-time timeout
+        // past the third event (the q120-family twin)
+        val dir = eventsFullDir(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingTriples
+          .triplesStream(eventsFullStream(spark, dir), "1 hour").toDF(),
+          tmpRoot)
+      case "upsert" =>
+        // latest-wins fold, NoTimeout: state is ONE row per distinct
+        // key FOREVER — the contract (a keyed materialized view), so
+        // its scale bound is key cardinality, not the watermark;
+        // asserted as such in StreamScaleSpec, recorded as such here
+        val dir = eventsFullDir(spark, sfDir, tmpRoot, nFiles)
+        drain(spark, name, streaming.StreamingUpsert
+          .latest(eventsFullStream(spark, dir)).toDF(), tmpRoot)
       case other => sys.error(s"unknown stream-scale op: $other")
     }
   }
@@ -279,7 +353,12 @@ object StreamScaleBench {
       "chunk_dedup" -> s""""horizon_min":$DocHorizonMin,"span_min":$DocSpanMin""",
       "heavy_hitters" -> """"window":"1 day","watermark":"1 day"""",
       "interval_join" -> """"join_window_min":30,"watermark":"60 minutes"""",
-      "sessionize" -> """"gap_min":30,"watermark":"1 hour"""")
+      "sessionize" -> """"gap_min":30,"watermark":"1 hour"""",
+      "exact_dedup" -> s""""horizon_min":$DocHorizonMin,"span_min":$DocSpanMin""",
+      "attribution" -> """"horizon_min":30,"watermark":"60 minutes"""",
+      "anomaly" -> """"window":"1 day","watermark":"1 day"""",
+      "triples" -> """"watermark":"1 hour","state_rows_semantics":"one bounded buffer row per active key; emitted prefix dropped in-row, so rows_removed stays 0"""",
+      "upsert" -> """"state_bound":"distinct keys (latest-wins: no eviction by design)"""")
     val entries = OpNames.map { n =>
       val (rows, stats) = runOp(spark, sfDir, n, tmpRoot)
       println(s"STREAM $n ${summaryJson(stats)}")

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{SparkTestBase, StreamScaleBench}
+import org.apache.spark.sql.functions.col
 
 /** Bounded-state contract for every stateful op StreamScaleBench
   * measures (round-11 verdict item 5): the committed STREAM_SCALE.json
@@ -31,7 +32,8 @@ class StreamScaleSpec extends SparkTestBase {
   // windows of ≥3 batches each
   private val nFiles = 24
 
-  private def plateauCheck(name: String, s: StreamScaleBench.OpStats): Unit = {
+  private def plateauCheck(name: String, s: StreamScaleBench.OpStats,
+      requireEviction: Boolean = true): Unit = {
     assert(s.batches >= 8, s"$name: drain too coarse for a plateau " +
       s"check (${s.batches} batches) — raise nFiles")
     val b = s.stateRowsByBatch
@@ -42,9 +44,10 @@ class StreamScaleSpec extends SparkTestBase {
     assert(peakLate <= (1.6 * peakMid).toLong + 64,
       s"$name: state grew past mid-drain (mid peak $peakMid, late peak " +
         s"$peakLate, by-batch $b) — watermark eviction regressed")
-    assert(s.stateRemovedTotal > 0,
-      s"$name: no state was ever evicted across the drain — the " +
-        s"watermark horizon is not bounding state")
+    if (requireEviction)
+      assert(s.stateRemovedTotal > 0,
+        s"$name: no state was ever evicted across the drain — the " +
+          s"watermark horizon is not bounding state")
     assert(s.peakStateRows > 0 && s.rowsPerSec > 0,
       s"$name: harness broke (no state or no throughput measured): $s")
   }
@@ -82,5 +85,65 @@ class StreamScaleSpec extends SparkTestBase {
     val s = run("sessionize")
     assert(s.rowsInTotal == 10000, s"must drain all 10k events: $s")
     plateauCheck("sessionize", s)
+  }
+
+  // ---- round-13 additions: the remaining stateful families ----
+
+  test("exact_dedup: hash-set state bounded by the watermark horizon") {
+    val s = run("exact_dedup")
+    assert(s.rowsInTotal == 500, s"must drain all 500 docs: $s")
+    plateauCheck("exact_dedup", s)
+  }
+
+  test("attribution: touch state evicted at touch + horizon") {
+    val s = run("attribution")
+    assert(s.rowsInTotal == 10000, s"must drain all 10k events: $s")
+    plateauCheck("attribution", s)
+  }
+
+  test("anomaly: window-count state bounded by live windows") {
+    val s = run("anomaly")
+    assert(s.rowsInTotal == 10000, s"must drain all 10k events: $s")
+    plateauCheck("anomaly", s)
+  }
+
+  test("triples: one bounded buffer row per active key, plateau holds") {
+    // state ROWS here are per-user Buffer rows: the emitted trigram
+    // prefix is dropped INSIDE the row (merged.drop(k)) and a user's
+    // row only disappears if its buffer fully empties — so
+    // numRowsRemoved is structurally 0 and the eviction assert does
+    // not apply; the bounds that do are the row plateau (keys
+    // saturate) and the exact key census.
+    val s = run("triples")
+    assert(s.rowsInTotal == 10000, s"must drain all 10k events: $s")
+    plateauCheck("triples", s, requireEviction = false)
+    val users = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
+      .select("user_id").distinct().count()
+    assert(s.endStateRows <= users,
+      s"triples state can hold at most one buffer row per key " +
+        s"($users); got $s")
+  }
+
+  test("upsert: state is exactly the distinct-key census, never evicted") {
+    // the ONE family whose bound is key cardinality, not the
+    // watermark (NoTimeout latest-wins — the op scaladoc's documented
+    // deviation): state must equal the number of distinct users seen,
+    // and nothing may ever be evicted. The unbounded-state smell the
+    // plateau check hunts is this op's CONTRACT, so the pin here is
+    // the exact census instead.
+    val s = run("upsert")
+    assert(s.rowsInTotal == 10000, s"must drain all 10k events: $s")
+    val users = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
+      .select("user_id").distinct().count()
+    assert(s.endStateRows == users,
+      s"upsert state must be one row per distinct key ($users); got $s")
+    assert(s.stateRemovedTotal == 0,
+      s"latest-wins state must never be evicted; got $s")
+    assert(s.peakStateRows == s.endStateRows,
+      s"upsert state is monotone to the key census; got $s")
   }
 }
