@@ -167,13 +167,12 @@ class GraphsSpec extends SparkTestBase {
     val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
     val r = out.head
     assert(r.getAs[Long]("n_edges") === xy.length.toLong)
-    // centered moments are DECIMAL(38,0) (int128-class at the sfg10
-    // decade — see the scaladoc's overflow finding); compare exactly
-    def dec(c: String): BigInt =
-      BigInt(r.getAs[java.math.BigDecimal](c).toBigIntegerExact)
-    assert(dec("num") === num)
-    assert(dec("den_x") === dx)
-    assert(dec("den_y") === dy)
+    // centered moments are BIGINT by declared contract (the internal
+    // arithmetic is DECIMAL(38,0); the output cast throws loudly past
+    // int64 — see the scaladoc's declared-bound note)
+    assert(r.getAs[Long]("num") === num.toLong)
+    assert(r.getAs[Long]("den_x") === dx.toLong)
+    assert(r.getAs[Long]("den_y") === dy.toLong)
     // symmetric edge list ⇒ den_x = den_y and |r| ≤ 1
     assert(dx === dy)
     assert(r.getAs[Long]("assort_milli") ===
