@@ -601,8 +601,9 @@ object Graphs {
     * spliced adjacency itself (DISK_ONLY) + per-round rank
     * checkpoints completed but at 475 s — the edge-scale block
     * write/read round-trips and per-round re-sorts of the scan cost
-    * 5× q67's 93 s; (b) THIS shape — only the NODE-sized frames
-    * (degree, seed-mass) checkpoint, and the rank loop stays
+    * 5× q67's 93 s; (b) THIS shape — only the NODE-sized frame
+    * (degree ⊕ seed-mass, fused into one checkpoint in r14)
+    * checkpoints, and the rank loop stays
     * plan-only exactly like q67, so the unrolled job's data-scale
     * content collapses back to q67's single reused edge exchange and
     * the per-round work is the seed join of two node frames. The smf
@@ -615,22 +616,33 @@ object Graphs {
     * sized, built once into the checkpointed seed-mass frame. */
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     val adj = adjacency(edges(s, dir))
-    // node-sized; read by the seed frame, the adjd splice, and the
-    // final degree join — checkpoint so none of them re-aggregates
-    // the 2|E| adjacency
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
     val urgentParts = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
         "left_semi")
       .select(col("l_partkey").as("node")).distinct()
-    val smf = deg.select(col("src").as("node"))
+    // ONE node-sized (node, deg, sm) frame, checkpointed once — read
+    // by the adjd splice, every round's teleport join, and the final
+    // report join. ROUND-14: the r13 shape checkpointed `deg` and
+    // `smf` SEPARATELY — two sequential eager materialization jobs
+    // (the 2|E| degree aggregation, then a second job re-reading the
+    // deg RDD for the seed splice) plus a two-join report tail.
+    // Fusing them into one frame halves the eager materializations
+    // (the degree agg and the seed splice are ONE job now) and the
+    // report tail joins ONE node frame instead of two. Same bounded
+    // node-sized memory shape as r13 at every scale — the sfg10 OOM
+    // driver (per-round re-evaluation of the seed subtree) stays
+    // fixed because the loop still reads only checkpointed RDDs;
+    // re-validated at sfg1.0/sfg10 (see OPTIMIZATION_r14.md).
+    val nf = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
       .join(urgentParts.withColumn("seed", lit(1L)), Seq("node"), "left")
-      .select(col("node"),
+      .select(col("node"), col("deg"),
         (coalesce(col("seed"), lit(0L)) * PrMass).as("sm"))
       .localCheckpoint(true)
+    val deg = nf.select(col("node").as("src"), col("deg"))
+    val smf = nf.select(col("node"), col("sm"))
     // Every node of the symmetric graph HAS in-edges (the q67
     // argument), so each round's dst aggregation covers every node —
     // no per-round OUTER join back to the node frame is needed; the
@@ -668,11 +680,9 @@ object Graphs {
         .select(col("node"),
           (expr("15 * sm div 100") + col("flow")).as("r"))
     }
-    rn.join(deg, col("node") === col("src"))
-      .join(smf.select(col("node"), (col("sm") > 0).cast("long").as("is_seed")),
-        Seq("node"))
+    rn.join(nf, Seq("node"))
       .select(col("node").as("part_id"), col("r").as("rank_ppm"),
-        col("is_seed"), col("deg").as("degree"))
+        (col("sm") > 0).cast("long").as("is_seed"), col("deg").as("degree"))
       .filter(col("rank_ppm") > 0)
       .orderBy(col("rank_ppm").desc, col("part_id"))
   }

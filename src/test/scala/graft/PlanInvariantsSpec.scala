@@ -423,9 +423,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     "q176_tfidf_cosine_join" -> 9,
     // q177: q67's plan-only rounds (edge-build exchanges dedupe via
     // ReuseExchange — 4 reused statically) + the 3 rounds' dst
-    // censuses + the final degree/seed splice + presentation sort;
-    // the deg/seed-mass frames are checkpointed NODE-sized scans
-    // (r13 sf10 OOM fix), so no seed subtree re-evaluates per round
+    // censuses + the final report join + presentation sort; the ONE
+    // fused (node, deg, sm) frame is a checkpointed NODE-sized scan
+    // (r13 sf10 OOM fix; r14 fused the former deg+seed pair and the
+    // two-join report tail into one join — SMJ 11 → 10 in the golden)
     "q177_personalized_pagerank" -> 8,
     // q178: q52's label-prop rounds run eagerly at plan time (q87
     // pattern); the declared plan is the hash projection off the

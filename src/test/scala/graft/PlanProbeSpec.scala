@@ -192,6 +192,75 @@ class PlanProbeSpec extends SparkTestBase {
       s"q177 must never plan a nested-loop/cartesian join; got $joins")
   }
 
+  // ---- scan-locality pins for the remaining checkpointed iterative
+  // queries (r13 §12 item 5; q168 below was the r13 prototype). Each
+  // pins WHICH executions may touch the parquet inputs — the property
+  // whose silent loss turns a round-structured query into a
+  // scan-per-round one (the q168 hunt's finding). Live scans vs a
+  // persisted relation's internal (cached:) scan are distinguished
+  // per PlanProbe's census contract: a cached: scan executes at most
+  // once, when the cache materializes.
+
+  /** (execution label, live scan count, cached scan present) rows. */
+  private def scanRows(name: String): Seq[(String, Int, Boolean)] =
+    PlanProbe.probe(spark, name, probeSf, full = true).map {
+      case (fn, census) =>
+        val toks = census.split(" ")
+        def count(p: String) = toks.filter(_.startsWith(p)).map { t =>
+          val i = t.indexOf('×'); if (i < 0) 1 else t.drop(i + 1).toInt
+        }.sum
+        (fn, count("FileSourceScanExec"),
+          count("cached:FileSourceScanExec") > 0)
+    }
+
+  test("q167 HITS: only the incidence checkpoint scans the corpus") {
+    // the bipartite incidence localCheckpoints once and is re-read by
+    // all 3 rounds' (h, a) updates and the final report — exactly ONE
+    // execution (the first checkpoint) may scan files
+    val rows = scanRows("q167_hits")
+    val scanning = rows.filter(_._2 > 0)
+    assert(scanning.map(_._1) == Seq("localCheckpoint") &&
+      scanning == rows.take(1).filter(_._2 > 0),
+      s"only q167's first (incidence) checkpoint may scan files; got $rows")
+  }
+
+  test("q87 k-core: no execution scans files live — all graph access via the persisted edge list") {
+    // the peel persists the half edge list and checkpoints node-sized
+    // deg/drop frames; a LIVE file scan in any execution means a
+    // round's lineage reached past the persist back to parquet
+    val rows = scanRows("q87_kcore")
+    assert(rows.forall(_._2 == 0),
+      s"q87 executions must read the persisted edge list / checkpointed " +
+        s"node frames, never parquet; got $rows")
+  }
+
+  test("q88 BFS: no execution scans files live — every round probes the persisted adjacency") {
+    val rows = scanRows("q88_bfs_hops")
+    assert(rows.forall(_._2 == 0),
+      s"q88 rounds must probe the persisted adjacency, never parquet; " +
+        s"got $rows")
+    assert(rows.exists(_._3),
+      s"at least one round must reference the cached adjacency " +
+        s"(harness sanity); got $rows")
+  }
+
+  test("q177 PPR: live scans only in the node-frame checkpoint and the single reused edge build") {
+    // r14 fused shape: execution 1 = the ONE (node, deg, sm)
+    // checkpoint (scans lineitem for the edge build + lineitem/orders
+    // for the urgent seeds); execution 2 = the terminal rank job,
+    // whose plan-only rounds share ONE edge build — exactly one live
+    // scan (ReusedExchange dedupes the rest). A second live scan in
+    // the terminal job means the rounds lost their exchange/scan
+    // dedup (the pre-r13 OOM shape growing back); a third execution
+    // means the checkpoint fusion regressed to the two-job r13 shape.
+    val rows = scanRows("q177_personalized_pagerank")
+    assert(rows.size == 2 &&
+      rows.head._1 == "localCheckpoint" && rows.head._2 > 0 &&
+      rows(1)._2 == 1,
+      s"q177 must be [node-frame checkpoint (scans), terminal job " +
+        s"(exactly 1 live scan)]; got $rows")
+  }
+
   test("q168 textrank: only the edge-census checkpoint scans the corpus") {
     // round 13: the ≤V²/2-row edge census localCheckpoints
     // (TextAnalysis.textrank), so exactly ONE execution touches the
